@@ -1,0 +1,117 @@
+package graft.chain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Blockchain-shaped data model derived deterministically from the TPC-H-ish
+  * fixtures (FIXTURES.md §2), mirroring the reference's seven-table contract
+  * (/root/reference/scripts/schema.cql:1-75, SURVEY.md §1.3).
+  *
+  * Every derivation here has an exactly-equivalent DuckDB SQL form in
+  * [[ChainSql]]; keep the two in lockstep — the driver hash-compares results.
+  *
+  * Scale notes (100 TB design):
+  *  - All derivations are narrow projections (no shuffle) except the
+  *    per-block aggregations, which shuffle on `block_id` — the natural
+  *    partitioning key (reference buckets by block_id_group,
+  *    scripts/blocksci_export.py:37).
+  *  - Bucket columns (`tx_id_group`, `block_id_group`, `tx_prefix`) are the
+  *    partition-pruning handles: written out with `partitionBy`, a point
+  *    lookup touches one bucket only (schema.cql:12,33,40).
+  */
+object Chain {
+  /** Reference constants: scripts/blocksci_export.py:35-37. */
+  val TxBucketSize    = 25000L
+  val BlockBucketSize = 100L
+  val PrefixLen       = 5
+  /** Epoch for block-height derivation: block_id = days since Genesis. */
+  val Genesis = "1992-01-01"
+
+  /** The 10 BlockSci address-type codes, scripts/blocksci_export.py:22-33. */
+  val AddressTypes: Map[Int, String] = Map(
+    1 -> "nonstandard", 2 -> "pubkey", 3 -> "pubkeyhash",
+    4 -> "multisig_pubkey", 5 -> "scripthash", 6 -> "multisig",
+    7 -> "nulldata", 8 -> "witness_pubkeyhash", 9 -> "witness_scripthash",
+    10 -> "witness_unknown")
+  /** Address types whose address list is NULL (blocksci_export.py:318-329).
+    * Reference nulls nonstandard/nulldata/witness_unknown = codes 1,7,10. */
+  val NullAddressTypes = Seq(1, 7, 10)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** transaction scalars: one tx per order (FIXTURES.md §2).
+    * tx_id = o_orderkey; tx_hash = sha256(tx_id) hex; block_id = days since
+    * Genesis; ts = epoch seconds. All bigint/string for oracle parity. */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(
+      col("o_orderkey").cast("long").as("tx_id"),
+      sha2(col("o_orderkey").cast("string"), 256).as("tx_hash"),
+      datediff(to_date(col("o_orderdate")), to_date(lit(Genesis)))
+        .cast("long").as("block_id"),
+      unix_timestamp(col("o_orderdate")).as("ts"))
+      .withColumn("tx_id_group", floor(col("tx_id") / TxBucketSize))
+
+  /** Normalized io rows: one per lineitem. Odd line numbers are inputs, even
+    * outputs; value = cents(l_extendedprice); address_type cycles all 10
+    * reference codes; multisig (6) gets two addresses, null-types get NULL
+    * (reference addr_str dispatch, blocksci_export.py:318-329 → P4). */
+  def io(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").select(
+      col("l_orderkey").cast("long").as("tx_id"),
+      col("l_linenumber").cast("long").as("idx"),
+      (col("l_linenumber") % 2 === 1).as("is_input"),
+      floor(col("l_extendedprice") * 100).cast("long").as("value"),
+      (col("l_partkey") % 10 + 1).cast("long").as("address_type"),
+      concat(lit("a"), col("l_suppkey").cast("string")).as("base_addr"),
+      concat(lit("a"), col("l_partkey").cast("string")).as("alt_addr"))
+      .withColumn("addresses",
+        when(col("address_type") === 6, array(col("base_addr"), col("alt_addr")))
+          .when(col("address_type").isin(NullAddressTypes.map(_.toLong): _*),
+            lit(null).cast("array<string>"))
+          .otherwise(array(col("base_addr"))))
+
+  /** block table (schema.cql:6-13, P1+A1): per-block agg over transactions.
+    * Shuffles once on block_id; at 100 TB this is the narrow pre-aggregated
+    * dimension (#blocks << #txs), so downstream joins broadcast it. */
+  def blocks(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir)
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("no_transactions"), min(col("ts")).as("ts"))
+      .withColumn("block_id_group", floor(col("block_id") / BlockBucketSize))
+      .withColumn("block_hash",
+        sha2(concat(lit("b"), col("block_id").cast("string")), 256))
+
+  /** exchange_rates (schema.cql:58-61): one row per distinct order date with
+    * deterministic USD/EUR rates derived from md5 nibbles of the date string.
+    * Rates are exact multiples of 1/16 so fiat arithmetic stays bit-exact
+    * across engines (usdx16/eurx16 are the integer numerators). */
+  def rates(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("rate_date")).distinct()
+      .withColumn("d", date_format(col("rate_date"), "yyyy-MM-dd"))
+      .withColumn("usdx16",
+        expr("CAST(7 + instr('0123456789abcdef', substr(md5(d), 1, 1)) AS BIGINT)"))
+      .withColumn("eurx16",
+        expr("CAST(7 + instr('0123456789abcdef', substr(md5(d), 2, 1)) AS BIGINT)"))
+      .withColumn("usd", col("usdx16") / 16.0)
+      .withColumn("eur", col("eurx16") / 16.0)
+      .withColumn("block_id",
+        datediff(col("rate_date"), to_date(lit(Genesis))).cast("long"))
+
+  /** Per-tx io rollup (A2/A3): input/output counts and totals.
+    * Map-side combinable hash aggregation on tx_id. */
+  def txIoStats(spark: SparkSession, dir: String): DataFrame =
+    io(spark, dir).groupBy(col("tx_id")).agg(
+      sum(when(col("is_input"), lit(1)).otherwise(lit(0))).as("no_inputs"),
+      sum(when(!col("is_input"), lit(1)).otherwise(lit(0))).as("no_outputs"),
+      coalesce(sum(when(col("is_input"), col("value"))), lit(0L)).as("total_input"),
+      coalesce(sum(when(!col("is_input"), col("value"))), lit(0L)).as("total_output"))
+
+  /** coinbase flag: the first tx (min tx_id) of each block (F10 analog). */
+  def withCoinbase(tx: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("block_id"))
+    tx.withColumn("coinbase", col("tx_id") === min(col("tx_id")).over(w))
+  }
+}

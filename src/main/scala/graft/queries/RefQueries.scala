@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.chain.{Chain, ChainSql}
+import graft.chain.ChainSql.withCtes
+
+/** Reference-parity queries: the seven-table contract plus every query
+  * pattern the reference executes (SURVEY.md §2 ids cited per query).
+  * Each entry returns a DataFrame whose columns exactly match the oracle
+  * SQL in [[oracles]] (names AND types — the driver sorts columns by name
+  * and hash-compares values).
+  */
+object RefQueries {
+  import Chain._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Simulated-duplicate salt for bip30_dedup (W2/J6). */
+  private val DupOffset = 10000000L
+
+  // ---- shared sub-plans -------------------------------------------------
+
+  /** Per-tx max count of equal-valued outputs — the coinjoin signal (U1,
+    * blocksci_export.py:365). Two-level hash agg, both map-side combinable. */
+  private def maxEqualOutputs(spark: SparkSession, dir: String): DataFrame =
+    io(spark, dir).filter(!col("is_input"))
+      .groupBy(col("tx_id"), col("value")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tx_id")).agg(max(col("c")).as("max_eq"))
+
+  /** transaction_flat core: tx scalars + io rollups + coinbase + coinjoin. */
+  private def txFlat(spark: SparkSession, dir: String): DataFrame = {
+    val t  = withCoinbase(transactions(spark, dir))
+    val s  = txIoStats(spark, dir)
+    val cj = maxEqualOutputs(spark, dir)
+    t.join(s, Seq("tx_id"), "left").join(cj, Seq("tx_id"), "left")
+      .select(
+        col("tx_id_group"), col("tx_id"), col("tx_hash"), col("block_id"),
+        col("ts"), col("coinbase"),
+        coalesce(col("no_inputs"), lit(0L)).as("no_inputs"),
+        coalesce(col("no_outputs"), lit(0L)).as("no_outputs"),
+        coalesce(col("total_input"), lit(0L)).as("total_input"),
+        coalesce(col("total_output"), lit(0L)).as("total_output"),
+        (coalesce(col("no_inputs"), lit(0L)) >= 2 &&
+          coalesce(col("max_eq"), lit(0L)) >= 2).as("coinjoin"))
+  }
+
+  private val txFlatSqlCtes: Seq[String] = Seq(
+    ChainSql.tx, ChainSql.io, ChainSql.ioStats,
+    """cj AS (
+      |  SELECT tx_id, CAST(max(c) AS BIGINT) AS max_eq
+      |  FROM (SELECT tx_id, value, count(*) AS c
+      |        FROM io WHERE NOT is_input GROUP BY tx_id, value)
+      |  GROUP BY tx_id)""".stripMargin,
+    """cb AS (
+      |  SELECT tx_id, tx_id = min(tx_id) OVER (PARTITION BY block_id) AS coinbase
+      |  FROM tx)""".stripMargin)
+
+  private val txFlatSqlBody: String =
+    """SELECT t.tx_id_group, t.tx_id, t.tx_hash, t.block_id, t.ts, cb.coinbase,
+      |  CAST(coalesce(s.no_inputs, 0) AS BIGINT) AS no_inputs,
+      |  CAST(coalesce(s.no_outputs, 0) AS BIGINT) AS no_outputs,
+      |  CAST(coalesce(s.total_input, 0) AS BIGINT) AS total_input,
+      |  CAST(coalesce(s.total_output, 0) AS BIGINT) AS total_output,
+      |  (coalesce(s.no_inputs, 0) >= 2 AND coalesce(cj.max_eq, 0) >= 2) AS coinjoin
+      |FROM tx t
+      |JOIN cb USING (tx_id)
+      |LEFT JOIN iostats s USING (tx_id)
+      |LEFT JOIN cj USING (tx_id)""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // block table (schema.cql:6-13; P1+A1+F3)
+    "block_table" -> ((s, dir) =>
+      blocks(s, dir).select("block_id_group", "block_id", "block_hash",
+        "ts", "no_transactions")),
+
+    // transaction table, scalar columns (P2+P6+A2+A3+F10+U1 coinjoin)
+    "transaction_flat" -> ((s, dir) => txFlat(s, dir)),
+
+    // transaction_by_tx_prefix (schema.cql:36-41; P5+F2)
+    "tx_by_prefix" -> ((s, dir) =>
+      transactions(s, dir).select(
+        substring(col("tx_hash"), 1, PrefixLen).as("tx_prefix"),
+        col("tx_hash"), col("tx_id"))),
+
+    // block_transactions (schema.cql:51-56; A4+J2): ordered per-block tx list.
+    // The tx list is emitted as a csv string so the oracle hash is stable
+    // across engines' array renderings; ordering guaranteed by sort_array.
+    "block_transactions" -> ((s, dir) =>
+      transactions(s, dir).groupBy(col("block_id"))
+        .agg(
+          count(lit(1)).as("no_txs"),
+          array_join(
+            transform(sort_array(collect_list(col("tx_id"))),
+              x => x.cast("string")), ",").as("txs"))
+        .withColumn("block_id_group", floor(col("block_id") / BlockBucketSize))
+        .select("block_id_group", "block_id", "no_txs", "txs")),
+
+    // summary_statistics (schema.cql:63-68; A6)
+    "summary_statistics" -> ((s, dir) =>
+      transactions(s, dir).agg(
+        (max(col("block_id")) + 1L).as("no_blocks"),
+        (max(col("tx_id")) + 1L).as("no_txs"),
+        max(col("ts")).as("ts"))),
+
+    // configuration row (schema.cql:70-75; S8)
+    "configuration" -> ((s, dir) =>
+      s.range(1).select(
+        lit("graft").as("id"),
+        lit(BlockBucketSize).as("block_bucket_size"),
+        lit(PrefixLen.toLong).as("tx_prefix_length"),
+        lit(TxBucketSize).as("tx_bucket_size"))),
+
+    // newest block: per-partition top-1 then global top-1 (W1,
+    // blocksci_export.py:51-69)
+    "newest_block" -> ((s, dir) => {
+      val w = Window.partitionBy(col("block_id_group"))
+        .orderBy(col("block_id").desc)
+      blocks(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .orderBy(col("block_id").desc).limit(1)
+        .select("block_id_group", "block_id", "ts")
+    }),
+
+    // BIP30 last-write-wins dedup (W2/J6, blocksci_export.py:466-473):
+    // inject duplicated hashes, keep the newest tx_id per hash.
+    "bip30_dedup" -> ((s, dir) => {
+      val t = transactions(s, dir).select("tx_hash", "tx_id")
+      val dups = t.filter(col("tx_id") % 97 === 0)
+        .select(col("tx_hash"), (col("tx_id") + DupOffset).as("tx_id"))
+      val all = t.unionByName(dups)
+      val w = Window.partitionBy(col("tx_hash")).orderBy(col("tx_id").desc)
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("tx_hash"), col("tx_id"),
+          (col("tx_id") >= DupOffset).as("was_duplicated"))
+    }),
+
+    // hash→tx point lookup via prefix table (J5, schema.cql:36-41).
+    // Prefix filter first = partition pruning on the 16^5 prefix buckets.
+    "prefix_lookup" -> ((s, dir) => {
+      val target = sha2(lit("1"), 256)
+      val byPrefix = transactions(s, dir)
+        .filter(substring(col("tx_hash"), 1, PrefixLen) ===
+          substring(target, 1, PrefixLen))
+        .filter(col("tx_hash") === target)
+      byPrefix.select("tx_id", "block_id", "ts")
+    }),
+
+    // exchange-rate equi-join per day (J4+F11): fiat volume per rate date.
+    // rates is a tiny dim → broadcast; fiat math stays integer (x16) until
+    // the final exact /16.0 so both engines agree bit-for-bit.
+    "rate_join" -> ((s, dir) => {
+      val t = transactions(s, dir)
+        .join(txIoStats(s, dir), Seq("tx_id"), "left")
+        .withColumn("total_output", coalesce(col("total_output"), lit(0L)))
+      t.join(broadcast(rates(s, dir)), Seq("block_id"))
+        .groupBy(col("d"))
+        .agg(
+          count(lit(1)).as("n_txs"),
+          sum(col("total_output")).as("volume"),
+          (sum(col("total_output") * col("usdx16")).cast("double") / 16.0)
+            .as("volume_usd"))
+        .withColumnRenamed("d", "rate_date")
+    }),
+
+    // as-of join (J4 variant): rates published only ~1/3 of days; each block
+    // takes the latest rate at-or-before it. Implemented shuffle-light as a
+    // union + ordered window (single ordering pass over the small block dim;
+    // at 100 TB the dim stays small — range-partition the window if not).
+    "rate_asof" -> ((s, dir) => {
+      val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
+        .select(col("block_id"), col("usdx16"), lit(0).as("ord"))
+      val blk = blocks(s, dir)
+        .select(col("block_id"), lit(null).cast("long").as("usdx16"),
+          lit(1).as("ord"))
+      val w = Window.orderBy(col("block_id"), col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pub.unionByName(blk)
+        .withColumn("asof_usdx16", last(col("usdx16"), ignoreNulls = true).over(w))
+        .filter(col("ord") === 1)
+        .select(col("block_id"), col("asof_usdx16"),
+          (col("asof_usdx16").cast("double") / 16.0).as("asof_usd"))
+    }),
+
+    // multi-chain union (§2.7): odd keys = btc, even = ltc, unionByName
+    // with a currency lit — the reference's one-keyspace-per-coin combine.
+    "multichain_union" -> ((s, dir) => {
+      val t = transactions(s, dir)
+      val btc = t.filter(col("tx_id") % 2 === 1).withColumn("currency", lit("btc"))
+      val ltc = t.filter(col("tx_id") % 2 === 0).withColumn("currency", lit("ltc"))
+      btc.unionByName(ltc).groupBy(col("currency"))
+        .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+    }),
+
+    // address-level rollup via explode of the address arrays (U5/J3):
+    // multisig contributes to both constituents, null-typed ios drop out.
+    "io_address" -> ((s, dir) =>
+      io(s, dir).filter(!col("is_input"))
+        .select(col("tx_id"), col("value"),
+          explode(col("addresses")).as("address"))
+        .groupBy(col("address"))
+        .agg(count(lit(1)).as("n_utxos"), sum(col("value")).as("total_value"),
+          countDistinct(col("tx_id")).as("n_txs"))),
+
+    // block-range + previous-day watermark filter (P7+P8/ST1)
+    "block_range" -> ((s, dir) =>
+      blocks(s, dir)
+        .filter(col("block_id").between(500, 1500) && col("ts") < 852076800L)
+        .agg(count(lit(1)).as("n_blocks"), min(col("block_id")).as("first_block"),
+          max(col("block_id")).as("last_block"),
+          sum(col("no_transactions")).as("n_txs"))),
+
+    // address-type distribution (F8): code → name via a map literal, the
+    // reference's categorical encode table (blocksci_export.py:22-33).
+    "addr_type_dist" -> ((s, dir) => {
+      val nameMap = typedLit(AddressTypes.map { case (k, v) => (k.toLong, v) })
+      io(s, dir).groupBy(col("address_type"))
+        .agg(count(lit(1)).as("n_ios"), sum(col("value")).as("total_value"))
+        .withColumn("type_name", element_at(nameMap, col("address_type")))
+        .select("address_type", "type_name", "n_ios", "total_value")
+    }),
+
+    // incremental continue (ST2): sink watermark = max ingested block;
+    // resume strictly above it (blocksci_export.py:489-505).
+    "continue_watermark" -> ((s, dir) => {
+      val blk = blocks(s, dir)
+      val sinkMax = blk.filter(col("block_id") <= 1000)
+        .agg(max(col("block_id")).as("watermark"))
+      blk.crossJoin(broadcast(sinkMax))
+        .filter(col("block_id") > col("watermark"))
+        .agg(count(lit(1)).as("n_new_blocks"),
+          min(col("block_id")).as("resume_from"),
+          max(col("block_id")).as("tip"))
+    }),
+
+    // full nested transaction table (schema.cql:21-34): inputs/outputs as
+    // ordered arrays of (address, value, address_type) structs. No SQL
+    // oracle (nested) → driver records the weaker rows-only check; the
+    // scalar columns are covered by transaction_flat.
+    "transaction_table" -> ((s, dir) => {
+      val ioStructs = io(s, dir).select(
+        col("tx_id"), col("is_input"),
+        struct(col("idx"), col("addresses").as("address"), col("value"),
+          col("address_type")).as("io"))
+      def side(isInput: Boolean, name: String): DataFrame =
+        ioStructs.filter(col("is_input") === isInput)
+          .groupBy(col("tx_id"))
+          .agg(transform(sort_array(collect_list(col("io"))),
+            x => struct(x.getField("address").as("address"),
+              x.getField("value").as("value"),
+              x.getField("address_type").as("address_type"))).as(name))
+      txFlat(s, dir)
+        .join(side(isInput = true, "inputs"), Seq("tx_id"), "left")
+        .join(side(isInput = false, "outputs"), Seq("tx_id"), "left")
+        .select("tx_id_group", "tx_id", "tx_hash", "block_id", "ts",
+          "coinbase", "total_input", "total_output", "inputs", "outputs",
+          "coinjoin")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "block_table" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      "SELECT block_id_group, block_id, block_hash, ts, no_transactions FROM blk"),
+
+    "transaction_flat" -> withCtes(txFlatSqlCtes: _*)(txFlatSqlBody),
+
+    "tx_by_prefix" -> withCtes(ChainSql.tx)(
+      s"SELECT substr(tx_hash, 1, $PrefixLen) AS tx_prefix, tx_hash, tx_id FROM tx"),
+
+    "block_transactions" -> withCtes(ChainSql.tx)(
+      """SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group, block_id,
+        |  CAST(count(*) AS BIGINT) AS no_txs,
+        |  string_agg(CAST(tx_id AS VARCHAR), ',' ORDER BY tx_id) AS txs
+        |FROM tx GROUP BY block_id""".stripMargin),
+
+    "summary_statistics" -> withCtes(ChainSql.tx)(
+      """SELECT CAST(max(block_id) + 1 AS BIGINT) AS no_blocks,
+        |  CAST(max(tx_id) + 1 AS BIGINT) AS no_txs, max(ts) AS ts FROM tx""".stripMargin),
+
+    "configuration" ->
+      """SELECT 'graft' AS id, CAST(100 AS BIGINT) AS block_bucket_size,
+        |  CAST(5 AS BIGINT) AS tx_prefix_length,
+        |  CAST(25000 AS BIGINT) AS tx_bucket_size""".stripMargin,
+
+    "newest_block" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      """SELECT block_id_group, block_id, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY block_id_group
+        |                               ORDER BY block_id DESC) AS rn
+        |  FROM blk) WHERE rn = 1
+        |ORDER BY block_id DESC LIMIT 1""".stripMargin),
+
+    "bip30_dedup" -> withCtes(ChainSql.tx)(
+      """SELECT tx_hash, tx_id, tx_id >= 10000000 AS was_duplicated FROM (
+        |  SELECT tx_hash, tx_id,
+        |    row_number() OVER (PARTITION BY tx_hash ORDER BY tx_id DESC) AS rn
+        |  FROM (SELECT tx_hash, tx_id FROM tx
+        |        UNION ALL
+        |        SELECT tx_hash, tx_id + 10000000 FROM tx WHERE tx_id % 97 = 0))
+        |WHERE rn = 1""".stripMargin),
+
+    "prefix_lookup" -> withCtes(ChainSql.tx)(
+      "SELECT tx_id, block_id, ts FROM tx WHERE tx_hash = sha256('1')"),
+
+    "rate_join" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioStats,
+      ChainSql.rates)(
+      """SELECT r.d AS rate_date, CAST(count(*) AS BIGINT) AS n_txs,
+        |  CAST(sum(coalesce(s.total_output, 0)) AS BIGINT) AS volume,
+        |  CAST(sum(coalesce(s.total_output, 0) * r.usdx16) AS DOUBLE) / 16.0 AS volume_usd
+        |FROM tx t
+        |LEFT JOIN iostats s USING (tx_id)
+        |JOIN rates r USING (block_id)
+        |GROUP BY r.d""".stripMargin),
+
+    "rate_asof" -> withCtes(ChainSql.tx, ChainSql.blk, ChainSql.rates)(
+      """SELECT b.block_id, p.usdx16 AS asof_usdx16,
+        |  CAST(p.usdx16 AS DOUBLE) / 16.0 AS asof_usd
+        |FROM blk b
+        |ASOF LEFT JOIN (SELECT block_id, usdx16 FROM rates WHERE usdx16 % 3 = 0) p
+        |  ON p.block_id <= b.block_id""".stripMargin),
+
+    "multichain_union" -> withCtes(ChainSql.tx)(
+      """SELECT currency, CAST(count(*) AS BIGINT) AS n_txs,
+        |  CAST(max(tx_id) AS BIGINT) AS max_tx_id
+        |FROM (SELECT 'btc' AS currency, tx_id FROM tx WHERE tx_id % 2 = 1
+        |      UNION ALL
+        |      SELECT 'ltc' AS currency, tx_id FROM tx WHERE tx_id % 2 = 0)
+        |GROUP BY currency""".stripMargin),
+
+    "io_address" -> withCtes(ChainSql.io)(
+      """SELECT address, CAST(count(*) AS BIGINT) AS n_utxos,
+        |  CAST(sum(value) AS BIGINT) AS total_value,
+        |  CAST(count(DISTINCT tx_id) AS BIGINT) AS n_txs
+        |FROM (SELECT tx_id, value,
+        |        unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                    WHEN address_type IN (1, 7, 10) THEN NULL
+        |                    ELSE [base_addr] END) AS address
+        |      FROM io WHERE NOT is_input)
+        |GROUP BY address""".stripMargin),
+
+    "block_range" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      """SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |  min(block_id) AS first_block, max(block_id) AS last_block,
+        |  CAST(sum(no_transactions) AS BIGINT) AS n_txs
+        |FROM blk WHERE block_id BETWEEN 500 AND 1500 AND ts < 852076800""".stripMargin),
+
+    "addr_type_dist" -> withCtes(ChainSql.io)(
+      """SELECT address_type,
+        |  CASE address_type WHEN 1 THEN 'nonstandard' WHEN 2 THEN 'pubkey'
+        |    WHEN 3 THEN 'pubkeyhash' WHEN 4 THEN 'multisig_pubkey'
+        |    WHEN 5 THEN 'scripthash' WHEN 6 THEN 'multisig'
+        |    WHEN 7 THEN 'nulldata' WHEN 8 THEN 'witness_pubkeyhash'
+        |    WHEN 9 THEN 'witness_scripthash' WHEN 10 THEN 'witness_unknown'
+        |  END AS type_name,
+        |  CAST(count(*) AS BIGINT) AS n_ios,
+        |  CAST(sum(value) AS BIGINT) AS total_value
+        |FROM io GROUP BY address_type""".stripMargin),
+
+    "continue_watermark" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      """SELECT CAST(count(*) AS BIGINT) AS n_new_blocks,
+        |  min(block_id) AS resume_from, max(block_id) AS tip
+        |FROM blk
+        |WHERE block_id > (SELECT max(block_id) FROM blk WHERE block_id <= 1000)""".stripMargin))
+}
