@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RefQueries
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-domain modules; every entry with an
@@ -10,7 +10,13 @@ import graft.queries.RefQueries
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (RefQueries.queries, RefQueries.oracles))
+    (RefQueries.queries, RefQueries.oracles),
+    (RelQueries.queries, RelQueries.oracles),
+    (EventQueries.queries, EventQueries.oracles),
+    (DedupQueries.queries, DedupQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles),
+    (SimilarityQueries.queries, SimilarityQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full nested transaction table (the reference's main artifact). */

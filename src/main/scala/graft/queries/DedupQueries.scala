@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextCorpus
+import graft.ops.TextCorpus._
+import graft.chain.ChainSql.withCtes
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), candidate verification (n-gram Jaccard), and SimHash.
+  *
+  * Scale design: every stage is a hash-aggregate or equi-join on a derived
+  * key — no global sorts, no driver-side loops. The LSH band join is the
+  * 100 TB path: candidate generation cost is bounded by bucket sizes, not
+  * |docs|², and skewed buckets (boilerplate docs) are handled by AQE
+  * skew-join splitting.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 8 MinHash permutations approximated by min(md5(seed || shingle)),
+    * banded 4+4 for LSH. Hex-string min is order-isomorphic to a 128-bit
+    * hash min and identical across engines. */
+  private val Seeds = 0 until 8
+
+  private def sigs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(words(corpus(s, dir)))
+    val aggCols = Seeds.map(k =>
+      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"s$k"))
+    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    sigs(s, dir).select(col("doc_id"),
+      md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band0"),
+      md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))).as("band1"))
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    def joinOn(band: String): DataFrame = {
+      val l = b.select(col("doc_id").as("doc_a"), col(band).as("bk"))
+      val r = b.select(col("doc_id").as("doc_b"), col(band).as("bk"))
+      l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    joinOn("band0").union(joinOn("band1")).distinct()
+  }
+
+  private val sigSqlCtes: Seq[String] = {
+    val sigCols = Seeds.map(k => s"min(md5('$k|' || shingle)) AS s$k")
+      .mkString(",\n         ")
+    Seq(corpusSql, wordsSql, shinglesSql,
+      s"""sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM shingles GROUP BY doc_id)""".stripMargin,
+      """bands AS (
+        |  SELECT doc_id, md5(s0 || s1 || s2 || s3) AS band0,
+        |         md5(s4 || s5 || s6 || s7) AS band1
+        |  FROM sig)""".stripMargin)
+  }
+
+  private val pairsSqlCte: String =
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: content-hash groupBy, canonical = min doc_id.
+    // One shuffle on the 128-bit fingerprint; at 100 TB this is the
+    // standard first pass (hash is computed map-side, dedup is a pure
+    // hash-agg, no text ever shuffles — only the 16-byte digest).
+    "dedup_exact" -> ((s, dir) =>
+      corpus(s, dir)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))),
+
+    // MinHash signatures + LSH band keys per doc
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sg = sigs(s, dir)
+      sg.select(col("doc_id"),
+        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band0"),
+        md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))).as("band1"),
+        col("s0"), col("s7"))
+    }),
+
+    // LSH candidate pairs: equal band key in either band
+    "dedup_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
+
+    // exact word-trigram Jaccard over the LSH candidates (verify stage)
+    "dedup_jaccard_verify" -> ((s, dir) => {
+      val ds = shingles(words(corpus(s, dir))).distinct()
+      val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      val p = candidatePairs(s, dir)
+      val inter = p
+        .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("i").as("intersection"),
+          (col("ca") + col("cb") - col("i")).as("union_size"),
+          (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+            .as("jaccard"))
+    }),
+
+    // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
+    // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
+    "dedup_simhash" -> ((s, dir) =>
+      words(corpus(s, dir))
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .select(col("doc_id"), col("word"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .withColumn("v", expr(
+          """CASE WHEN CAST(floor(
+            |  (instr('0123456789abcdef',
+            |         substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+            |  / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+            |          WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
+            |THEN 1 ELSE -1 END""".stripMargin))
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("bsum"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("bsum") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)"))
+          .otherwise(lit(0L))).as("simhash"))))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> withCtes(corpusSql)(
+      """SELECT md5(text) AS fingerprint,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY md5(text)""".stripMargin),
+
+    "dedup_minhash_sig" -> withCtes(sigSqlCtes: _*)(
+      """SELECT sig.doc_id, band0, band1, s0, s7
+        |FROM sig JOIN bands ON sig.doc_id = bands.doc_id""".stripMargin),
+
+    "dedup_minhash_pairs" -> withCtes(sigSqlCtes :+ pairsSqlCte: _*)(
+      "SELECT doc_a, doc_b FROM pairs"),
+
+    "dedup_jaccard_verify" -> withCtes(
+      sigSqlCtes ++ Seq(pairsSqlCte,
+        "ds AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
+        "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+          |  FROM pairs p
+          |  JOIN ds x ON x.doc_id = p.doc_a
+          |  JOIN ds y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+          |  GROUP BY p.doc_a, p.doc_b)""".stripMargin): _*)(
+      """SELECT i.doc_a, i.doc_b, i.i AS intersection,
+        |  ca.c + cb.c - i.i AS union_size,
+        |  CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+        |FROM inter i
+        |JOIN cnt ca ON ca.doc_id = i.doc_a
+        |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
+
+    "dedup_simhash" -> withCtes(corpusSql, wordsSql)(
+      """SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(b AS INT) ELSE 0 END)
+        |       AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id, b, sum(v) AS s FROM (
+        |    SELECT doc_id, b,
+        |      CASE WHEN CAST(floor(
+        |        (instr('0123456789abcdef',
+        |               substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+        |        / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END AS v
+        |    FROM (SELECT doc_id, unnest(w) AS word FROM words),
+        |         (SELECT unnest(range(0, 16)) AS b))
+        |  GROUP BY doc_id, b)
+        |GROUP BY doc_id""".stripMargin))
+}

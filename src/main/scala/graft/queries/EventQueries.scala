@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.chain.Chain.table
+
+/** Event-stream analytics over the `events` fixture: JSON extraction,
+  * tumbling time-window aggregation, and gap-based sessionization — the
+  * batch faces of the streaming semantics in SURVEY.md §2.9.
+  *
+  * Time policy: everything is reduced to epoch-second BIGINTs before any
+  * comparison or arithmetic so both engines agree regardless of their
+  * internal timestamp precision (parquet ns → Spark µs, DuckDB µs).
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a pause > 30 min starts a new session. */
+  private val GapSeconds = 1800L
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+    * to its µs TimestampType — read it as a long (nanos) and derive epoch
+    * seconds by exact integer division (a double division would lose
+    * precision above 2^53 ns). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events").select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value"),
+      col("props"),
+      expr("ts div 1000000000").as("ets"))
+      .withColumn("tsc", timestamp_seconds(col("ets")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // JSON path extraction (engine JSON surface; props = {"k": N})
+    "events_json" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // tumbling 1-hour windows per event_type (Structured-Streaming window
+    // semantics run in batch; window.start == date_trunc('hour') for
+    // aligned tumbling windows).
+    "events_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double")
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_ts"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    // gap-based sessionization (lag → new-session flag → running sum):
+    // the classic two-window pattern; partitioned by user so it scales
+    // with user cardinality, no global ordering anywhere.
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ets"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev", lag(col("ets"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ets") - col("prev") > GapSeconds,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_no", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ets")).as("session_start"),
+          (max(col("ets")) - min(col("ets"))).as("duration"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ets,
+        |    CASE WHEN lag(ets) OVER w IS NULL
+        |              OR ets - lag(ets) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ets,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ets, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ets) AS session_start, max(ets) - min(ets) AS duration
+        |FROM s2 GROUP BY user_id, session_no""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chain.Chain.table
+import graft.chain.ChainSql.withCtes
+
+/** Multimodal-column plumbing: media payloads as opaque binary columns
+  * with typed metadata extracted by a partition-wise decoder.
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * a deterministic fake derives (width, height, format) from the md5 of
+  * the payload bytes. Everything around it is the real pattern for a
+  * 100 TB media pipeline:
+  *  - payload travels as `binary`, never stringified;
+  *  - decoding runs inside `mapPartitions` on a typed Dataset — one
+  *    decoder instance per partition (the Scala analog of a batched
+  *    Pandas-UDF `mapInPandas`), so a real codec would amortize init cost
+  *    across the partition and stream row batches;
+  *  - output is a typed case class → fixed schema for downstream ops.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed metadata record produced by the (stubbed) decoder. */
+  case class MediaMeta(doc_id: Long, width: Long, height: Long, format: String)
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Deterministic fake decode: md5 nibbles → dimensions/format. A real
+    * implementation would replace only this function's body. */
+  private[queries] def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map(b => f"$b%02x").mkString
+    val n1 = HexDigits.indexOf(hex.charAt(0)) + 1 // 1..16, matches SQL instr()
+    val n2 = HexDigits.indexOf(hex.charAt(1)) + 1
+    val n3 = HexDigits.indexOf(hex.charAt(2)) // 0..15
+    val fmt = (n3 % 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    MediaMeta(docId, n1 * 64L, n2 * 64L, fmt)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // binary payload → partition-wise decode → typed metadata
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .toDF()
+    }),
+
+    // metadata rollup: the decoded schema is a normal relational input
+    "multimodal_format_stats" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width") * col("height")).as("total_pixels"),
+          max(col("width")).as("max_width"))
+    }))
+
+  private val decodedSql: String =
+    """decoded AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(instr('0123456789abcdef', substr(md5(text), 1, 1)) * 64 AS BIGINT) AS width,
+      |    CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) * 64 AS BIGINT) AS height,
+      |    CASE CAST((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS INT)
+      |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" -> withCtes(decodedSql)(
+      "SELECT doc_id, width, height, format FROM decoded"),
+    "multimodal_format_stats" -> withCtes(decodedSql)(
+      """SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
+        |  max(width) AS max_width
+        |FROM decoded GROUP BY format""".stripMargin))
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.chain.Chain.table
+
+/** General relational coverage the engine inherits from Spark (SURVEY.md
+  * §2.4 note: grouping sets / rollup / distinct-agg are free) exercised on
+  * the raw TPC-H-ish fixtures: multi-way joins, rollup, ranking windows,
+  * semi/anti joins, top-k with deterministic tie-breaks.
+  *
+  * Cross-engine float policy: any SUM over a non-integer double goes
+  * through exact DECIMAL accumulation and is cast to DOUBLE at the end —
+  * double accumulation order differs between engines, decimal sums don't.
+  */
+object RelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val price  = col("l_extendedprice").cast(DecimalType(12, 2))
+  private val disc   = col("l_discount").cast(DecimalType(3, 2))
+  private val tax    = col("l_tax").cast(DecimalType(3, 2))
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: the canonical partial-agg benchmark
+    // (map-side combine; one shuffle on the 6-value group key).
+    "q1_pricing" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double")
+            .as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3-shaped: 3-way join, filter on each side, top-10 revenue.
+    // customer is the small side → broadcast; deterministic tie-break on
+    // o_orderkey makes LIMIT stable across engines.
+    "q3_shipping" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderpriority", "revenue")
+    }),
+
+    // ranking window: top-2 orders per customer (deterministic tie-break)
+    "top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // grouping sets via ROLLUP (status × priority + subtotals + grand total)
+    "rollup_orders" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
+            .as("total_price"))),
+
+    // semi + anti join in one row: customers with vs without orders
+    "semi_anti" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord  = table(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "semi_anti" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders""".stripMargin)
+}

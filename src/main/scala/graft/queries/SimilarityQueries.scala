@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.chain.Chain.table
+import graft.chain.ChainSql.withCtes
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Numeric contract: embeddings are quantized once (floor(x·1000) per
+  * component → BIGINT) so dot products and norms are exact integer sums —
+  * identical in any accumulation order and in both engines; cosine is a
+  * single double division at the end.
+  *
+  * Scale design: brute-force is the correctness baseline (broadcast the
+  * query set, one pass over the corpus, per-query top-k via ranking
+  * window partitioned by query). The LSH variant is the 100 TB path:
+  * 8 deterministic hyperplanes → 256 buckets; candidate generation is an
+  * equi-join on the bucket key, so cost scales with bucket occupancy, not
+  * |corpus| × |queries|. An IVF refinement would replace the hyperplanes
+  * with k-means centroids — same join shape.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Every 250th vector is a query (20 queries at sf0.01). */
+  private val QueryStride = 250
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
+  private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    // pairs: (query_id, neighbor_id); data: (vec_id, q, n2)
+    val qd = data.select(col("vec_id").as("query_id"), col("q").as("qv"),
+      col("n2").as("qn"))
+    val nd = data.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+      col("n2").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // brute-force cosine top-5: query set × corpus, broadcast queries
+    "embed_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id")))
+      val pairs = e.select(col("vec_id").as("neighbor_id")).crossJoin(qs)
+        .filter(col("neighbor_id") =!= col("query_id"))
+      cosTopK(e, pairs, 5)
+    }),
+
+    // LSH-bucketed ANN: sign of 8 deterministic hyperplane projections →
+    // bucket key; candidates = same bucket; exact cosine re-rank, top-3.
+    "embed_lsh_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // hyperplane components h(j,i) ∈ odd integers [-15,15], from md5
+      val hyper = s.range(0, 8).select(col("id").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").as("i")))
+        .withColumn("h", expr(
+          """2 * (instr('0123456789abcdef',
+            |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
+            .stripMargin))
+      val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .withColumn("i", col("pos") + 1)
+      val buckets = elems.join(broadcast(hyper), Seq("i"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("v") * col("h")).as("sdot"))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("sdot") > 0, expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
+          .otherwise(lit(0L))).as("bucket"))
+      val qb = buckets.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"))
+      val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+        .join(qb, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      cosTopK(e, cand, 3)
+    }))
+
+  private val embSql: String =
+    """emb AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  private val eeSql: String =
+    """ee AS (
+      |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
+      |  FROM emb)""".stripMargin
+
+  private val normSql: String =
+    "norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM ee GROUP BY vec_id)"
+
+  val oracles: Map[String, String] = Map(
+    "embed_cosine_topk" -> withCtes(embSql, eeSql, normSql,
+      s"""dots AS (
+         |  SELECT qe.vec_id AS query_id, de.vec_id AS neighbor_id,
+         |         CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+         |  FROM (SELECT * FROM ee WHERE vec_id % $QueryStride = 0) qe
+         |  JOIN ee de ON qe.i = de.i AND de.vec_id != qe.vec_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      """cosv AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM dots
+        |  JOIN norm nq ON nq.vec_id = dots.query_id
+        |  JOIN norm nd ON nd.vec_id = dots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cosv)
+        |WHERE rank <= 5""".stripMargin),
+
+    "embed_lsh_ann" -> withCtes(embSql, eeSql, normSql,
+      """hyper AS (
+        |  SELECT j, i,
+        |    2 * (instr('0123456789abcdef',
+        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS j),
+        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
+      """buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+        |        FROM ee e JOIN hyper h ON e.i = h.i
+        |        GROUP BY e.vec_id, h.j)
+        |  GROUP BY vec_id)""".stripMargin,
+      s"""cand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM buckets qb
+         |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 3""".stripMargin))
+}

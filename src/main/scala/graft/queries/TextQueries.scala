@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chain.Chain.table
+import graft.chain.ChainSql.withCtes
+import graft.ops.TextCorpus.docWordsSql
+
+/** Text-analysis operators for the training-data pipeline: language ID
+  * (stopword-hit heuristic), quality scoring (length / punctuation /
+  * stopword ratios), token counting (whitespace + chars/4 BPE-ish bound),
+  * and positional polynomial fingerprinting (rolling-hash analog).
+  *
+  * All per-doc computations are narrow (no shuffle); only the per-source
+  * rollup aggregates. Ratios are single divisions of exact integers so
+  * both engines produce bit-identical doubles.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stops = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "und", "die", "das", "nicht"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "que", "por", "una"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hitsExpr(lang: String): String =
+    s"CAST(size(filter(w, x -> x IN ${inList(Stops(lang))})) AS BIGINT)"
+
+  private def hitsSql(lang: String): String =
+    s"CAST(len(list_filter(w, x -> x IN ${inList(Stops(lang))})) AS BIGINT)"
+
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"),
+      col("source"), split(col("text"), " ").as("w"))
+
+  /** Deterministic argmax with fixed precedence en>de>fr>es, zh fallback
+    * when no stopwords hit — identical CASE in both engines (no reliance
+    * on engine-specific arg_max tie rules). */
+  private val predLangCase: String =
+    """CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'zh'
+      |     WHEN en_hits >= de_hits AND en_hits >= fr_hits
+      |          AND en_hits >= es_hits THEN 'en'
+      |     WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+      |     WHEN fr_hits >= es_hits THEN 'fr'
+      |     ELSE 'es' END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // language ID: stopword-hit scores + deterministic argmax
+    "text_langid" -> ((s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr(hitsExpr("en")).as("en_hits"), expr(hitsExpr("de")).as("de_hits"),
+          expr(hitsExpr("fr")).as("fr_hits"), expr(hitsExpr("es")).as("es_hits"))
+        .withColumn("pred_lang", expr(predLangCase))
+        .withColumn("match", col("pred_lang") === col("lang"))),
+
+    // quality scoring: exact-integer ratios
+    "text_quality" -> ((s, dir) =>
+      docWords(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(col("w")).cast("long").as("n_words"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("w"))).as("avg_word_len"),
+        (expr(hitsExpr("en")).cast("double") / size(col("w")))
+          .as("stopword_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
+          .cast("long")).as("n_periods"))),
+
+    // token counting per source: whitespace tokens + chars/4 BPE-ish bound
+    "token_count" -> ((s, dir) =>
+      docWords(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("w"))).cast("long").as("total_tokens"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          sum(ceil(length(col("text")) / 4.0)).cast("long")
+            .as("approx_bpe_tokens"),
+          (sum(size(col("w"))).cast("double") / count(lit(1)))
+            .as("avg_tokens_per_doc"))),
+
+    // positional polynomial fingerprint over words (rolling-hash analog):
+    // fp = Σ value16(word_i) · 31^(i mod 4) mod 1e9+7
+    "doc_fingerprint" -> ((s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+        .withColumn("i", col("pos") + 1)
+        .withColumn("term", expr(
+          """CAST(((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+            |  + instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1)
+            |  * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31
+            |          WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("term")) % 1000000007L).as("fingerprint"))))
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> withCtes(docWordsSql)(
+      s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+         |  $predLangCase AS pred_lang,
+         |  $predLangCase = lang AS match
+         |FROM (SELECT doc_id, lang,
+         |        ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+         |        ${hitsSql("fr")} AS fr_hits, ${hitsSql("es")} AS es_hits
+         |      FROM words)""".stripMargin),
+
+    "text_quality" -> withCtes(docWordsSql)(
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+         |  CAST(${hitsSql("en")} AS DOUBLE) / len(w) AS stopword_ratio,
+         |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods
+         |FROM words""".stripMargin),
+
+    "token_count" -> withCtes(docWordsSql)(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |    AS approx_bpe_tokens,
+        |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
+        |FROM words GROUP BY source""".stripMargin),
+
+    "doc_fingerprint" -> withCtes(docWordsSql)(
+      """SELECT doc_id,
+        |  CAST(sum(CAST(((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1)
+        |    * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31
+        |            WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT))
+        |    % 1000000007 AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id, unnest(w) AS word,
+        |        generate_subscripts(w, 1) AS i
+        |      FROM words)
+        |GROUP BY doc_id""".stripMargin))
+}
