@@ -16,7 +16,8 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (SimilarityQueries.queries, SimilarityQueries.oracles),
-    (MultimodalQueries.queries, MultimodalQueries.oracles))
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (StreamQueries.queries, StreamQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full nested transaction table (the reference's main artifact). */

@@ -41,17 +41,23 @@ object Chain {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** transaction scalars: one tx per order (FIXTURES.md §2).
-    * tx_id = o_orderkey; tx_hash = sha256(tx_id) hex; block_id = days since
-    * Genesis; ts = epoch seconds. All bigint/string for oracle parity. */
-  def transactions(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "orders").select(
+  /** tx projection over an orders-shaped frame — shared by the batch
+    * reader and the Structured-Streaming incremental ingest (same Catalyst
+    * expressions, so batch and stream provably agree). */
+  def txProjection(orders: DataFrame): DataFrame =
+    orders.select(
       col("o_orderkey").cast("long").as("tx_id"),
       sha2(col("o_orderkey").cast("string"), 256).as("tx_hash"),
       datediff(to_date(col("o_orderdate")), to_date(lit(Genesis)))
         .cast("long").as("block_id"),
       unix_timestamp(col("o_orderdate")).as("ts"))
       .withColumn("tx_id_group", floor(col("tx_id") / TxBucketSize))
+
+  /** transaction scalars: one tx per order (FIXTURES.md §2).
+    * tx_id = o_orderkey; tx_hash = sha256(tx_id) hex; block_id = days since
+    * Genesis; ts = epoch seconds. All bigint/string for oracle parity. */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    txProjection(table(spark, dir, "orders"))
 
   /** Normalized io rows: one per lineitem. Odd line numbers are inputs, even
     * outputs; value = cents(l_extendedprice); address_type cycles all 10

@@ -1,0 +1,80 @@
+package graft.chain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sink side of the reference contract: partitioned, ordered,
+  * idempotently-overwritable table storage (S5/ST3, schema.cql PK design).
+  *
+  * Cassandra's `(bucket, id)` primary keys become Hive-style partition
+  * directories on the bucket column + `sortWithinPartitions` on the
+  * clustering column — a point lookup prunes to one bucket directory and
+  * one parquet row group (min/max stats on the sorted id column).
+  *
+  * Idempotence (the reference's INSERT-by-PK last-write-wins, ST3) is
+  * dynamic partition overwrite: re-ingesting a block range rewrites only
+  * the touched buckets, so replays converge to the same state.
+  *
+  * 100 TB partition math: tx buckets are 25k txs ≈ a few MB of scalars —
+  * at full history (~1e9 txs) that is ~40k directories, fine for a real
+  * metastore; the nested-io transaction table at ~1 KB/tx makes a bucket
+  * ~25 MB ≈ one comfortable parquet row group per bucket.
+  */
+object ChainStore {
+
+  private def dynamicOverwrite(s: SparkSession): Unit =
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** transaction table: partition dirs by tx_id_group, rows ordered by
+    * tx_id inside each bucket. */
+  def writeTransactions(tx: DataFrame, out: String): Unit = {
+    dynamicOverwrite(tx.sparkSession)
+    tx.repartition(col("tx_id_group"))
+      .sortWithinPartitions(col("tx_id"))
+      .write.mode("overwrite")
+      .partitionBy("tx_id_group")
+      .parquet(s"$out/transaction")
+  }
+
+  /** block table: clustering ORDER BY (block_id DESC) of schema.cql:13 →
+    * descending sort inside each bucket. */
+  def writeBlocks(blocks: DataFrame, out: String): Unit = {
+    dynamicOverwrite(blocks.sparkSession)
+    blocks.repartition(col("block_id_group"))
+      .sortWithinPartitions(col("block_id").desc)
+      .write.mode("overwrite")
+      .partitionBy("block_id_group")
+      .parquet(s"$out/block")
+  }
+
+  /** hash→id index: the reference fans out to 16^5 prefix partitions
+    * (schema.cql:36-41); as directories that would be 1M tiny dirs, so we
+    * bucket dirs on the first 2 hex chars (256 dirs) and keep the full
+    * 5-char prefix as a sorted column — same pruning, saner file counts. */
+  def writePrefixIndex(tx: DataFrame, out: String): Unit = {
+    dynamicOverwrite(tx.sparkSession)
+    tx.select(
+      substring(col("tx_hash"), 1, 2).as("p2"),
+      substring(col("tx_hash"), 1, Chain.PrefixLen).as("tx_prefix"),
+      col("tx_hash"), col("tx_id"))
+      .repartition(col("p2"))
+      .sortWithinPartitions(col("tx_prefix"), col("tx_hash"))
+      .write.mode("overwrite")
+      .partitionBy("p2")
+      .parquet(s"$out/transaction_by_tx_prefix")
+  }
+
+  /** Point lookup by full hash: prunes to one p2 directory, then row-group
+    * skips on the sorted tx_prefix column. */
+  def lookupByHash(s: SparkSession, out: String, hashHex: String): DataFrame =
+    s.read.parquet(s"$out/transaction_by_tx_prefix")
+      .filter(col("p2") === hashHex.substring(0, 2) &&
+        col("tx_prefix") === hashHex.substring(0, Chain.PrefixLen) &&
+        col("tx_hash") === hashHex)
+
+  /** Point lookup by tx id: partition-pruned on the bucket column. */
+  def lookupByTxId(s: SparkSession, out: String, txId: Long): DataFrame =
+    s.read.parquet(s"$out/transaction")
+      .filter(col("tx_id_group") === txId / Chain.TxBucketSize &&
+        col("tx_id") === txId)
+}

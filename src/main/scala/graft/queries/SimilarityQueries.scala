@@ -43,8 +43,10 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
+      // custom codegen expression: fused integer dot-product loop (exact,
+      // same value as aggregate(zip_with(...)) but no per-row allocation)
       .withColumn("dot",
-        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        graft.functions.VectorFunctions.dot_product_long(col("qv"), col("nv")))
       .withColumn("cos",
         col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
       .withColumn("rank", row_number().over(w).cast("long"))
