@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.chain.Chain
+
+/** Property-based invariants (SURVEY.md §5): prefix-lookup roundtrip,
+  * range-partition conservation, dedup keeps max. Generators are driven
+  * directly (deterministic seeds) — no scalatestplus bridge needed. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val hexGen: Gen[String] =
+    Gen.listOfN(64, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+
+  test("prefix lookup finds exactly the inserted hash") {
+    samples(Gen.listOfN(20, hexGen), 10).foreach { hashes0 =>
+      val hashes = hashes0.distinct
+      val df = hashes.zipWithIndex.map { case (h, i) => (h, i.toLong) }
+        .toDF("tx_hash", "tx_id")
+      val target = hashes.head
+      val got = df
+        .filter(substring(col("tx_hash"), 1, Chain.PrefixLen) ===
+          target.substring(0, Chain.PrefixLen))
+        .filter(col("tx_hash") === target)
+        .select("tx_hash").as[String].collect()
+      assert(got.toSeq === Seq(target))
+    }
+  }
+
+  test("range chunking covers ids exactly once (chunk() analog)") {
+    samples(Gen.zip(Gen.choose(1L, 5000L), Gen.choose(1, 16)), 10)
+      .foreach { case (n, k) =>
+        // spark.range(0, n, 1, k) = the reference's chunk(): k contiguous
+        // near-equal splits (blocksci_export.py:295-315)
+        val parts = spark.range(0, n, 1, k)
+        assert(parts.count() === n)
+        assert(parts.distinct().count() === n)
+        assert(parts.agg(min("id"), max("id")).as[(Long, Long)].head() ===
+          ((0L, n - 1)))
+      }
+  }
+
+  test("last-write-wins dedup keeps max id per key") {
+    import org.apache.spark.sql.expressions.Window
+    samples(Gen.listOfN(50, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 1000L))),
+      10).foreach { pairs0 =>
+      val pairs = pairs0.distinct
+      val df = pairs.map { case (k, v) => (s"h$k", v) }.toDF("h", "v")
+      val w = Window.partitionBy(col("h")).orderBy(col("v").desc)
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("h", "v")
+        .as[(String, Long)].collect().toMap
+      val want = pairs.groupBy(p => s"h${p._1}")
+        .map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(got === want)
+    }
+  }
+}

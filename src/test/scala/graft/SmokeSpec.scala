@@ -1,0 +1,23 @@
+package graft
+
+/** Every declared query runs at sf0.001; flagship entry returns rows. */
+class SmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query executes at sf0.001") {
+    val dir = sf("sf0.001")
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, dir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle map only names declared queries") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+}

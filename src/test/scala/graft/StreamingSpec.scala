@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.Chain
+import graft.streaming.IncrementalIngest
+
+/** Streaming incremental ingest must agree with the batch path (ST2) and
+  * the reorg guard must hold (ST4). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream AvailableNow equals batch filter above watermark") {
+    val dir = sf("sf0.001")
+    val wm = 1500L
+    val streamed = IncrementalIngest.newTxsBeyond(spark, dir, wm)
+    val batch = Chain.transactions(spark, dir).filter(col("block_id") > wm)
+    assert(streamed.count() === batch.count())
+    assert(streamed.agg(sum("tx_id")).as[Long].head() ===
+      batch.agg(sum("tx_id")).as[Long].head())
+  }
+
+  test("reorg guard refuses sink ahead of source") {
+    IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 100L)
+    intercept[IllegalArgumentException] {
+      IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 101L)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** DotProductLong: equivalence with the built-in composition, null
+  * semantics, SQL registration, and codegen/interpreted agreement. */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+    (2L, Seq(-7L, 0L, 9L), Seq(2L, 2L, 2L)),
+    (3L, Seq(0L, 0L, 0L), Seq(1L, 1L, 1L))).toDF("id", "a", "b")
+
+  test("matches aggregate(zip_with(...)) exactly") {
+    val got = vecs.select(col("id"),
+      VectorFunctions.dot_product_long(col("a"), col("b")).as("dp"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("ref"))
+    assert(got.filter(col("dp") =!= col("ref")).count() === 0)
+    assert(got.orderBy("id").select("dp").as[Long].collect().toSeq ===
+      Seq(32L, 4L, 0L))
+  }
+
+  test("null array yields null") {
+    val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dot_product_long(col("a"), col("b")).as("dp"))
+    assert(out.filter(col("dp").isNull).count() === 1)
+  }
+
+  test("SQL registration works") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("vexpr_test")
+    val got = spark.sql(
+      "SELECT sum(dot_product_long(a, b)) AS s FROM vexpr_test")
+      .as[Long].head()
+    assert(got === 36L)
+  }
+
+  test("interpreted path agrees with codegen") {
+    // force interpreted eval by disabling whole-stage codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = vecs.orderBy("id")
+        .select(VectorFunctions.dot_product_long(col("a"), col("b")))
+        .as[Long].collect().toSeq
+      assert(got === Seq(32L, 4L, 0L))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+}
