@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    for (name <- args.drop(1); i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[qbench] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

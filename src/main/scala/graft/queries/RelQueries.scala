@@ -77,6 +77,22 @@ object RelQueries {
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
             .as("total_price"))),
 
+    // exact distinct aggregation (Expand-based rewrite in Spark)
+    "distinct_aggs" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // HLL sketch distinct (approx_count_distinct): the 100 TB cardinality
+    // path — no oracle (sketch estimates are engine-specific), driver
+    // records the rows-only check.
+    "approx_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
     // semi + anti join in one row: customers with vs without orders
     "semi_anti" -> ((s, dir) => {
       val cust = table(s, dir, "customer")
@@ -131,6 +147,13 @@ object RelQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "distinct_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "semi_anti" ->
       """SELECT
