@@ -75,6 +75,17 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("ets")).as("session_start"),
           (max(col("ets")) - min(col("ets"))).as("duration"))
+    }),
+
+    // the same sessionization through flatMapGroupsWithState (typed
+    // stateful API) — shares the events_sessionize oracle, so the two
+    // implementations are proven equivalent by the driver's compare.
+    "events_sessionize_stateful" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StatefulSessionize
+      val ev = events(s, dir).select("user_id", "event_id", "ets")
+        .as[StatefulSessionize.Ev]
+      StatefulSessionize.sessionize(ev, GapSeconds).toDF()
     }))
 
   val oracles: Map[String, String] = Map(
@@ -117,4 +128,8 @@ object EventQueries {
         |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ets) AS session_start, max(ets) - min(ets) AS duration
         |FROM s2 GROUP BY user_id, session_no""".stripMargin)
+
+  /** The stateful variant shares the window-based oracle verbatim. */
+  val oraclesAll: Map[String, String] =
+    oracles + ("events_sessionize_stateful" -> oracles("events_sessionize"))
 }
