@@ -38,10 +38,14 @@ object EventQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // JSON path extraction (engine JSON surface; props = {"k": N})
+    // JSON extraction with an explicit schema (from_json → typed struct;
+    // props = {"k": N})
     "events_json" -> ((s, dir) =>
       events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),

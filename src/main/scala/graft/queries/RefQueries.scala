@@ -238,6 +238,14 @@ object RefQueries {
           max(col("block_id")).as("tip"))
     }),
 
+    // exchange_rates in its schema.cql:58-61 shape: date text key +
+    // map<text,float> fiat values (F11). Map-typed output → no SQL
+    // oracle; the flattened values are oracle-checked via rate_join.
+    "exchange_rates_table" -> ((s, dir) =>
+      rates(s, dir).select(col("d").as("date"),
+        map(lit("USD"), col("usd").cast("float"),
+          lit("EUR"), col("eur").cast("float")).as("fiat_values"))),
+
     // full nested transaction table (schema.cql:21-34): inputs/outputs as
     // ordered arrays of (address, value, address_type) structs. No SQL
     // oracle (nested) → driver records the weaker rows-only check; the

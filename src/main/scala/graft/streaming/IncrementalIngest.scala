@@ -35,12 +35,21 @@ object IncrementalIngest {
     * blocks strictly above `watermark`, land them in a named in-memory
     * table, and return it as a DataFrame.
     */
-  def newTxsBeyond(s: SparkSession, dir: String, watermark: Long): DataFrame = {
+  /** ST5: confirmation-depth margin — only blocks at least this far below
+    * the source tip are considered final (conf/btc.cfg:20 `maxBlockNum: -6`). */
+  val TipMargin = 6L
+
+  def newTxsBeyond(s: SparkSession, dir: String, watermark: Long,
+      tipMargin: Long = 0L): DataFrame = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     // glob form on purpose: for a non-glob path FileStreamSource pins
     // basePath to the file itself and then rejects it (not a directory)
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
-    val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val tip = Chain.transactions(s, dir).agg(max(col("block_id")))
+      .head().getLong(0)
+    val tx = Chain.txProjection(stream)
+      .filter(col("block_id") > watermark &&
+        col("block_id") <= tip - tipMargin)
     val name = s"inc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = tx.writeStream
       .format("memory").queryName(name)
