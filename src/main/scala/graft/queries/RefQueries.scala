@@ -100,6 +100,23 @@ object RefQueries {
         .withColumn("block_id_group", floor(col("block_id") / BlockBucketSize))
         .select("block_id_group", "block_id", "no_txs", "txs")),
 
+    // block_transactions built by the typed Aggregator (U4) instead of
+    // sort_array(collect_list): one-pass ordered list with the ordering
+    // enforced inside the aggregate. Shares block_transactions' oracle —
+    // the driver compare proves the two implementations equivalent.
+    "block_transactions_agg" -> ((s, dir) => {
+      import s.implicits._
+      val tx = transactions(s, dir)
+        .select(col("block_id"), col("tx_id")).as[(Long, Long)]
+      tx.groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.SortedTxListAgg.toColumn.name("txs"))
+        .toDF("block_id", "txs")
+        .withColumn("no_txs",
+          size(split(col("txs"), ",")).cast("long"))
+        .withColumn("block_id_group", floor(col("block_id") / BlockBucketSize))
+        .select("block_id_group", "block_id", "no_txs", "txs")
+    }),
+
     // summary_statistics (schema.cql:63-68; A6)
     "summary_statistics" -> ((s, dir) =>
       transactions(s, dir).agg(
@@ -280,6 +297,12 @@ object RefQueries {
       s"SELECT substr(tx_hash, 1, $PrefixLen) AS tx_prefix, tx_hash, tx_id FROM tx"),
 
     "block_transactions" -> withCtes(ChainSql.tx)(
+      """SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group, block_id,
+        |  CAST(count(*) AS BIGINT) AS no_txs,
+        |  string_agg(CAST(tx_id AS VARCHAR), ',' ORDER BY tx_id) AS txs
+        |FROM tx GROUP BY block_id""".stripMargin),
+
+    "block_transactions_agg" -> withCtes(ChainSql.tx)(
       """SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group, block_id,
         |  CAST(count(*) AS BIGINT) AS no_txs,
         |  string_agg(CAST(tx_id AS VARCHAR), ',' ORDER BY tx_id) AS txs

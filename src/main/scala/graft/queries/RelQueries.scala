@@ -77,6 +77,14 @@ object RelQueries {
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
             .as("total_price"))),
 
+    // full grouping-set lattice via CUBE
+    "cube_orders" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
+            .as("total_price"))),
+
     // exact distinct aggregation (Expand-based rewrite in Spark)
     "distinct_aggs" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -147,6 +155,13 @@ object RelQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "distinct_aggs" ->
       """SELECT l_returnflag,
