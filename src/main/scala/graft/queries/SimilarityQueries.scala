@@ -28,11 +28,42 @@ object SimilarityQueries {
   /** Every 250th vector is a query (20 queries at sf0.01). */
   private val QueryStride = 250
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings").select(
-      col("vec_id").cast("long").as("vec_id"),
+  private def quantize(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("q"))
       .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    quantize(table(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
+
+  /** embeddings + injected exact duplicates (every 100th vector re-appears
+    * under vec_id+1000000) so near-dup detection has guaranteed positives. */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    quantize(e.unionByName(
+      e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
+  }
+
+  /** 8-hyperplane sign buckets over a quantized embedding frame. */
+  private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame = {
+    val hyper = s.range(0, 8).select(col("id").as("j"))
+      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+      .withColumn("h", expr(
+        """2 * (instr('0123456789abcdef',
+          |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
+          .stripMargin))
+    val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .withColumn("i", col("pos") + 1)
+    elems.join(broadcast(hyper), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("v") * col("h")).as("sdot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("sdot") > 0, expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
 
   private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     // pairs: (query_id, neighbor_id); data: (vec_id, q, n2)
@@ -69,21 +100,7 @@ object SimilarityQueries {
     // bucket key; candidates = same bucket; exact cosine re-rank, top-3.
     "embed_lsh_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      // hyperplane components h(j,i) ∈ odd integers [-15,15], from md5
-      val hyper = s.range(0, 8).select(col("id").as("j"))
-        .crossJoin(s.range(1, 65).select(col("id").as("i")))
-        .withColumn("h", expr(
-          """2 * (instr('0123456789abcdef',
-            |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
-            .stripMargin))
-      val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
-        .withColumn("i", col("pos") + 1)
-      val buckets = elems.join(broadcast(hyper), Seq("i"))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(sum(col("v") * col("h")).as("sdot"))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("sdot") > 0, expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
-          .otherwise(lit(0L))).as("bucket"))
+      val buckets = lshBuckets(s, e)
       val qb = buckets.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("query_id"), col("bucket"))
       val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
@@ -91,6 +108,31 @@ object SimilarityQueries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select("query_id", "neighbor_id")
       cosTopK(e, cand, 3)
+    }),
+
+    // embedding-cosine near-duplicate detection: all same-bucket pairs,
+    // exact cosine, keep pairs above threshold (the vector analog of
+    // MinHash-LSH + Jaccard verify).
+    "dedup_embedding" -> ((s, dir) => {
+      val e = embCorpus(s, dir)
+      val buckets = lshBuckets(s, e)
+      val a = buckets.select(col("vec_id").as("query_id"), col("bucket"))
+      val b = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      val cand = a.join(b, Seq("bucket"))
+        .filter(col("query_id") < col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      val qd = e.select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("n2").as("qn"))
+      val nd = e.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+        col("n2").as("nn"))
+      cand.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
+        .withColumn("dot",
+          graft.functions.VectorFunctions.dot_product_long(col("qv"), col("nv")))
+        .withColumn("cos",
+          col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
+        .filter(col("cos") >= 0.99)
+        .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"),
+          col("cos"))
     }))
 
   private val embSql: String =
@@ -163,5 +205,48 @@ object SimilarityQueries {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM ccos)
-        |WHERE rank <= 3""".stripMargin))
+        |WHERE rank <= 3""".stripMargin),
+
+    "dedup_embedding" -> withCtes(
+      """embc AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 1000000 AS BIGINT), embedding
+        |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin,
+      """emb AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embc)""".stripMargin,
+      eeSql, normSql,
+      """hyper AS (
+        |  SELECT j, i,
+        |    2 * (instr('0123456789abcdef',
+        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS j),
+        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
+      """buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+        |        FROM ee e JOIN hyper h ON e.i = h.i
+        |        GROUP BY e.vec_id, h.j)
+        |  GROUP BY vec_id)""".stripMargin,
+      """cand AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.doc_a
+        |  JOIN ee de ON de.vec_id = c.doc_b AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT doc_a, doc_b, cos FROM (
+        |  SELECT doc_a, doc_b,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.doc_a
+        |  JOIN norm nd ON nd.vec_id = cdots.doc_b)
+        |WHERE cos >= 0.99""".stripMargin))
 }
