@@ -110,6 +110,37 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // IVF-style ANN: 16 deterministic centroids (the first vectors),
+    // inverted lists by nearest centroid (exact integer L2), queries
+    // probe their 2 nearest lists, exact cosine re-rank top-3. The
+    // centroid set is where k-means would plug in; the join/shuffle
+    // shape — broadcast centroids, argmin window, candidate equi-join on
+    // list id — is the production IVF shape.
+    "embed_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("n2").as("cn2")))
+      // dist2(v, c) = |v|² + |c|² − 2·v·c (exact integers)
+      val dists = e.crossJoin(cents)
+        .withColumn("dist2", col("n2") + col("cn2") -
+          lit(2L) * graft.functions.VectorFunctions
+            .dot_product_long(col("q"), col("cq")))
+        .select(col("vec_id"), col("cent_id"), col("dist2"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cent_id"))
+      val ranked = dists.withColumn("crank", row_number().over(byVec))
+      val lists = ranked.filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+      val probes = ranked
+        .filter(col("crank") <= 2 && col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val cand = probes.join(lists, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      cosTopK(e, cand, 3)
+    }),
+
     // embedding-cosine near-duplicate detection: all same-bucket pairs,
     // exact cosine, keep pairs above threshold (the vector analog of
     // MinHash-LSH + Jaccard verify).
@@ -189,6 +220,46 @@ object SimilarityQueries {
          |  FROM buckets qb
          |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
          |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 3""".stripMargin),
+
+    "embed_ivf_ann" -> withCtes(embSql, eeSql, normSql,
+      """cdist AS (
+        |  SELECT e.vec_id, c.vec_id AS cent_id,
+        |         ne.n2 + nc.n2 - 2 * CAST(sum(e.v * c.v) AS BIGINT) AS dist2
+        |  FROM ee e
+        |  JOIN ee c ON c.vec_id < 16 AND c.i = e.i
+        |  JOIN norm ne ON ne.vec_id = e.vec_id
+        |  JOIN norm nc ON nc.vec_id = c.vec_id
+        |  GROUP BY e.vec_id, c.vec_id, ne.n2, nc.n2)""".stripMargin,
+      """ranked AS (
+        |  SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist2, cent_id) AS crank
+        |  FROM cdist)""".stripMargin,
+      "lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked WHERE crank = 1)",
+      s"""probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM ranked
+         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin,
       """cdots AS (
         |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
         |  FROM cand c
