@@ -224,6 +224,24 @@ object RefQueries {
         .agg(count(lit(1)).as("n_utxos"), sum(col("value")).as("total_value"),
           countDistinct(col("tx_id")).as("n_txs"))),
 
+    // address ⋈ entity metadata (J3 generalized): explode output
+    // addresses, join the supplier dim they encode, roll up per nation —
+    // the io→address→entity star traversal GraphSense runs downstream.
+    "address_entity_join" -> ((s, dir) => {
+      val addrs = io(s, dir).filter(!col("is_input"))
+        .select(col("value"), explode(col("addresses")).as("address"))
+      val supp = table(s, dir, "supplier").select(
+        concat(lit("a"), col("s_suppkey").cast("string")).as("address"),
+        col("s_nationkey"))
+      val nation = table(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"))
+      addrs.join(broadcast(supp), Seq("address"))
+        .join(broadcast(nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_utxos"), sum(col("value")).as("total_value"))
+    }),
+
     // block-range + previous-day watermark filter (P7+P8/ST1)
     "block_range" -> ((s, dir) =>
       blocks(s, dir)
@@ -371,6 +389,19 @@ object RefQueries {
         |                    ELSE [base_addr] END) AS address
         |      FROM io WHERE NOT is_input)
         |GROUP BY address""".stripMargin),
+
+    "address_entity_join" -> withCtes(ChainSql.io)(
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_utxos,
+        |  CAST(sum(value) AS BIGINT) AS total_value
+        |FROM (SELECT value,
+        |        unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                    WHEN address_type IN (1, 7, 10) THEN NULL
+        |                    ELSE [base_addr] END) AS address
+        |      FROM io WHERE NOT is_input) a
+        |JOIN (SELECT 'a' || CAST(s_suppkey AS VARCHAR) AS address, s_nationkey
+        |      FROM supplier) s USING (address)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
 
     "block_range" -> withCtes(ChainSql.tx, ChainSql.blk)(
       """SELECT CAST(count(*) AS BIGINT) AS n_blocks,
