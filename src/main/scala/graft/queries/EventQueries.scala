@@ -62,6 +62,17 @@ object EventQueries {
         .select(unix_timestamp(col("window.start")).as("hour_ts"),
           col("event_type"), col("n_events"), col("sum_value"))),
 
+    // sliding windows: width 2h, slide 1h — every event lands in two
+    // overlapping windows (Structured Streaming window() in batch).
+    "events_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("tsc"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double")
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
     // gap-based sessionization (lag → new-session flag → running sum):
     // the classic two-window pattern; partitioned by user so it scales
     // with user cardinality, no global ordering anywhere.
@@ -109,6 +120,19 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH h AS (
+        |  SELECT CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hstart,
+        |         event_type, value
+        |  FROM events)
+        |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT hstart AS win_start, event_type, value FROM h
+        |      UNION ALL
+        |      SELECT hstart - 3600, event_type, value FROM h)
+        |GROUP BY win_start, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

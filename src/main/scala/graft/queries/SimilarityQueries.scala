@@ -110,6 +110,37 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // brute-force top-5 again, but through the bounded TopKAgg instead of
+    // a ranking window: partial top-k prunes candidates map-side, so the
+    // shuffle carries ≤ k rows per (query, mapper) — the 100 TB shape.
+    // Shares embed_cosine_topk's oracle → equivalence proven by the
+    // driver compare.
+    "embed_cosine_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"),
+          col("n2").as("qn")))
+      val scored = e.crossJoin(qs)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot",
+          graft.functions.VectorFunctions.dot_product_long(col("q"), col("qv")))
+        .withColumn("cos",
+          col("dot").cast("double") / sqrt((col("n2") * col("qn")).cast("double")))
+        .select(col("query_id"), col("cos"), col("vec_id"))
+        .as[(Long, Double, Long)]
+      val topk = new graft.functions.TopKAgg(5)
+      scored.groupByKey(_._1)
+        .mapValues(r => graft.functions.TopKAgg.ScoredId(r._2, r._3))
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (qid, top) =>
+          top.iterator.zipWithIndex.map { case (sc, i) =>
+            (qid, sc.id, (i + 1).toLong, sc.cos)
+          }
+        }
+        .toDF("query_id", "neighbor_id", "rank", "cos")
+    }),
+
     // IVF-style ANN: 16 deterministic centroids (the first vectors),
     // inverted lists by nearest centroid (exact integer L2), queries
     // probe their 2 nearest lists, exact cosine re-rank top-3. The
@@ -182,6 +213,25 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> withCtes(embSql, eeSql, normSql,
+      s"""dots AS (
+         |  SELECT qe.vec_id AS query_id, de.vec_id AS neighbor_id,
+         |         CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+         |  FROM (SELECT * FROM ee WHERE vec_id % $QueryStride = 0) qe
+         |  JOIN ee de ON qe.i = de.i AND de.vec_id != qe.vec_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      """cosv AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM dots
+        |  JOIN norm nq ON nq.vec_id = dots.query_id
+        |  JOIN norm nd ON nd.vec_id = dots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cosv)
+        |WHERE rank <= 5""".stripMargin),
+
+    "embed_cosine_topk_agg" -> withCtes(embSql, eeSql, normSql,
       s"""dots AS (
          |  SELECT qe.vec_id AS query_id, de.vec_id AS neighbor_id,
          |         CAST(sum(qe.v * de.v) AS BIGINT) AS dot
