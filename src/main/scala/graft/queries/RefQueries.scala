@@ -286,20 +286,23 @@ object RefQueries {
     // oracle (nested) → driver records the weaker rows-only check; the
     // scalar columns are covered by transaction_flat.
     "transaction_table" -> ((s, dir) => {
-      val ioStructs = io(s, dir).select(
-        col("tx_id"), col("is_input"),
-        struct(col("idx"), col("addresses").as("address"), col("value"),
-          col("address_type")).as("io"))
-      def side(isInput: Boolean, name: String): DataFrame =
-        ioStructs.filter(col("is_input") === isInput)
-          .groupBy(col("tx_id"))
-          .agg(transform(sort_array(collect_list(col("io"))),
-            x => struct(x.getField("address").as("address"),
-              x.getField("value").as("value"),
-              x.getField("address_type").as("address_type"))).as(name))
+      // single shuffle on tx_id: collect_list skips nulls, so one
+      // conditional aggregation builds both sides (instead of two
+      // filtered groupBys + an extra join)
+      def sideAgg(input: Boolean, name: String) =
+        transform(
+          sort_array(collect_list(when(col("is_input") === input,
+            struct(col("idx"), col("addresses").as("address"), col("value"),
+              col("address_type"))))),
+          x => struct(x.getField("address").as("address"),
+            x.getField("value").as("value"),
+            x.getField("address_type").as("address_type"))).as(name)
+      val sides = io(s, dir)
+        .groupBy(col("tx_id"))
+        .agg(sideAgg(input = true, "inputs"),
+          sideAgg(input = false, "outputs"))
       txFlat(s, dir)
-        .join(side(isInput = true, "inputs"), Seq("tx_id"), "left")
-        .join(side(isInput = false, "outputs"), Seq("tx_id"), "left")
+        .join(sides, Seq("tx_id"), "left")
         .select("tx_id_group", "tx_id", "tx_hash", "block_id", "ts",
           "coinbase", "total_input", "total_output", "inputs", "outputs",
           "coinjoin")

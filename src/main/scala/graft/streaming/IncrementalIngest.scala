@@ -59,4 +59,31 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
   }
+
+  /** Watermarked tumbling-window aggregation as a stream: hourly event
+    * counts with a 1-hour watermark, run synchronously (complete mode so
+    * the still-open tail window is emitted too — batch parity). The same
+    * query with `outputMode("append")` + a real trigger is the continuous
+    * deployment. */
+  def hourlyEventCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val agg = stream
+      .withColumn("tsc",
+        timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tsc", "1 hour")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n_events"))
+    val name = s"win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+  }
 }

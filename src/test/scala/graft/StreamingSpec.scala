@@ -20,6 +20,16 @@ class StreamingSpec extends SparkSpec {
       batch.agg(sum("tx_id")).as[Long].head())
   }
 
+  test("watermarked windowed stream agg equals batch hourly counts") {
+    val dir = sf("sf0.001")
+    val streamed = IncrementalIngest.hourlyEventCounts(spark, dir)
+    val batch = SparkEntry.queries("events_window_agg")(spark, dir)
+      .select("hour_ts", "event_type", "n_events")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("reorg guard refuses sink ahead of source") {
     IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 100L)
     intercept[IllegalArgumentException] {
