@@ -54,4 +54,13 @@ class VectorExprSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     }
   }
+
+  test("GraftExtensions injection contract + SQL function") {
+    // the shared test session predates builder extensions, so exercise the
+    // injection contract directly and the SQL surface via register()
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    VectorFunctions.register(spark)
+    assert(spark.sql("SELECT dot_product_long(array(2L), array(5L))")
+      .collect().head.getLong(0) === 10L)
+  }
 }
