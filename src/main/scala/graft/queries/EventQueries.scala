@@ -73,6 +73,23 @@ object EventQueries {
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n_events"), col("sum_value"))),
 
+    // range join: events against an interval dimension on a band
+    // predicate (no equi key). The scale-correct plan is broadcasting
+    // the small interval side — Spark then runs a broadcast nested-loop
+    // with the range condition, never a shuffle of the fact table.
+    "range_join_intervals" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev
+        .select((floor(col("ets") / 3600) * 3600).as("w_start")).distinct()
+        .filter(floor(col("w_start") / 3600) % 24 === 0)
+        .withColumn("w_end", col("w_start") + 7200L)
+      ev.join(broadcast(intervals),
+        col("ets") >= col("w_start") && col("ets") < col("w_end"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // gap-based sessionization (lag → new-session flag → running sum):
     // the classic two-window pattern; partitioned by user so it scales
     // with user cardinality, no global ordering anywhere.
@@ -133,6 +150,22 @@ object EventQueries {
         |      UNION ALL
         |      SELECT hstart - 3600, event_type, value FROM h)
         |GROUP BY win_start, event_type""".stripMargin,
+
+    "range_join_intervals" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |iv AS (
+        |  SELECT w_start, w_start + 7200 AS w_end FROM (
+        |    SELECT DISTINCT CAST(floor(ets / 3600) AS BIGINT) * 3600 AS w_start
+        |    FROM e)
+        |  WHERE CAST(floor(w_start / 3600) AS BIGINT) % 24 = 0)
+        |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN iv ON e.ets >= iv.w_start AND e.ets < iv.w_end
+        |GROUP BY w_start""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (
