@@ -204,6 +204,19 @@ object RefQueries {
           (col("asof_usdx16").cast("double") / 16.0).as("asof_usd"))
     }),
 
+    // the same as-of join through the custom operator (graft.plans
+    // .AsOfJoin: LogicalPlan + Strategy + sort-merge exec). Shares
+    // rate_asof's oracle → the custom node is hash-verified against both
+    // the relational form and DuckDB's native ASOF JOIN.
+    "rate_asof_custom" -> ((s, dir) => {
+      val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
+        .select(col("block_id").as("rate_block_id"), col("usdx16"))
+      val blk = blocks(s, dir).select(col("block_id"))
+      graft.plans.AsOfJoin.asof(blk, pub, "block_id", "rate_block_id")
+        .select(col("block_id"), col("usdx16").as("asof_usdx16"),
+          (col("usdx16").cast("double") / 16.0).as("asof_usd"))
+    }),
+
     // multi-chain union (§2.7): odd keys = btc, even = ltc, unionByName
     // with a currency lit — the reference's one-keyspace-per-coin combine.
     "multichain_union" -> ((s, dir) => {
@@ -368,6 +381,13 @@ object RefQueries {
         |GROUP BY r.d""".stripMargin),
 
     "rate_asof" -> withCtes(ChainSql.tx, ChainSql.blk, ChainSql.rates)(
+      """SELECT b.block_id, p.usdx16 AS asof_usdx16,
+        |  CAST(p.usdx16 AS DOUBLE) / 16.0 AS asof_usd
+        |FROM blk b
+        |ASOF LEFT JOIN (SELECT block_id, usdx16 FROM rates WHERE usdx16 % 3 = 0) p
+        |  ON p.block_id <= b.block_id""".stripMargin),
+
+    "rate_asof_custom" -> withCtes(ChainSql.tx, ChainSql.blk, ChainSql.rates)(
       """SELECT b.block_id, p.usdx16 AS asof_usdx16,
         |  CAST(p.usdx16 AS DOUBLE) / 16.0 AS asof_usd
         |FROM blk b
