@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_long"),
       (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
   }
 }

@@ -38,6 +38,22 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule unique to AsOfJoin: it emits exactly one row per left
+  * row, so a LIMIT above it can run below its left side. Catalyst's
+  * LimitPushDown cannot know this about a foreign node — this is the
+  * canonical reason to inject a custom Rule alongside a custom operator.
+  */
+object PushLimitThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, Limit}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case l @ Limit(limitExpr, j @ AsOfJoin(left, _, _, _))
+        if !left.isInstanceOf[LocalLimit] =>
+      l.withNewChildren(Seq(
+        j.copy(left = LocalLimit(limitExpr, left))))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lt, rt) =>
@@ -103,6 +119,9 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushLimitThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLimitThroughAsOfJoin
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(right)
     val lt = lPlan.output.find(_.name == leftTimeCol)

@@ -85,6 +85,16 @@ object TextQueries {
           (sum(size(col("w"))).cast("double") / count(lit(1)))
             .as("avg_tokens_per_doc"))),
 
+    // BPE-ish regex tokenization: split on non-alphanumeric runs, drop
+    // empties explicitly (the one place both engines' split semantics
+    // are forced to agree).
+    "token_count_regex" -> ((s, dir) =>
+      docWords(s, dir).select(
+        col("doc_id"),
+        expr("CAST(size(filter(split(text, '[^a-z0-9]+'), x -> x != '')) AS BIGINT)")
+          .as("n_regex_tokens"),
+        size(col("w")).cast("long").as("n_ws_tokens"))),
+
     // positional polynomial fingerprint over words (rolling-hash analog):
     // fp = Σ value16(word_i) · 31^(i mod 4) mod 1e9+7
     "doc_fingerprint" -> ((s, dir) =>
@@ -126,6 +136,13 @@ object TextQueries {
         |    AS approx_bpe_tokens,
         |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
         |FROM words GROUP BY source""".stripMargin),
+
+    "token_count_regex" -> withCtes(docWordsSql)(
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |       x -> x != '')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(w) AS BIGINT) AS n_ws_tokens
+        |FROM words""".stripMargin),
 
     "doc_fingerprint" -> withCtes(docWordsSql)(
       """SELECT doc_id,

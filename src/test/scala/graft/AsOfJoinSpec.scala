@@ -30,6 +30,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.filter($"rt".isNull && $"v".isNull).count() === 2)
   }
 
+  test("custom rule pushes LIMIT below the join's left side") {
+    val left = spark.range(0, 1000).select($"id".as("t"))
+    val right = Seq((10L, "a")).toDF("rt", "v")
+    val limited = AsOfJoin.asof(left, right, "t", "rt").limit(3)
+    assert(limited.count() === 3)
+    val opt = limited.queryExecution.optimizedPlan.toString
+    // the LocalLimit must appear under AsOfJoin, not only above it
+    val joinIdx = opt.indexOf("AsOfJoin")
+    assert(joinIdx >= 0 &&
+      opt.indexOf("LocalLimit", joinIdx) > joinIdx,
+      s"limit not pushed:\n$opt")
+  }
+
   test("duplicate right timestamps: the last in order wins") {
     val left = Seq(10L).toDF("t")
     val right = Seq((5L, "x"), (5L, "y")).toDF("rt", "v")
