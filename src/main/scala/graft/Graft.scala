@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.chain.{Chain, ChainStore, GraftCatalog}
+
+/** Top-level library facade — the entry points a user of the reference
+  * system (graphsense-blocksci) would call after switching to this
+  * engine, plus the training-data pipeline operators.
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  *
+  * // chain tables (derive → write partitioned → point lookup)
+  * val tx = Graft.transactions(spark, dataDir)
+  * Graft.writeChain(spark, dataDir, outDir)
+  * ChainStore.lookupByHash(spark, outDir, someHashHex)
+  *
+  * // training-data ops (frame-based, see graft.api)
+  * val dups   = api.Dedup.exact(docs)
+  * val pairs  = api.Dedup.candidatePairs(
+  *                api.Dedup.lshBands(api.Dedup.minhashSignatures(shingles)))
+  * val verify = api.Dedup.jaccardVerify(shingles, pairs)
+  * val knn    = api.Similarity.cosTopK(api.Similarity.quantize(embs), qs, 5)
+  * }}}
+  */
+object Graft {
+
+  /** Derived chain tables (see graft.chain.Chain for the contracts). */
+  def transactions(s: SparkSession, dir: String): DataFrame =
+    Chain.transactions(s, dir)
+  def blocks(s: SparkSession, dir: String): DataFrame = Chain.blocks(s, dir)
+  def exchangeRates(s: SparkSession, dir: String): DataFrame =
+    Chain.rates(s, dir)
+
+  /** Write the full bucket-partitioned keyspace (transaction + block +
+    * prefix index) idempotently. */
+  def writeChain(s: SparkSession, dir: String, out: String): Unit = {
+    val tx = Chain.transactions(s, dir)
+    ChainStore.writeTransactions(tx, out)
+    ChainStore.writeBlocks(Chain.blocks(s, dir), out)
+    ChainStore.writePrefixIndex(tx, out)
+  }
+
+  /** Register the SQL surface (temp views + custom functions). */
+  def registerSql(s: SparkSession, dir: String): Unit =
+    GraftCatalog.register(s, dir)
+
+  /** The full oracle-checked query inventory (driver contract). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntry.queries
+}

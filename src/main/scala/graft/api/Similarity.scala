@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** Frame-based similarity-search API. Input contract: `raw` embeddings
+  * are (vec_id bigint, embedding array<float>); all internal math runs
+  * on the integer quantization (floor(x·1000)) so scores are exact and
+  * order-independent.
+  */
+object Similarity {
+
+  /** Quantize embeddings once: q = floor(x·1000) per component (bigint),
+    * n2 = |q|² — downstream dot/norm math is exact integer. */
+  def quantize(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
+  /** Exact cosine + per-query top-k over given (query_id, neighbor_id)
+    * pairs. `data` is a quantized frame. */
+  def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val qd = data.select(col("vec_id").as("query_id"), col("q").as("qv"),
+      col("n2").as("qn"))
+    val nd = data.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+      col("n2").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
+      // custom codegen expression: fused integer dot-product loop
+      .withColumn("dot",
+        VectorFunctions.dot_product_long(col("qv"), col("nv")))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Sign-LSH buckets: 8 deterministic md5-derived hyperplanes → 256
+    * buckets (widen to 2^k + multi-probe at scale). */
+  def lshBuckets(s: SparkSession, e: DataFrame): DataFrame = {
+    val hyper = s.range(0, 8).select(col("id").as("j"))
+      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+      .withColumn("h", expr(
+        """2 * (instr('0123456789abcdef',
+          |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
+          .stripMargin))
+    val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .withColumn("i", col("pos") + 1)
+    elems.join(broadcast(hyper), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("v") * col("h")).as("sdot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("sdot") > 0,
+        expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket + exact cosine above
+    * `threshold` (the vector analog of MinHash-LSH + Jaccard verify). */
+  def nearDuplicates(s: SparkSession, e: DataFrame,
+      threshold: Double): DataFrame = {
+    val buckets = lshBuckets(s, e)
+    val a = buckets.select(col("vec_id").as("query_id"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+    val cand = a.join(b, Seq("bucket"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val qd = e.select(col("vec_id").as("query_id"), col("q").as("qv"),
+      col("n2").as("qn"))
+    val nd = e.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+      col("n2").as("nn"))
+    cand.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
+      .withColumn("dot",
+        VectorFunctions.dot_product_long(col("qv"), col("nv")))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"),
+        col("cos"))
+  }
+}

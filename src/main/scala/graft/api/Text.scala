@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frame-based text-analysis API. Input contract: `docWords` is
+  * (doc_id bigint, text string, lang string, source string,
+  * w array<string>) — documents with a pre-split words column.
+  */
+object Text {
+
+  val Stops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "und", "die", "das", "nicht"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "que", "por", "una"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Stopword hits for one language as a column expression. */
+  def hits(lang: String): String =
+    s"CAST(size(filter(w, x -> x IN ${inList(Stops(lang))})) AS BIGINT)"
+
+  /** Deterministic argmax with fixed precedence en>de>fr>es, zh fallback
+    * when nothing hits. */
+  val predLangCase: String =
+    """CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'zh'
+      |     WHEN en_hits >= de_hits AND en_hits >= fr_hits
+      |          AND en_hits >= es_hits THEN 'en'
+      |     WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+      |     WHEN fr_hits >= es_hits THEN 'fr'
+      |     ELSE 'es' END""".stripMargin
+
+  /** Language-ID scores + prediction per doc. */
+  def langId(docWords: DataFrame): DataFrame =
+    docWords
+      .select(col("doc_id"), col("lang"),
+        expr(hits("en")).as("en_hits"), expr(hits("de")).as("de_hits"),
+        expr(hits("fr")).as("fr_hits"), expr(hits("es")).as("es_hits"))
+      .withColumn("pred_lang", expr(predLangCase))
+      .withColumn("match", col("pred_lang") === col("lang"))
+
+  /** Quality ratios (all exact-integer divisions). */
+  def quality(docWords: DataFrame): DataFrame =
+    docWords.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(col("w")).cast("long").as("n_words"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(col("w"))).as("avg_word_len"),
+      (expr(hits("en")).cast("double") / size(col("w")))
+        .as("stopword_ratio"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
+        .cast("long")).as("n_periods"))
+
+  /** Positional polynomial fingerprint (rolling-hash analog). */
+  def fingerprint(docWords: DataFrame): DataFrame =
+    docWords
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("i", col("pos") + 1)
+      .withColumn("term", expr(
+        """CAST(((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+          |  + instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1)
+          |  * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31
+          |          WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % 1000000007L).as("fingerprint"))
+}

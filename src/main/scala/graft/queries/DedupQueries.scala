@@ -25,28 +25,12 @@ object DedupQueries {
     * hash min and identical across engines. */
   private val Seeds = 0 until 8
 
-  private def sigs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(words(corpus(s, dir)))
-    val aggCols = Seeds.map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"s$k"))
-    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
-  }
+  private def sigs(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.minhashSignatures(shingles(words(corpus(s, dir))))
 
-  private def bands(s: SparkSession, dir: String): DataFrame =
-    sigs(s, dir).select(col("doc_id"),
-      md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band0"),
-      md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))).as("band1"))
-
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
-    def joinOn(band: String): DataFrame = {
-      val l = b.select(col("doc_id").as("doc_a"), col(band).as("bk"))
-      val r = b.select(col("doc_id").as("doc_b"), col(band).as("bk"))
-      l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }
-    joinOn("band0").union(joinOn("band1")).distinct()
-  }
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.candidatePairs(
+      graft.api.Dedup.lshBands(sigs(s, dir)))
 
   private val sigSqlCtes: Seq[String] = {
     val sigCols = Seeds.map(k => s"min(md5('$k|' || shingle)) AS s$k")
@@ -77,19 +61,14 @@ object DedupQueries {
     // One shuffle on the 128-bit fingerprint; at 100 TB this is the
     // standard first pass (hash is computed map-side, dedup is a pure
     // hash-agg, no text ever shuffles — only the 16-byte digest).
-    "dedup_exact" -> ((s, dir) =>
-      corpus(s, dir)
-        .groupBy(md5(col("text")).as("fingerprint"))
-        .agg(min(col("doc_id")).as("canonical_id"),
-          count(lit(1)).as("n_copies"))),
+    "dedup_exact" -> ((s, dir) => graft.api.Dedup.exact(corpus(s, dir))),
 
     // MinHash signatures + LSH band keys per doc
     "dedup_minhash_sig" -> ((s, dir) => {
       val sg = sigs(s, dir)
-      sg.select(col("doc_id"),
-        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band0"),
-        md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))).as("band1"),
-        col("s0"), col("s7"))
+      graft.api.Dedup.lshBands(sg)
+        .join(sg.select(col("doc_id"), col("s0"), col("s7")), Seq("doc_id"))
+        .select("doc_id", "band0", "band1", "s0", "s7")
     }),
 
     // LSH candidate pairs: equal band key in either band
@@ -118,21 +97,7 @@ object DedupQueries {
     // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
     // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
     "dedup_simhash" -> ((s, dir) =>
-      words(corpus(s, dir))
-        .select(col("doc_id"), explode(col("w")).as("word"))
-        .select(col("doc_id"), col("word"),
-          explode(expr("sequence(0, 15)")).as("b"))
-        .withColumn("v", expr(
-          """CASE WHEN CAST(floor(
-            |  (instr('0123456789abcdef',
-            |         substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-            |  / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
-            |          WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
-            |THEN 1 ELSE -1 END""".stripMargin))
-        .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("bsum"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("bsum") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)"))
-          .otherwise(lit(0L))).as("simhash"))))
+      graft.api.Dedup.simhash16(words(corpus(s, dir)))))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> withCtes(corpusSql)(

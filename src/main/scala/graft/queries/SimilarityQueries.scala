@@ -29,9 +29,7 @@ object SimilarityQueries {
   private val QueryStride = 250
 
   private def quantize(raw: DataFrame): DataFrame =
-    raw.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("q"))
-      .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+    graft.api.Similarity.quantize(raw)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     quantize(table(s, dir, "embeddings")
@@ -48,42 +46,11 @@ object SimilarityQueries {
   }
 
   /** 8-hyperplane sign buckets over a quantized embedding frame. */
-  private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame = {
-    val hyper = s.range(0, 8).select(col("id").as("j"))
-      .crossJoin(s.range(1, 65).select(col("id").as("i")))
-      .withColumn("h", expr(
-        """2 * (instr('0123456789abcdef',
-          |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
-          .stripMargin))
-    val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
-      .withColumn("i", col("pos") + 1)
-    elems.join(broadcast(hyper), Seq("i"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("v") * col("h")).as("sdot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("sdot") > 0, expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
-        .otherwise(lit(0L))).as("bucket"))
-  }
+  private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
+    graft.api.Similarity.lshBuckets(s, e)
 
-  private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
-    // pairs: (query_id, neighbor_id); data: (vec_id, q, n2)
-    val qd = data.select(col("vec_id").as("query_id"), col("q").as("qv"),
-      col("n2").as("qn"))
-    val nd = data.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
-      col("n2").as("nn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
-      // custom codegen expression: fused integer dot-product loop (exact,
-      // same value as aggregate(zip_with(...)) but no per-row allocation)
-      .withColumn("dot",
-        graft.functions.VectorFunctions.dot_product_long(col("qv"), col("nv")))
-      .withColumn("cos",
-        col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
-  }
+  private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame =
+    graft.api.Similarity.cosTopK(data, pairs, k)
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-5: query set × corpus, broadcast queries
@@ -175,27 +142,8 @@ object SimilarityQueries {
     // embedding-cosine near-duplicate detection: all same-bucket pairs,
     // exact cosine, keep pairs above threshold (the vector analog of
     // MinHash-LSH + Jaccard verify).
-    "dedup_embedding" -> ((s, dir) => {
-      val e = embCorpus(s, dir)
-      val buckets = lshBuckets(s, e)
-      val a = buckets.select(col("vec_id").as("query_id"), col("bucket"))
-      val b = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
-      val cand = a.join(b, Seq("bucket"))
-        .filter(col("query_id") < col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-      val qd = e.select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("n2").as("qn"))
-      val nd = e.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
-        col("n2").as("nn"))
-      cand.join(qd, Seq("query_id")).join(nd, Seq("neighbor_id"))
-        .withColumn("dot",
-          graft.functions.VectorFunctions.dot_product_long(col("qv"), col("nv")))
-        .withColumn("cos",
-          col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
-        .filter(col("cos") >= 0.99)
-        .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"),
-          col("cos"))
-    }))
+    "dedup_embedding" -> ((s, dir) =>
+      graft.api.Similarity.nearDuplicates(s, embCorpus(s, dir), 0.99)))
 
   private val embSql: String =
     """emb AS (

@@ -52,26 +52,10 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
-    "text_langid" -> ((s, dir) =>
-      docWords(s, dir)
-        .select(col("doc_id"), col("lang"),
-          expr(hitsExpr("en")).as("en_hits"), expr(hitsExpr("de")).as("de_hits"),
-          expr(hitsExpr("fr")).as("fr_hits"), expr(hitsExpr("es")).as("es_hits"))
-        .withColumn("pred_lang", expr(predLangCase))
-        .withColumn("match", col("pred_lang") === col("lang"))),
+    "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
 
     // quality scoring: exact-integer ratios
-    "text_quality" -> ((s, dir) =>
-      docWords(s, dir).select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_calc"),
-        size(col("w")).cast("long").as("n_words"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(col("w"))).as("avg_word_len"),
-        (expr(hitsExpr("en")).cast("double") / size(col("w")))
-          .as("stopword_ratio"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
-          .cast("long")).as("n_periods"))),
+    "text_quality" -> ((s, dir) => graft.api.Text.quality(docWords(s, dir))),
 
     // token counting per source: whitespace tokens + chars/4 BPE-ish bound
     "token_count" -> ((s, dir) =>
@@ -98,16 +82,7 @@ object TextQueries {
     // positional polynomial fingerprint over words (rolling-hash analog):
     // fp = Σ value16(word_i) · 31^(i mod 4) mod 1e9+7
     "doc_fingerprint" -> ((s, dir) =>
-      docWords(s, dir)
-        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-        .withColumn("i", col("pos") + 1)
-        .withColumn("term", expr(
-          """CAST(((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
-            |  + instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1)
-            |  * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31
-            |          WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)""".stripMargin))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("term")) % 1000000007L).as("fingerprint"))))
+      graft.api.Text.fingerprint(docWords(s, dir))))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> withCtes(docWordsSql)(

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Dedup, Similarity, Text}
+import graft.ops.TextCorpus
+
+/** The frame-based library API works on arbitrary user frames (not just
+  * the fixture-derived corpus). */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"),   // exact dup of 1
+    (3L, "a dog barked at the mailman today loudly")).toDF("doc_id", "text")
+
+  test("Dedup.exact finds the duplicate pair") {
+    val groups = Dedup.exact(docs)
+    assert(groups.count() === 2)
+    assert(groups.filter(col("n_copies") === 2)
+      .select("canonical_id").as[Long].head() === 1L)
+  }
+
+  test("MinHash → bands → pairs → jaccard pipeline on user frames") {
+    val sh = TextCorpus.shingles(TextCorpus.words(docs))
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignatures(sh)))
+    val verified = Dedup.jaccardVerify(sh, pairs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(verified.toSeq === Seq((2L, 1L, 4L, 4L, 1.0)) ||
+      verified.toSeq === Seq((1L, 2L, 4L, 4L, 1.0)))
+  }
+
+  test("Similarity.cosTopK on a user embedding frame") {
+    val raw = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.quantize(raw)
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "neighbor_id")
+    val top = Similarity.cosTopK(e, pairs, 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top === Seq(1L)) // the near-parallel vector wins
+  }
+
+  test("Text.quality and langId run on user doc frames") {
+    val dw = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("w", split(col("text"), " "))
+    assert(Text.quality(dw).count() === 3)
+    val pred = Text.langId(dw).filter(col("doc_id") === 1)
+      .select("pred_lang").as[String].head()
+    assert(pred === "en")
+  }
+}
