@@ -77,4 +77,31 @@ object ChainStore {
     s.read.parquet(s"$out/transaction")
       .filter(col("tx_id_group") === txId / Chain.TxBucketSize &&
         col("tx_id") === txId)
+
+  /** Multi-chain keyspace: one currency partition per chain (the
+    * reference's keyspace-per-coin, §2.7), unioned with a `currency`
+    * column so cross-chain queries are a partition-pruned scan. */
+  def writeMultiChain(chains: Map[String, DataFrame], out: String): Unit = {
+    val tagged = chains.map { case (cur, df) =>
+      df.withColumn("currency", lit(cur))
+    }.reduce(_ unionByName _)
+    dynamicOverwrite(tagged.sparkSession)
+    tagged.repartition(col("currency"), col("tx_id_group"))
+      .sortWithinPartitions(col("tx_id"))
+      .write.mode("overwrite")
+      .partitionBy("currency", "tx_id_group")
+      .parquet(s"$out/multichain_transaction")
+  }
+
+  /** Spark-bucketed (CLUSTERED BY) tables for co-located joins: both
+    * sides bucketed on the join key join WITHOUT a shuffle — the
+    * pre-partitioning strategy for repeated large-fact joins at 100 TB.
+    * Requires saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
 }
