@@ -43,16 +43,39 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // binary payload → partition-wise decode → typed metadata
+    // binary payload → partition-wise decode → typed metadata.
+    // grouped(64) gives the real batched-decoder shape: a production
+    // codec would process each batch in one native call.
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       table(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
           col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .mapPartitions(_.grouped(64).flatMap(_.map {
+          case (id, bytes) => decodeStub(id, bytes)
+        }))
         .toDF()
     }),
+
+    // frame sampling: one payload → n_frames metadata rows (the
+    // one-to-many video path), with a deterministic resize to half
+    // resolution. n_frames and timestamps derive from the content hash.
+    "multimodal_frames" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("n_frames", expr(
+          "CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)"))
+        .withColumn("frame_no",
+          explode(expr("sequence(0L, n_frames - 1)")))
+        .select(col("doc_id"), col("n_frames"), col("frame_no"),
+          (col("frame_no") * 1000L).as("frame_ts_ms"),
+          md5(concat(col("text"), lit("_"), col("frame_no").cast("string")))
+            .as("frame_hash"),
+          expr("CAST(instr('0123456789abcdef', substr(md5(text), 1, 1)) * 32 AS BIGINT)")
+            .as("half_width"),
+          expr("CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) * 32 AS BIGINT)")
+            .as("half_height"))),
 
     // metadata rollup: the decoded schema is a normal relational input
     "multimodal_format_stats" -> ((s, dir) => {
@@ -80,6 +103,20 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "multimodal_decode" -> withCtes(decodedSql)(
       "SELECT doc_id, width, height, format FROM decoded"),
+    "multimodal_frames" ->
+      """SELECT doc_id, n_frames, frame_no,
+        |  frame_no * 1000 AS frame_ts_ms,
+        |  md5(text || '_' || CAST(frame_no AS VARCHAR)) AS frame_hash,
+        |  CAST(instr('0123456789abcdef', substr(md5(text), 1, 1)) * 32 AS BIGINT) AS half_width,
+        |  CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) * 32 AS BIGINT) AS half_height
+        |FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1
+        |         AS BIGINT) AS n_frames,
+        |    unnest(range(0, CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)))
+        |      AS frame_no
+        |  FROM documents)""".stripMargin,
+
     "multimodal_format_stats" -> withCtes(decodedSql)(
       """SELECT format, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
