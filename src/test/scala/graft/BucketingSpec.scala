@@ -9,8 +9,23 @@ import graft.chain.{Chain, ChainStore}
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  private def dropManaged(name: String): Unit = {
+    // a fresh in-memory catalog forgets tables but their warehouse dirs
+    // survive the JVM — drop both
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   test("bucketed fact-fact join has no exchange on the bucketed key") {
     val dir = sf("sf0.001")
+    dropManaged("tx_bucketed")
+    dropManaged("iostats_bucketed")
     ChainStore.writeBucketed(
       Chain.transactions(spark, dir), "tx_bucketed", "tx_id", 8)
     ChainStore.writeBucketed(

@@ -11,6 +11,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // keep managed-table data out of the repo root and inside target/
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
 
