@@ -77,6 +77,26 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // multi-probe LSH: each query also probes the 8 buckets at Hamming
+    // distance 1 from its own (flip one hyperplane bit) — recovers most
+    // of the recall a single-bucket probe loses, still an equi-join.
+    "embed_lsh_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val buckets = lshBuckets(s, e)
+      val probes = buckets.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"))
+        .withColumn("p", explode(expr("sequence(-1, 7)")))
+        .withColumn("probe", when(col("p") === -1, col("bucket"))
+          .otherwise(expr(
+            "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
+        .select(col("query_id"), col("probe").as("bucket"))
+      val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+        .join(probes, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      cosTopK(e, cand, 3)
+    }),
+
     // brute-force top-5 again, but through the bounded TopKAgg instead of
     // a ranking window: partial top-k prunes candidates map-side, so the
     // shuffle carries ≤ k rows per (query, mapper) — the 100 TB shape.
@@ -218,6 +238,50 @@ object SimilarityQueries {
          |  FROM buckets qb
          |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
          |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 3""".stripMargin),
+
+    "embed_lsh_multiprobe" -> withCtes(embSql, eeSql, normSql,
+      """hyper AS (
+        |  SELECT j, i,
+        |    2 * (instr('0123456789abcdef',
+        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS j),
+        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
+      """buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+        |        FROM ee e JOIN hyper h ON e.i = h.i
+        |        GROUP BY e.vec_id, h.j)
+        |  GROUP BY vec_id)""".stripMargin,
+      s"""probes AS (
+         |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
+         |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id AS query_id, bucket,
+         |          unnest(range(-1, 8)) AS p
+         |        FROM buckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
+        |  FROM probes p
+        |  JOIN buckets db ON p.bucket = db.bucket
+        |  WHERE db.vec_id != p.query_id)""".stripMargin,
       """cdots AS (
         |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
         |  FROM cand c

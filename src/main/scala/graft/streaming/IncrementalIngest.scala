@@ -60,6 +60,27 @@ object IncrementalIngest {
     s.table(name)
   }
 
+  /** ST3 production shape: stream → `foreachBatch` → deterministic
+    * dynamic overwrite of bucket partitions via the ChainStore sink.
+    * Exactly-once per epoch without a transactional sink: the bucket set
+    * an epoch writes is a pure function of its data, so replaying the
+    * epoch rewrites the same buckets to the same content. */
+  def ingestToStore(s: SparkSession, dir: String, out: String,
+      watermark: Long): Unit = {
+    val schema = s.read.parquet(s"$dir/orders.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val name = s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = tx.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.chain.ChainStore.writeTransactions(batch.toDF(), out)
+      }
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   /** Watermarked tumbling-window aggregation as a stream: hourly event
     * counts with a 1-hour watermark, run synchronously (complete mode so
     * the still-open tail window is emitted too — batch parity). The same

@@ -30,6 +30,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("foreachBatch bucket sink is exactly-once under replay") {
+    val dir = sf("sf0.001")
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ing_").toString
+    val wm = 2000L
+    IncrementalIngest.ingestToStore(spark, dir, out, wm)
+    val once = spark.read.parquet(s"$out/transaction")
+    val expect = Chain.transactions(spark, dir).filter(col("block_id") > wm)
+    assert(once.count() === expect.count())
+    // replay the whole ingest (fresh checkpoint = worst-case full redo):
+    // dynamic bucket overwrite must converge to the identical state
+    IncrementalIngest.ingestToStore(spark, dir, out, wm)
+    val twice = spark.read.parquet(s"$out/transaction")
+    assert(twice.count() === expect.count())
+    assert(twice.agg(sum("tx_id")).as[Long].head() ===
+      expect.agg(sum("tx_id")).as[Long].head())
+  }
+
   test("reorg guard refuses sink ahead of source") {
     IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 100L)
     intercept[IllegalArgumentException] {
