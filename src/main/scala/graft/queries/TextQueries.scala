@@ -82,7 +82,29 @@ object TextQueries {
     // positional polynomial fingerprint over words (rolling-hash analog):
     // fp = Σ value16(word_i) · 31^(i mod 4) mod 1e9+7
     "doc_fingerprint" -> ((s, dir) =>
-      graft.api.Text.fingerprint(docWords(s, dir))))
+      graft.api.Text.fingerprint(docWords(s, dir))),
+
+    // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
+    // nibble values. Reproducible across runs/engines/cluster sizes —
+    // the property `df.sample()` cannot give a training pipeline.
+    "sample_uniform" -> ((s, dir) =>
+      docWords(s, dir)
+        .filter(expr(
+          "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) % 8 < 2"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // deterministic stratified sample: exactly 10 docs per source, chosen
+    // by hash rank (uniform within stratum, reproducible).
+    "sample_stratified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      docWords(s, dir)
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("doc_id"), col("rn"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> withCtes(docWordsSql)(
@@ -118,6 +140,19 @@ object TextQueries {
         |       x -> x != '')) AS BIGINT) AS n_regex_tokens,
         |  CAST(len(w) AS BIGINT) AS n_ws_tokens
         |FROM words""".stripMargin),
+
+    "sample_uniform" -> withCtes(docWordsSql)(
+      """SELECT doc_id, lang, source FROM words
+        |WHERE instr('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8 < 2""".stripMargin),
+
+    "sample_stratified" -> withCtes(docWordsSql)(
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM words)
+        |WHERE rn <= 10""".stripMargin),
 
     "doc_fingerprint" -> withCtes(docWordsSql)(
       """SELECT doc_id,
