@@ -77,6 +77,56 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // IVF with learned centroids: one deterministic Lloyd iteration on
+    // top of the seed centroids (assign → integer-floor mean → reassign),
+    // then probe the 2 nearest learned centroids. All arithmetic stays
+    // exact (integer sums, one floor'd division) so the "training" is
+    // reproducible across engines and cluster sizes.
+    "embed_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ee = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .withColumn("i", col("pos") + 1).drop("pos")
+      val norm = e.select(col("vec_id"), col("n2"))
+
+      // assignment of every vector to its nearest centroid
+      def assign(centElems: DataFrame, centNorm: DataFrame): DataFrame = {
+        val dots = ee.join(centElems, Seq("i"))
+          .groupBy(col("vec_id"), col("cent_id"))
+          .agg(sum(col("v") * col("cv")).as("dot"))
+        val dist = dots.join(norm, Seq("vec_id"))
+          .join(centNorm, Seq("cent_id"))
+          .withColumn("dist2", col("n2") + col("cn2") - lit(2L) * col("dot"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cent_id"))
+        dist.withColumn("crank", row_number().over(w))
+      }
+
+      val cent0 = ee.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("i"), col("v").as("cv"))
+      val cnorm0 = cent0.groupBy(col("cent_id"))
+        .agg(sum(col("cv") * col("cv")).as("cn2"))
+      val assign0 = assign(cent0, cnorm0).filter(col("crank") === 1)
+        .select(col("vec_id"), col("cent_id"))
+
+      // Lloyd update: integer-floor mean per (centroid, dimension)
+      val cent1 = ee.join(assign0, Seq("vec_id"))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
+      val cnorm1 = cent1.groupBy(col("cent_id"))
+        .agg(sum(col("cv") * col("cv")).as("cn2"))
+
+      val ranked = assign(cent1, cnorm1)
+      val lists = ranked.filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+      val probes = ranked
+        .filter(col("crank") <= 2 && col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val cand = probes.join(lists, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      cosTopK(e, cand, 3)
+    }),
+
     // multi-probe LSH: each query also probes the 8 buckets at Hamming
     // distance 1 from its own (flip one hyperplane bit) — recovers most
     // of the recall a single-bucket probe loses, still an equi-join.
@@ -238,6 +288,65 @@ object SimilarityQueries {
          |  FROM buckets qb
          |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
          |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 3""".stripMargin),
+
+    "embed_ivf_kmeans" -> withCtes(embSql, eeSql, normSql,
+      """cent0 AS (
+        |  SELECT vec_id AS cent_id, i, v AS cv FROM ee WHERE vec_id < 16)""".stripMargin,
+      """cnorm0 AS (
+        |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
+        |  FROM cent0 GROUP BY cent_id)""".stripMargin,
+      """assign0 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT d.vec_id, d.cent_id,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY n.n2 + c.cn2 - 2 * d.dot, d.cent_id) AS crank
+        |    FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+        |          FROM ee e JOIN cent0 c ON e.i = c.i
+        |          GROUP BY e.vec_id, c.cent_id) d
+        |    JOIN norm n ON n.vec_id = d.vec_id
+        |    JOIN cnorm0 c ON c.cent_id = d.cent_id)
+        |  WHERE crank = 1)""".stripMargin,
+      """cent1 AS (
+        |  SELECT a.cent_id, e.i, CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS cv
+        |  FROM ee e JOIN assign0 a ON a.vec_id = e.vec_id
+        |  GROUP BY a.cent_id, e.i)""".stripMargin,
+      """cnorm1 AS (
+        |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
+        |  FROM cent1 GROUP BY cent_id)""".stripMargin,
+      """ranked1 AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY n.n2 + c.cn2 - 2 * d.dot, d.cent_id) AS crank
+        |  FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+        |        FROM ee e JOIN cent1 c ON e.i = c.i
+        |        GROUP BY e.vec_id, c.cent_id) d
+        |  JOIN norm n ON n.vec_id = d.vec_id
+        |  JOIN cnorm1 c ON c.cent_id = d.cent_id)""".stripMargin,
+      "lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked1 WHERE crank = 1)",
+      s"""probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM ranked1
+         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin,
       """cdots AS (
         |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
         |  FROM cand c
