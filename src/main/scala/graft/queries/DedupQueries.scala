@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextCorpus
 import graft.ops.TextCorpus._
 import graft.chain.ChainSql.withCtes
 
