@@ -101,6 +101,32 @@ object RelQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // relational set ops: INTERSECT / EXCEPT over the two chains'
+    // output-address sets (§2.7 beyond union)
+    "set_ops" -> ((s, dir) => {
+      val io = graft.chain.Chain.io(s, dir)
+        .filter(!col("is_input"))
+        .select((col("tx_id") % 2).as("side"), col("base_addr"))
+      val a = io.filter(col("side") === 1).select("base_addr").distinct()
+      val b = io.filter(col("side") === 0).select("base_addr").distinct()
+      val both = a.intersect(b).agg(count(lit(1)).as("n_shared"))
+      val onlyA = a.except(b).agg(count(lit(1)).as("n_only_btc"))
+      val onlyB = b.except(a).agg(count(lit(1)).as("n_only_ltc"))
+      both.crossJoin(onlyA).crossJoin(onlyB)
+    }),
+
+    // pivot: order counts per priority pivoted on status (explicit value
+    // list keeps the output schema deterministic)
+    "pivot_status" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
     // semi + anti join in one row: customers with vs without orders
     "semi_anti" -> ((s, dir) => {
       val cust = table(s, dir, "customer")
@@ -169,6 +195,32 @@ object RelQueries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "set_ops" ->
+      """WITH io AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS tx_id,
+        |         (l_linenumber % 2 = 1) AS is_input,
+        |         'a' || CAST(l_suppkey AS VARCHAR) AS base_addr
+        |  FROM lineitem),
+        |a AS (SELECT DISTINCT base_addr FROM io
+        |      WHERE NOT is_input AND tx_id % 2 = 1),
+        |b AS (SELECT DISTINCT base_addr FROM io
+        |      WHERE NOT is_input AND tx_id % 2 = 0)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT base_addr FROM a INTERSECT SELECT base_addr FROM b)) AS n_shared,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT base_addr FROM a EXCEPT SELECT base_addr FROM b)) AS n_only_btc,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT base_addr FROM b EXCEPT SELECT base_addr FROM a)) AS n_only_ltc"""
+        .stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "semi_anti" ->
       """SELECT
