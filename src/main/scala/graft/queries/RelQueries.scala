@@ -101,6 +101,16 @@ object RelQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // exact percentiles (sort-based): median + p90 per status. Linear
+    // interpolation between adjacent sorted values is the same arithmetic
+    // in both engines → deterministic doubles.
+    "order_quantiles" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n_orders"))),
+
     // relational set ops: INTERSECT / EXCEPT over the two chains'
     // output-address sets (§2.7 beyond union)
     "set_ops" -> ((s, dir) => {
@@ -195,6 +205,13 @@ object RelQueries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "order_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "set_ops" ->
       """WITH io AS (

@@ -46,6 +46,27 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("TopKAgg equals sort-and-take under random merges") {
+    import graft.functions.TopKAgg
+    samples(Gen.listOfN(200,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0.0, 1.0), Gen.choose(0L, 500L))),
+      5).foreach { rows0 =>
+      val rows = rows0.map { case (g, c, id) => (g.toLong, c, id) }
+      val ds = rows.toDF("g", "cos", "id")
+        .as[(Long, Double, Long)]
+      val topk = new TopKAgg(3)
+      val got = ds.groupByKey(_._1)
+        .mapValues(r => TopKAgg.ScoredId(r._2, r._3))
+        .agg(topk.toColumn.name("top"))
+        .collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => TopKAgg.ScoredId(r._2, r._3))
+          .sorted(TopKAgg.ord).take(3)
+      }
+      assert(got.view.mapValues(_.toSeq).toMap === want)
+    }
+  }
+
   test("last-write-wins dedup keeps max id per key") {
     import org.apache.spark.sql.expressions.Window
     samples(Gen.listOfN(50, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 1000L))),
