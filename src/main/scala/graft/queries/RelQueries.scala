@@ -101,6 +101,21 @@ object RelQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // scalar string-function breadth (§2.8 beyond the chain derivations):
+    // all verified bit-identical across engines
+    "string_funcs" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+        .withColumn("upper_name", upper(col("c_name")))
+        .withColumn("name_len", length(col("c_name")).cast("long"))
+        .withColumn("rev", reverse(col("c_name")))
+        .withColumn("padded_key",
+          lpad(col("c_custkey").cast("string"), 8, "0"))
+        .withColumn("edit_dist",
+          levenshtein(col("c_name"), reverse(col("c_name"))).cast("long"))
+        .withColumn("first_char_code",
+          ascii(substring(col("c_name"), 1, 1)).cast("long"))),
+
     // exact percentiles (sort-based): median + p90 per status. Linear
     // interpolation between adjacent sorted values is the same arithmetic
     // in both engines → deterministic doubles.
@@ -205,6 +220,16 @@ object RelQueries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  upper(c_name) AS upper_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  reverse(c_name) AS rev,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS edit_dist,
+        |  CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS first_char_code
+        |FROM customer""".stripMargin,
 
     "order_quantiles" ->
       """SELECT o_orderstatus,
