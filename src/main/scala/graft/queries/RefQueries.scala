@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -69,6 +69,59 @@ object RefQueries {
       |JOIN cb USING (tx_id)
       |LEFT JOIN iostats s USING (tx_id)
       |LEFT JOIN cj USING (tx_id)""".stripMargin
+
+  /** The full nested transaction table (schema.cql:21-34): inputs/outputs
+    * as ordered arrays of (address, value, address_type) structs, built in
+    * a single shuffle on tx_id (collect_list skips nulls, so one
+    * conditional aggregation builds both sides). */
+  private def transactionTable(s: SparkSession, dir: String): DataFrame = {
+    // idx (l_linenumber) is NOT unique per tx side — ties are broken by
+    // the canonical element rendering (injective: addresses contain no
+    // ':' or '|'), so the array order is deterministic in both engines
+    val ioRowStr = concat_ws(":",
+      when(col("addresses").isNull, lit("NULL"))
+        .otherwise(array_join(col("addresses"), "|")),
+      col("value").cast("string"), col("address_type").cast("string"))
+    def sideAgg(input: Boolean, name: String) =
+      transform(
+        sort_array(collect_list(when(col("is_input") === input,
+          struct(col("idx"), ioRowStr.as("s"),
+            col("addresses").as("address"), col("value"),
+            col("address_type"))))),
+        x => struct(x.getField("address").as("address"),
+          x.getField("value").as("value"),
+          x.getField("address_type").as("address_type"))).as(name)
+    val sides = io(s, dir)
+      .groupBy(col("tx_id"))
+      .agg(sideAgg(input = true, "inputs"),
+        sideAgg(input = false, "outputs"))
+    txFlat(s, dir)
+      .join(sides, Seq("tx_id"), "left")
+      .select("tx_id_group", "tx_id", "tx_hash", "block_id", "ts",
+        "coinbase", "total_input", "total_output", "inputs", "outputs",
+        "coinjoin")
+  }
+
+  /** Canonical serialization of one io-side array — each struct rendered
+    * `addr1|addr2:value:type` (null address list → `NULL`), elements
+    * joined with `;`. The rendering is engine-neutral, so the driver can
+    * hash-compare the nested arrays against a DuckDB string_agg oracle. */
+  private def serializeSide(c: Column): Column =
+    coalesce(
+      array_join(
+        transform(c, x => concat_ws(":",
+          when(x.getField("address").isNull, lit("NULL"))
+            .otherwise(array_join(x.getField("address"), "|")),
+          x.getField("value").cast("string"),
+          x.getField("address_type").cast("string"))), ";"),
+      lit(""))
+
+  /** exchange_rates in its schema.cql:58-61 shape: date text key +
+    * map<text,float> fiat values (F11). */
+  private def exchangeRatesTable(s: SparkSession, dir: String): DataFrame =
+    rates(s, dir).select(col("d").as("date"),
+      map(lit("USD"), col("usd").cast("float"),
+        lit("EUR"), col("eur").cast("float")).as("fiat_values"))
 
   // ---- queries ----------------------------------------------------------
 
@@ -286,40 +339,38 @@ object RefQueries {
           max(col("block_id")).as("tip"))
     }),
 
-    // exchange_rates in its schema.cql:58-61 shape: date text key +
-    // map<text,float> fiat values (F11). Map-typed output → no SQL
-    // oracle; the flattened values are oracle-checked via rate_join.
-    "exchange_rates_table" -> ((s, dir) =>
-      rates(s, dir).select(col("d").as("date"),
-        map(lit("USD"), col("usd").cast("float"),
-          lit("EUR"), col("eur").cast("float")).as("fiat_values"))),
+    // exchange_rates in its schema.cql:58-61 shape (F11). The map-typed
+    // column itself can't be hashed by the driver harness → the _check
+    // variant serializes it; this entry keeps the contract-shaped output.
+    "exchange_rates_table" -> ((s, dir) => exchangeRatesTable(s, dir)),
 
-    // full nested transaction table (schema.cql:21-34): inputs/outputs as
-    // ordered arrays of (address, value, address_type) structs. No SQL
-    // oracle (nested) → driver records the weaker rows-only check; the
-    // scalar columns are covered by transaction_flat.
-    "transaction_table" -> ((s, dir) => {
-      // single shuffle on tx_id: collect_list skips nulls, so one
-      // conditional aggregation builds both sides (instead of two
-      // filtered groupBys + an extra join)
-      def sideAgg(input: Boolean, name: String) =
-        transform(
-          sort_array(collect_list(when(col("is_input") === input,
-            struct(col("idx"), col("addresses").as("address"), col("value"),
-              col("address_type"))))),
-          x => struct(x.getField("address").as("address"),
-            x.getField("value").as("value"),
-            x.getField("address_type").as("address_type"))).as(name)
-      val sides = io(s, dir)
-        .groupBy(col("tx_id"))
-        .agg(sideAgg(input = true, "inputs"),
-          sideAgg(input = false, "outputs"))
-      txFlat(s, dir)
-        .join(sides, Seq("tx_id"), "left")
-        .select("tx_id_group", "tx_id", "tx_hash", "block_id", "ts",
-          "coinbase", "total_input", "total_output", "inputs", "outputs",
-          "coinjoin")
-    }))
+    // the same table with the map column canonically serialized
+    // (sorted entries, x16 integer values) so the driver hash-compares
+    // the map content against a DuckDB oracle — F11 fully verified.
+    "exchange_rates_table_check" -> ((s, dir) =>
+      exchangeRatesTable(s, dir).select(col("date"),
+        concat_ws(",",
+          transform(array_sort(map_entries(col("fiat_values"))),
+            e => concat(e.getField("key"), lit("="),
+              (e.getField("value") * 16).cast("long").cast("string"))))
+          .as("fiat_s"))),
+
+    // full nested transaction table (schema.cql:21-34). Nested arrays
+    // can't be hashed by the driver harness → rows-only check here; the
+    // _check variant below hash-verifies the same plan.
+    "transaction_table" -> ((s, dir) => transactionTable(s, dir)),
+
+    // transaction_table with inputs/outputs canonically serialized: built
+    // FROM the nested query's own output arrays, so a green hash row
+    // proves the nested construction (P2+P3) — ordering, null address
+    // lists, multisig two-address rows — not a parallel simpler pipeline.
+    "transaction_table_check" -> ((s, dir) =>
+      transactionTable(s, dir).select(
+        col("tx_id_group"), col("tx_id"), col("tx_hash"), col("block_id"),
+        col("ts"), col("coinbase"), col("total_input"), col("total_output"),
+        serializeSide(col("inputs")).as("inputs_s"),
+        serializeSide(col("outputs")).as("outputs_s"),
+        col("coinjoin"))))
 
   val oracles: Map[String, String] = Map(
     "block_table" -> withCtes(ChainSql.tx, ChainSql.blk)(
@@ -448,5 +499,40 @@ object RefQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_new_blocks,
         |  min(block_id) AS resume_from, max(block_id) AS tip
         |FROM blk
-        |WHERE block_id > (SELECT max(block_id) FROM blk WHERE block_id <= 1000)""".stripMargin))
+        |WHERE block_id > (SELECT max(block_id) FROM blk WHERE block_id <= 1000)""".stripMargin),
+
+    "exchange_rates_table_check" -> withCtes(ChainSql.tx, ChainSql.rates)(
+      """SELECT d AS date,
+        |  'EUR=' || CAST(eurx16 AS VARCHAR) || ',USD=' || CAST(usdx16 AS VARCHAR)
+        |    AS fiat_s
+        |FROM rates""".stripMargin),
+
+    "transaction_table_check" -> withCtes(txFlatSqlCtes :+
+      """sides AS (
+        |  SELECT tx_id,
+        |    coalesce(max(CASE WHEN is_input THEN s END), '') AS inputs_s,
+        |    coalesce(max(CASE WHEN NOT is_input THEN s END), '') AS outputs_s
+        |  FROM (
+        |    SELECT tx_id, is_input, string_agg(s, ';' ORDER BY idx, s) AS s
+        |    FROM (
+        |      SELECT tx_id, is_input, idx,
+        |        (CASE WHEN address_type IN (1, 7, 10) THEN 'NULL'
+        |              WHEN address_type = 6 THEN base_addr || '|' || alt_addr
+        |              ELSE base_addr END)
+        |        || ':' || CAST(value AS VARCHAR)
+        |        || ':' || CAST(address_type AS VARCHAR) AS s
+        |      FROM io)
+        |    GROUP BY tx_id, is_input)
+        |  GROUP BY tx_id)""".stripMargin: _*)(
+      """SELECT t.tx_id_group, t.tx_id, t.tx_hash, t.block_id, t.ts, cb.coinbase,
+        |  CAST(coalesce(s.total_input, 0) AS BIGINT) AS total_input,
+        |  CAST(coalesce(s.total_output, 0) AS BIGINT) AS total_output,
+        |  coalesce(sd.inputs_s, '') AS inputs_s,
+        |  coalesce(sd.outputs_s, '') AS outputs_s,
+        |  (coalesce(s.no_inputs, 0) >= 2 AND coalesce(cj.max_eq, 0) >= 2) AS coinjoin
+        |FROM tx t
+        |JOIN cb USING (tx_id)
+        |LEFT JOIN iostats s USING (tx_id)
+        |LEFT JOIN cj USING (tx_id)
+        |LEFT JOIN sides sd USING (tx_id)""".stripMargin))
 }
