@@ -1,11 +1,11 @@
 package graft.plans
 
+import org.apache.spark.RangePartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -16,18 +16,19 @@ import org.apache.spark.sql.graft.PlanBridge
   *
   * This is the (c)-level extension path of the build rules, used where
   * composition is expressible but clumsy (union + ignore-nulls window,
-  * see RefQueries "rate_asof"): the custom exec is a single merge pass
-  * over both sides, with Catalyst inserting the required sorts via
-  * `requiredChildOrdering`. The query `rate_asof_custom` shares
-  * `rate_asof`'s DuckDB oracle, so the operator's semantics are
-  * hash-verified against both the relational form and DuckDB's native
-  * ASOF JOIN.
+  * see RefQueries "rate_asof"): the exec is a per-range merge pass over
+  * both sides. The query `rate_asof_custom` shares `rate_asof`'s DuckDB
+  * oracle, so the operator's semantics are hash-verified against both
+  * the relational form and DuckDB's native ASOF JOIN.
   *
-  * Scale note: `AllTuples` distribution (one merge partition) is correct
-  * for the small ordered dims this engine as-of-joins (exchange-rate
-  * tables); the large-fact generalization range-partitions both sides on
-  * the time key and broadcasts per-range boundary rows — same exec, a
-  * different required distribution.
+  * Scale design (no single-partition funnel): both sides are
+  * range-partitioned on the time key with the SAME `RangePartitioner`
+  * (boundaries sampled from the left), so equal ranges are co-located by
+  * construction; each range's merge is seeded with a per-range boundary
+  * carry — the latest right row of every earlier range, prefix-scanned
+  * (one tiny row per partition) and broadcast. Wall-clock scales with
+  * the largest range, not |left|, and results are independent of where
+  * the sampled boundaries fall.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftTime: Expression, rightTime: Expression) extends BinaryNode {
@@ -68,12 +69,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // one partition per side + time-ascending order → a single merge pass;
-  // Catalyst inserts the exchanges and sorts to satisfy these
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(AllTuples, AllTuples)
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftTime, Ascending)), Seq(SortOrder(rightTime, Ascending)))
+  // no required distribution/ordering: the exec range-partitions and
+  // sorts both sides itself (same partitioner → co-located ranges), so
+  // Catalyst never inserts a SinglePartition exchange
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftTime, Ascending))
 
@@ -86,18 +84,61 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     // to the raw child attrs would elide null checks on non-nullable
     // right columns and read 0 from the all-null row
     val inAttrs = outAttrs
-    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+
+    // key both sides by the time value (rows copied: children hand out
+    // reused UnsafeRows, and these cross a shuffle boundary)
+    val leftKeyed: RDD[(Long, InternalRow)] = left.execute()
+      .map(r => (lBound.eval(r).asInstanceOf[Long], r.copy()))
+    val rightKeyed: RDD[(Long, InternalRow)] = right.execute()
+      .map(r => (rBound.eval(r).asInstanceOf[Long], r.copy()))
+
+    // one RangePartitioner instance for BOTH sides: identical boundaries
+    // → co-partitioned ranges (two ordinary range exchanges, never a
+    // SinglePartition funnel). Boundaries are sampled from the left (the
+    // fact side); the partitioner may return fewer partitions when the
+    // key space is small.
+    val partitioner = new RangePartitioner(
+      math.max(1, conf.numShufflePartitions), leftKeyed, ascending = true)
+    val lParted = leftKeyed.repartitionAndSortWithinPartitions(partitioner)
+    val rParted = rightKeyed.repartitionAndSortWithinPartitions(partitioner)
+
+    // per-range boundary carry: the latest right row of each range
+    // (one row per partition — bounded by numPartitions, not data size),
+    // prefix-scanned on the driver so range i starts from the latest
+    // right row of all ranges < i, then broadcast
+    val lastPerPart: Map[Int, InternalRow] = rParted
+      .mapPartitionsWithIndex { (i, it) =>
+        var last: InternalRow = null
+        while (it.hasNext) last = it.next()._2
+        if (last == null) Iterator.empty else Iterator.single(i -> last)
+      }.collect().toMap
+    val carryArr = new Array[InternalRow](partitioner.numPartitions)
+    var run: InternalRow = null
+    for (i <- 0 until partitioner.numPartitions) {
+      carryArr(i) = run
+      lastPerPart.get(i).foreach(run = _)
+    }
+    val carryBc = sparkContext.broadcast(carryArr)
+
+    // tag left rows with their RANGE index (not TaskContext.getPartitionId:
+    // a downstream coalesce computes many ranges inside one task, which
+    // would make every range read the task's — wrong — carry slot)
+    val lTagged = lParted.mapPartitionsWithIndex(
+      (i, it) => it.map(kv => (i, kv)), preservesPartitioning = true)
+    lTagged.zipPartitions(rParted) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightArity)
-      var current: InternalRow = null
-      var pending: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
-      lIt.map { lRow =>
-        val lt = lBound.eval(lRow).asInstanceOf[Long]
-        while (pending != null &&
-          rBound.eval(pending).asInstanceOf[Long] <= lt) {
-          current = pending
-          pending = if (rIt.hasNext) rIt.next().copy() else null
+      val buffered = lIt.buffered
+      // seed the merge with the carry from earlier ranges; empty left
+      // partitions emit nothing, so the seed lookup is safe
+      var current: InternalRow =
+        if (buffered.hasNext) carryBc.value(buffered.head._1) else null
+      var pending: (Long, InternalRow) = if (rIt.hasNext) rIt.next() else null
+      buffered.map { case (_, (lt, lRow)) =>
+        while (pending != null && pending._1 <= lt) {
+          current = pending._2
+          pending = if (rIt.hasNext) rIt.next() else null
         }
         proj(joined(lRow, if (current != null) current else nullRight))
       }

@@ -239,22 +239,44 @@ object RefQueries {
     }),
 
     // as-of join (J4 variant): rates published only ~1/3 of days; each block
-    // takes the latest rate at-or-before it. Implemented shuffle-light as a
-    // union + ordered window (single ordering pass over the small block dim;
-    // at 100 TB the dim stays small — range-partition the window if not).
+    // takes the latest rate at-or-before it. Segmented-scan form — NO
+    // global window: the per-row window partitions by a bounded time
+    // bucket, and the cross-bucket carry is computed on the per-bucket
+    // rate summary (one row per bucket), which is broadcast back. The
+    // only unpartitioned window runs over that tiny summary, so the plan
+    // survives a fact-sized left side at 100 TB.
     "rate_asof" -> ((s, dir) => {
       val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
-        .select(col("block_id"), col("usdx16"), lit(0).as("ord"))
-      val blk = blocks(s, dir)
-        .select(col("block_id"), lit(null).cast("long").as("usdx16"),
-          lit(1).as("ord"))
-      val w = Window.orderBy(col("block_id"), col("ord"))
+        .select(col("block_id"), col("usdx16"))
+      val u = pub.select(col("block_id"), col("usdx16"), lit(0).as("ord"))
+        .unionByName(blocks(s, dir)
+          .select(col("block_id"), lit(null).cast("long").as("usdx16"),
+            lit(1).as("ord")))
+        .withColumn("b", floor(col("block_id") / BlockBucketSize))
+      // within-bucket as-of: bounded partitions (≤ BlockBucketSize ids)
+      val wIn = Window.partitionBy(col("b"))
+        .orderBy(col("block_id"), col("ord"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pub.unionByName(blk)
-        .withColumn("asof_usdx16", last(col("usdx16"), ignoreNulls = true).over(w))
-        .filter(col("ord") === 1)
-        .select(col("block_id"), col("asof_usdx16"),
-          (col("asof_usdx16").cast("double") / 16.0).as("asof_usd"))
+      val inBucket = u.withColumn("v",
+        last(col("usdx16"), ignoreNulls = true).over(wIn))
+      // per-bucket latest rate — one row per bucket, tiny by construction
+      val perBucket = pub
+        .groupBy(floor(col("block_id") / BlockBucketSize).as("b"))
+        .agg(max(struct(col("block_id"), col("usdx16"))).as("lastr"))
+      // cumulative carry over the summary: the global orderBy here sorts
+      // #buckets rows (|facts| / BlockBucketSize aggregated), not facts
+      val wCarry = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = u.select(col("b")).distinct()
+        .join(perBucket, Seq("b"), "left")
+        .withColumn("carryr", last(col("lastr"), ignoreNulls = true).over(wCarry))
+        .select(col("b"), col("carryr").getField("usdx16").as("carry_usdx16"))
+      inBucket.filter(col("ord") === 1)
+        .join(broadcast(carry), Seq("b"), "left")
+        .select(col("block_id"),
+          coalesce(col("v"), col("carry_usdx16")).as("asof_usdx16"),
+          (coalesce(col("v"), col("carry_usdx16")).cast("double") / 16.0)
+            .as("asof_usd"))
     }),
 
     // the same as-of join through the custom operator (graft.plans

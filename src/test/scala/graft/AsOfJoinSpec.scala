@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.floor
+
 import graft.plans.AsOfJoin
 
 /** Edge semantics of the custom as-of operator: boundary equality joins,
@@ -41,6 +43,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joinIdx >= 0 &&
       opt.indexOf("LocalLimit", joinIdx) > joinIdx,
       s"limit not pushed:\n$opt")
+  }
+
+  test("multi-partition left: no SinglePartition exchange, parallel merge") {
+    // 8-partition fact side × sparse rate side; rt = id*100, v = id%7 →
+    // the as-of match for any t is floor(t/100), so v must be (t/100)%7
+    val left = spark.range(0, 100000, 1, 8).select($"id".as("t"))
+    val right = spark.range(0, 1000)
+      .select(($"id" * 100).as("rt"), ($"id" % 7).as("v"))
+    val df = AsOfJoin.asof(left, right, "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition funnel in plan:\n$plan")
+    assert(df.rdd.getNumPartitions > 1, "merge ran in one partition")
+    val mismatches = df
+      .filter($"v" =!= floor($"t" / 100) % 7 || $"rt" =!= floor($"t" / 100) * 100)
+      .count()
+    assert(mismatches === 0)
+    assert(df.count() === 100000)
+    // regression: a downstream coalesce computes many ranges in ONE task;
+    // the per-range carry must key off the range index, not the task id
+    val coalesced = AsOfJoin.asof(left, right, "t", "rt").coalesce(1)
+    assert(coalesced.filter($"rt".isNull).count() === 0)
   }
 
   test("duplicate right timestamps: the last in order wins") {
