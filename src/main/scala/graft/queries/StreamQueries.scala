@@ -9,23 +9,50 @@ import graft.streaming.IncrementalIngest
 
 /** Streaming-backed queries: the incremental "--continue" ingest run as a
   * synchronous `Trigger.AvailableNow` Structured Streaming job whose
-  * result must agree with the equivalent batch SQL (the oracle). */
+  * result must agree with the equivalent batch SQL (the oracle).
+  *
+  * Both checked queries go through the PRODUCTION sink path
+  * (`foreachBatch` → dynamic-overwrite partitioned parquet → read the
+  * store back): no memory sink, no driver-side collect anywhere —
+  * the shape that survives a 100 TB ingest.
+  */
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Simulated sink watermark (blocks ≤ this are "already ingested"). */
   private val Watermark = 2300L
 
+  /** Reference confirmation depth (conf/btc.cfg:20 `maxBlockNum: -6`). */
+  private val TipMargin = 6L
+
+  private def ingestAndReadBack(s: SparkSession, dir: String,
+      tipMargin: Long): DataFrame = {
+    val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    IncrementalIngest.ingestToStore(s, dir, out, Watermark, tipMargin)
+    s.read.parquet(s"$out/transaction")
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "stream_incremental" -> ((s, dir) =>
-      IncrementalIngest.newTxsBeyond(s, dir, Watermark)
-        .groupBy(col("block_id"))
-        .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))))
+    // ST2/ST3: resume above the watermark, land in the bucketed store
+    "stream_incremental" -> ((s, dir) => ingestAndReadBack(s, dir, 0L)),
+
+    // ST5: same ingest with the tip−6 confirmation margin in force
+    "stream_tip_margin" -> ((s, dir) => ingestAndReadBack(s, dir, TipMargin)))
 
   val oracles: Map[String, String] = Map(
     "stream_incremental" -> withCtes(ChainSql.tx)(
       s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
          |  max(tx_id) AS max_tx_id
          |FROM tx WHERE block_id > $Watermark
+         |GROUP BY block_id""".stripMargin),
+
+    "stream_tip_margin" -> withCtes(ChainSql.tx)(
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+         |  max(tx_id) AS max_tx_id
+         |FROM tx
+         |WHERE block_id > $Watermark
+         |  AND block_id <= (SELECT max(block_id) FROM tx) - $TipMargin
          |GROUP BY block_id""".stripMargin))
 }

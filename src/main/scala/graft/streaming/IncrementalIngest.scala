@@ -18,9 +18,10 @@ import graft.chain.Chain
   *  - ST4 reorg guard: refuse to continue when the sink is ahead of the
   *    source tip (blocksci_export.py:492-495).
   *
-  * At scale the memory sink used for the synchronous demo is replaced by a
-  * partitioned parquet/`foreachBatch` sink keyed on `block_id_group` —
-  * deterministic per-bucket overwrite makes replays idempotent (ST3).
+  * The oracle-checked queries run `ingestToStore` (`foreachBatch` →
+  * dynamic-overwrite partitioned parquet): deterministic per-bucket
+  * overwrite makes replays idempotent (ST3). The memory sink survives
+  * only in `newTxsBeyond` as the synchronous in-session demo.
   */
 object IncrementalIngest {
 
@@ -39,17 +40,32 @@ object IncrementalIngest {
     * the source tip are considered final (conf/btc.cfg:20 `maxBlockNum: -6`). */
   val TipMargin = 6L
 
+  /** Source tip as a 1-row static frame (ST4/ST5 input). Stays a
+    * DataFrame end-to-end: the tip is applied via a broadcast stream-
+    * static join, never a driver-side action. */
+  private def tipFrame(s: SparkSession, dir: String): DataFrame =
+    Chain.transactions(s, dir)
+      .agg(max(col("block_id")).as("src_tip")).withColumn("one", lit(1))
+
+  /** Confirmation-depth cut (ST5): keep rows at least `tipMargin` blocks
+    * below the source tip, computed distributively (broadcast 1-row tip
+    * dim joined on a constant key — no `.head()` on the driver). */
+  private def belowTip(df: DataFrame, tip: DataFrame,
+      tipMargin: Long): DataFrame =
+    df.withColumn("one", lit(1))
+      .join(broadcast(tip), Seq("one"))
+      .filter(col("block_id") <= col("src_tip") - tipMargin)
+      .drop("one", "src_tip")
+
   def newTxsBeyond(s: SparkSession, dir: String, watermark: Long,
       tipMargin: Long = 0L): DataFrame = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     // glob form on purpose: for a non-glob path FileStreamSource pins
     // basePath to the file itself and then rejects it (not a directory)
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
-    val tip = Chain.transactions(s, dir).agg(max(col("block_id")))
-      .head().getLong(0)
-    val tx = Chain.txProjection(stream)
-      .filter(col("block_id") > watermark &&
-        col("block_id") <= tip - tipMargin)
+    val tx = belowTip(
+      Chain.txProjection(stream).filter(col("block_id") > watermark),
+      tipFrame(s, dir), tipMargin)
     val name = s"inc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = tx.writeStream
       .format("memory").queryName(name)
@@ -66,14 +82,18 @@ object IncrementalIngest {
     * an epoch writes is a pure function of its data, so replaying the
     * epoch rewrites the same buckets to the same content. */
   def ingestToStore(s: SparkSession, dir: String, out: String,
-      watermark: Long): Unit = {
+      watermark: Long, tipMargin: Long = 0L): Unit = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val tip = tipFrame(s, dir)
     val name = s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = tx.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.chain.ChainStore.writeTransactions(batch.toDF(), out)
+        // ST5 inside the epoch: the margin cut is a broadcast join on the
+        // (static) batch frame — the epoch stays fully distributed
+        graft.chain.ChainStore.writeTransactions(
+          belowTip(batch.toDF(), tip, tipMargin), out)
       }
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.AvailableNow())
