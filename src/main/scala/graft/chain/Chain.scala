@@ -59,6 +59,14 @@ object Chain {
   def transactions(spark: SparkSession, dir: String): DataFrame =
     txProjection(table(spark, dir, "orders"))
 
+  /** Storage-fidelity form of the hash (F1 both directions): the
+    * reference stores hashes as `blob` (schema.cql:9,23,38 via
+    * bytearray.fromhex, blocksci_export.py:335) — `tx_hash_bin` is the
+    * 32-byte BinaryType column; hex is presentation-only
+    * (`lower(hex(...))` restores the canonical string form). */
+  def withBinaryHash(tx: DataFrame): DataFrame =
+    tx.withColumn("tx_hash_bin", unhex(col("tx_hash")))
+
   /** Normalized io rows: one per lineitem. Odd line numbers are inputs, even
     * outputs; value = cents(l_extendedprice); address_type cycles all 10
     * reference codes; multisig (6) gets two addresses, null-types get NULL

@@ -56,7 +56,11 @@ object ChainStore {
     tx.select(
       substring(col("tx_hash"), 1, 2).as("p2"),
       substring(col("tx_hash"), 1, Chain.PrefixLen).as("tx_prefix"),
-      col("tx_hash"), col("tx_id"))
+      col("tx_hash"),
+      // storage-fidelity blob form (schema.cql:38): 32 bytes vs 64 hex
+      // chars — halves the hash storage at 100 TB
+      unhex(col("tx_hash")).as("tx_hash_bin"),
+      col("tx_id"))
       .repartition(col("p2"))
       .sortWithinPartitions(col("tx_prefix"), col("tx_hash"))
       .write.mode("overwrite")
@@ -64,13 +68,14 @@ object ChainStore {
       .parquet(s"$out/transaction_by_tx_prefix")
   }
 
-  /** Point lookup by full hash: prunes to one p2 directory, then row-group
-    * skips on the sorted tx_prefix column. */
+  /** Point lookup by full hash: prunes to one p2 directory, row-group
+    * skips on the sorted tx_prefix column, final equality on the binary
+    * hash (F1's unhex direction in the lookup path). */
   def lookupByHash(s: SparkSession, out: String, hashHex: String): DataFrame =
     s.read.parquet(s"$out/transaction_by_tx_prefix")
       .filter(col("p2") === hashHex.substring(0, 2) &&
         col("tx_prefix") === hashHex.substring(0, Chain.PrefixLen) &&
-        col("tx_hash") === hashHex)
+        col("tx_hash_bin") === unhex(lit(hashHex)))
 
   /** Point lookup by tx id: partition-pruned on the bucket column. */
   def lookupByTxId(s: SparkSession, out: String, txId: Long): DataFrame =

@@ -45,10 +45,14 @@ object Schemas {
     StructField("outputs", ArrayType(txInputOutput)),
     StructField("coinjoin", BooleanType)))
 
-  /** transaction_by_tx_prefix (schema.cql:36-41). */
+  /** transaction_by_tx_prefix (schema.cql:36-41). The reference keys the
+    * table on a text prefix but stores the full hash as `blob`
+    * (schema.cql:38): `tx_hash_bin` carries that storage-fidelity binary
+    * form, `tx_hash` the hex presentation. */
   val transactionByTxPrefix: StructType = StructType(Seq(
     StructField("tx_prefix", StringType, nullable = false),
     StructField("tx_hash", StringType, nullable = false),
+    StructField("tx_hash_bin", BinaryType),
     StructField("tx_id", LongType)))
 
   /** exchange_rates (schema.cql:58-61). */

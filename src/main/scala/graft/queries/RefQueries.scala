@@ -140,6 +140,32 @@ object RefQueries {
         substring(col("tx_hash"), 1, PrefixLen).as("tx_prefix"),
         col("tx_hash"), col("tx_id"))),
 
+    // transaction_by_tx_prefix through blob storage (F1 both
+    // directions): the hash round-trips hex → blob (`unhex`, the
+    // reference's bytearray.fromhex at blocksci_export.py:335) → hex
+    // (`lower(hex(...))` presentation). Every output column is DERIVED
+    // from the BinaryType column, so the green hash row proves the
+    // round trip; the raw blob itself stays internal (the driver's
+    // pandas hasher can't digest bytearray cells).
+    "tx_by_prefix_bin" -> ((s, dir) => {
+      val t = withBinaryHash(transactions(s, dir))
+      t.select(
+        substring(lower(hex(col("tx_hash_bin"))), 1, PrefixLen).as("tx_prefix"),
+        lower(hex(col("tx_hash_bin"))).as("tx_hash"),
+        col("tx_id"))
+    }),
+
+    // point lookup with ALL comparisons on the binary column: the
+    // 3-byte binary prefix cut stands in for partition pruning, the full
+    // 32-byte equality is the verify step (J5+F1 on blob storage).
+    "prefix_lookup_bin" -> ((s, dir) => {
+      val target = unhex(sha2(lit("1"), 256))
+      withBinaryHash(transactions(s, dir))
+        .filter(substring(col("tx_hash_bin"), 1, 3) === substring(target, 1, 3))
+        .filter(col("tx_hash_bin") === target)
+        .select("tx_id", "block_id", "ts")
+    }),
+
     // block_transactions (schema.cql:51-56; A4+J2): ordered per-block tx list.
     // The tx list is emitted as a csv string so the oracle hash is stable
     // across engines' array renderings; ordering guaranteed by sort_array.
@@ -402,6 +428,13 @@ object RefQueries {
 
     "tx_by_prefix" -> withCtes(ChainSql.tx)(
       s"SELECT substr(tx_hash, 1, $PrefixLen) AS tx_prefix, tx_hash, tx_id FROM tx"),
+
+    "tx_by_prefix_bin" -> withCtes(ChainSql.tx)(
+      s"""SELECT substr(tx_hash, 1, $PrefixLen) AS tx_prefix,
+         |  lower(hex(unhex(tx_hash))) AS tx_hash, tx_id FROM tx""".stripMargin),
+
+    "prefix_lookup_bin" -> withCtes(ChainSql.tx)(
+      "SELECT tx_id, block_id, ts FROM tx WHERE tx_hash = sha256('1')"),
 
     "block_transactions" -> withCtes(ChainSql.tx)(
       """SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group, block_id,

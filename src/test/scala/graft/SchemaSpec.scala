@@ -17,9 +17,16 @@ class SchemaSpec extends SparkSpec {
     assert(Schemas.conforms(schemaOf("transaction_table"), Schemas.transaction))
   }
 
-  test("prefix index matches declared schema") {
-    assert(Schemas.conforms(schemaOf("tx_by_prefix"),
-      Schemas.transactionByTxPrefix))
+  test("prefix index matches declared schema (blob hash storage)") {
+    import org.apache.spark.sql.functions._
+    import graft.chain.Chain
+    val idx = Chain.withBinaryHash(Chain.transactions(spark, sf("sf0.001")))
+      .select(
+        substring(col("tx_hash"), 1, Chain.PrefixLen).as("tx_prefix"),
+        col("tx_hash"), col("tx_hash_bin"), col("tx_id"))
+    assert(Schemas.conforms(idx.schema, Schemas.transactionByTxPrefix))
+    assert(idx.schema("tx_hash_bin").dataType ==
+      org.apache.spark.sql.types.BinaryType)
   }
 
   test("exchange_rates map table matches declared schema") {
