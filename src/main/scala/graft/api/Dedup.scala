@@ -32,23 +32,40 @@ object Dedup {
     shingles.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** LSH band keys (2 bands × 4 rows over 8 signatures). */
-  def lshBands(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"),
-      md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band0"),
-      md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))).as("band1"))
+  /** LSH band keys: `bands` bands of `seeds / bands` signature rows each
+    * (the classic b×r banding; default 2 × 4 over 8 signatures). */
+  def lshBands(sigs: DataFrame, seeds: Int = 8, bands: Int = 2): DataFrame = {
+    require(seeds % bands == 0, s"seeds $seeds not divisible into $bands bands")
+    val rows = seeds / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat((b * rows until (b + 1) * rows).map(k => col(s"s$k")): _*))
+        .as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+  }
 
-  /** Candidate pairs: docs sharing either band key (doc_a < doc_b).
-    * Cost ∝ bucket occupancy; cap or AQE-split pathological buckets at
-    * web scale. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
+  /** Candidate pairs: docs sharing any band key (doc_a < doc_b).
+    * Cost ∝ bucket occupancy — `maxBucket` is the web-scale guard: band
+    * buckets holding more than that many docs (boilerplate/template
+    * text) are dropped BEFORE the self-join, bounding the per-bucket
+    * pair count at maxBucket² instead of letting one pathological
+    * bucket go quadratic in corpus size. (AQE skew-split spreads a big
+    * bucket's shuffle, but cannot reduce the O(n²) pairs it emits.) */
+  def candidatePairs(bands: DataFrame, nBands: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame = {
     def joinOn(band: String): DataFrame = {
-      val l = bands.select(col("doc_id").as("doc_a"), col(band).as("bk"))
-      val r = bands.select(col("doc_id").as("doc_b"), col(band).as("bk"))
-      l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      val keyed = bands.select(col("doc_id"), col(band).as("bk"))
+      val pruned = maxBucket.fold(keyed) { cap =>
+        val ok = keyed.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select("bk")
+        keyed.join(ok, Seq("bk"))
+      }
+      pruned.select(col("doc_id").as("doc_a"), col("bk"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+        .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
     }
-    joinOn("band0").union(joinOn("band1")).distinct()
+    (0 until nBands).map(b => joinOn(s"band$b")).reduce(_ union _).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs (the verify stage of

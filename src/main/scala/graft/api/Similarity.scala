@@ -40,11 +40,15 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Sign-LSH buckets: 8 deterministic md5-derived hyperplanes → 256
-    * buckets (widen to 2^k + multi-probe at scale). */
-  def lshBuckets(s: SparkSession, e: DataFrame): DataFrame = {
-    val hyper = s.range(0, 8).select(col("id").as("j"))
-      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+  /** Sign-LSH buckets: `bits` deterministic md5-derived hyperplanes over
+    * `dim`-component vectors → 2^bits buckets. Size bits to the corpus:
+    * at ~1e9 vectors, 8 bits (256 buckets) leaves ~4M vectors/bucket —
+    * widen to 16-20 bits and recover recall with multi-probe. */
+  def lshBuckets(s: SparkSession, e: DataFrame, bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits $bits outside [1, 62]")
+    val hyper = s.range(0, bits).select(col("id").as("j"))
+      .crossJoin(s.range(1, dim + 1).select(col("id").as("i")))
       .withColumn("h", expr(
         """2 * (instr('0123456789abcdef',
           |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
@@ -60,11 +64,23 @@ object Similarity {
         .otherwise(lit(0L))).as("bucket"))
   }
 
+  /** Multi-probe expansion: each row also probes the `bits` buckets at
+    * Hamming distance 1 from its own (flip one hyperplane bit) —
+    * recovers most of the recall a single-bucket probe loses while the
+    * candidate step stays an equi-join on the probe key. */
+  def multiProbes(buckets: DataFrame, bits: Int = 8): DataFrame =
+    buckets
+      .withColumn("p", explode(expr(s"sequence(-1, ${bits - 1})")))
+      .withColumn("probe", when(col("p") === -1, col("bucket"))
+        .otherwise(expr(
+          "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
+      .drop("p")
+
   /** Embedding near-duplicate pairs: same LSH bucket + exact cosine above
     * `threshold` (the vector analog of MinHash-LSH + Jaccard verify). */
   def nearDuplicates(s: SparkSession, e: DataFrame,
-      threshold: Double): DataFrame = {
-    val buckets = lshBuckets(s, e)
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val buckets = lshBuckets(s, e, bits)
     val a = buckets.select(col("vec_id").as("query_id"), col("bucket"))
     val b = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
     val cand = a.join(b, Seq("bucket"))

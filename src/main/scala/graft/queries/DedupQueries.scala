@@ -24,6 +24,11 @@ object DedupQueries {
     * hash min and identical across engines. */
   private val Seeds = 0 until 8
 
+  /** Bucket-occupancy cap for the capped candidate query: band buckets
+    * above this size are template/boilerplate clusters, not near-dup
+    * candidates worth quadratic pair expansion. */
+  private val MaxBucket = 2
+
   private def sigs(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.minhashSignatures(shingles(words(corpus(s, dir))))
 
@@ -73,6 +78,15 @@ object DedupQueries {
     // LSH candidate pairs: equal band key in either band
     "dedup_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
 
+    // the same pair generation with the bucket-occupancy cap in force:
+    // band buckets holding > MaxBucket docs are dropped before the
+    // self-join — the guard that keeps one boilerplate-heavy bucket
+    // from going quadratic at web scale.
+    "dedup_minhash_pairs_capped" -> ((s, dir) =>
+      graft.api.Dedup.candidatePairs(
+        graft.api.Dedup.lshBands(sigs(s, dir)),
+        maxBucket = Some(MaxBucket))),
+
     // exact word-trigram Jaccard over the LSH candidates (verify stage)
     "dedup_jaccard_verify" -> ((s, dir) => {
       val ds = shingles(words(corpus(s, dir))).distinct()
@@ -111,6 +125,21 @@ object DedupQueries {
 
     "dedup_minhash_pairs" -> withCtes(sigSqlCtes :+ pairsSqlCte: _*)(
       "SELECT doc_a, doc_b FROM pairs"),
+
+    "dedup_minhash_pairs_capped" -> withCtes(sigSqlCtes :+
+      s"""pairs_capped AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  WHERE a.band0 IN (SELECT band0 FROM bands
+         |                    GROUP BY band0 HAVING count(*) <= $MaxBucket)
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |  WHERE a.band1 IN (SELECT band1 FROM bands
+         |                    GROUP BY band1 HAVING count(*) <= $MaxBucket))""".stripMargin: _*)(
+      "SELECT doc_a, doc_b FROM pairs_capped"),
 
     "dedup_jaccard_verify" -> withCtes(
       sigSqlCtes ++ Seq(pairsSqlCte,

@@ -133,12 +133,9 @@ object SimilarityQueries {
     "embed_lsh_multiprobe" -> ((s, dir) => {
       val e = emb(s, dir)
       val buckets = lshBuckets(s, e)
-      val probes = buckets.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("bucket"))
-        .withColumn("p", explode(expr("sequence(-1, 7)")))
-        .withColumn("probe", when(col("p") === -1, col("bucket"))
-          .otherwise(expr(
-            "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
+      val probes = graft.api.Similarity.multiProbes(
+        buckets.filter(col("vec_id") % QueryStride === 0)
+          .select(col("vec_id").as("query_id"), col("bucket")), bits = 8)
         .select(col("query_id"), col("probe").as("bucket"))
       val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
         .join(probes, Seq("bucket"))
