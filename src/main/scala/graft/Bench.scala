@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Headline queries: the flagship of each operator family (full
-    * inventory runs in Verify; set SPARK_GRAFT_BENCH_ALL=1 to bench all).
+  /** Headline queries: the flagship of each operator family, timed first
+    * and reported as "queries" (comparable round-over-round); the rest of
+    * the inventory is then timed too and reported in "all_queries".
     * Order: cheap scans first so scheduler warmup lands on small work. */
   val headline: Seq[String] = Seq(
     "block_table",            // scan + bucket agg
@@ -36,19 +37,35 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val benchSet: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.toSeq
-      else headline.map(n => n -> SparkEntry.queries(n))
-    val results = benchSet.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // materialize the dedup intermediate tier up front and report its
+    // one-time cost as its own entry — the dedup queries then measure
+    // query latency on the materialized architecture, with the tier
+    // build cost visible rather than buried in whichever dedup query
+    // happens to run first
+    val tMat = System.nanoTime()
+    try { graft.ops.DedupMaterialize.bandTable(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    val matEntry = "dedup_materialize" -> (System.nanoTime() - tMat) / 1e9
+
+    def time(names: Seq[String]): Seq[(String, Double)] =
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // headline set (comparable round-over-round), then the full
+    // inventory so per-family regressions are visible in every round
+    val results = matEntry +: time(headline)
+    val rest = time(
+      (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)
+    val allResults = results ++ rest
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val allTotal = allResults.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

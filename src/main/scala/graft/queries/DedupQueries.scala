@@ -32,9 +32,12 @@ object DedupQueries {
   private def sigs(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.minhashSignatures(shingles(words(corpus(s, dir))))
 
+  /** Pairs/verify start from the materialized shingle/band tier
+    * (graft.ops.DedupMaterialize): the shingle explosion is computed
+    * once per corpus, not once per plan reference. */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.candidatePairs(
-      graft.api.Dedup.lshBands(sigs(s, dir)))
+      graft.ops.DedupMaterialize.bandTable(s, dir))
 
   private val sigSqlCtes: Seq[String] = {
     val sigCols = Seeds.map(k => s"min(md5('$k|' || shingle)) AS s$k")
@@ -84,12 +87,14 @@ object DedupQueries {
     // from going quadratic at web scale.
     "dedup_minhash_pairs_capped" -> ((s, dir) =>
       graft.api.Dedup.candidatePairs(
-        graft.api.Dedup.lshBands(sigs(s, dir)),
+        graft.ops.DedupMaterialize.bandTable(s, dir),
         maxBucket = Some(MaxBucket))),
 
-    // exact word-trigram Jaccard over the LSH candidates (verify stage)
+    // exact word-trigram Jaccard over the LSH candidates (verify stage);
+    // both the pair set and the shingle sets come from the materialized
+    // tier — the corpus is exploded exactly once per fixture
     "dedup_jaccard_verify" -> ((s, dir) => {
-      val ds = shingles(words(corpus(s, dir))).distinct()
+      val ds = graft.ops.DedupMaterialize.shingleTable(s, dir).distinct()
       val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       val p = candidatePairs(s, dir)
       val inter = p
