@@ -1,0 +1,76 @@
+package graft.chain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The sink contract of the reference export (S5/ST3): every chain table
+  * lands through one of these, so the storage backend is a deployment
+  * choice, not a code path. [[ChainStore]] is the parquet implementation
+  * (partition-dir buckets + sorted rows); [[CassandraShapedSink]] carries
+  * the reference's Cassandra-connector write contract
+  * (blocksci_export.py:396-418 CLI surface) for clusters that deploy the
+  * connector jar.
+  */
+trait ChainSink {
+  /** transaction table, bucketed by tx_id_group (schema.cql:21-34). */
+  def writeTransactions(tx: DataFrame, out: String): Unit
+  /** block table, bucketed by block_id_group (schema.cql:6-13). */
+  def writeBlocks(blocks: DataFrame, out: String): Unit
+  /** hash→id index (schema.cql:36-41). */
+  def writePrefixIndex(tx: DataFrame, out: String): Unit
+}
+
+object ChainSink {
+  /** Full-keyspace export through any sink — the reference's main export
+    * loop (blocksci_export.py:519-539) as three table writes. `out` is
+    * the sink-specific locator: a directory for parquet, ignored by the
+    * connector sink (the keyspace addresses the target). */
+  def writeChain(s: SparkSession, dir: String, out: String,
+      sink: ChainSink = ChainStore): Unit = {
+    val tx = Chain.transactions(s, dir)
+    sink.writeTransactions(tx, out)
+    sink.writeBlocks(Chain.blocks(s, dir), out)
+    sink.writePrefixIndex(tx, out)
+  }
+}
+
+/** Cassandra-cluster coordinates mirroring the reference CLI
+  * (blocksci_export.py:396-418: --db-nodes, --db-port, --db-keyspace,
+  * --concurrency). */
+final case class SinkConfig(
+    keyspace: String,
+    nodes: Seq[String] = Seq("localhost"),
+    port: Int = 9042,
+    concurrency: Int = 100,
+    consistency: String = "LOCAL_QUORUM")
+
+/** Connector-shaped sink: emits each table as a `DataFrameWriter` in the
+  * Spark-Cassandra-Connector option contract (public option keys). The
+  * connector jar is not a dependency of this library — `format` is
+  * pluggable so deployments provide it at submit time; everything up to
+  * `.save()` (option mapping, table routing, append semantics — the
+  * INSERT-by-PK last-write-wins of the reference) is exercised here. */
+class CassandraShapedSink(cfg: SinkConfig,
+    format: String = "org.apache.spark.sql.cassandra") extends ChainSink {
+
+  /** Per-table writer options (the connector's public keys). */
+  def writerOptions(table: String): Map[String, String] = Map(
+    "keyspace" -> cfg.keyspace,
+    "table" -> table,
+    "spark.cassandra.connection.host" -> cfg.nodes.mkString(","),
+    "spark.cassandra.connection.port" -> cfg.port.toString,
+    "spark.cassandra.output.concurrent.writes" -> cfg.concurrency.toString,
+    "spark.cassandra.output.consistency.level" -> cfg.consistency)
+
+  protected def save(df: DataFrame, table: String): Unit =
+    df.write.format(format).options(writerOptions(table))
+      .mode("append").save()
+
+  override def writeTransactions(tx: DataFrame, out: String): Unit =
+    save(tx, "transaction")
+  override def writeBlocks(blocks: DataFrame, out: String): Unit =
+    save(blocks, "block")
+  override def writePrefixIndex(tx: DataFrame, out: String): Unit =
+    save(tx.selectExpr(
+      s"substring(tx_hash, 1, ${Chain.PrefixLen}) AS tx_prefix",
+      "tx_hash", "tx_id"), "transaction_by_tx_prefix")
+}

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * metastore; the nested-io transaction table at ~1 KB/tx makes a bucket
   * ~25 MB ≈ one comfortable parquet row group per bucket.
   */
-object ChainStore {
+object ChainStore extends ChainSink {
 
   private def dynamicOverwrite(s: SparkSession): Unit =
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.chain.{Chain, ChainStore}
+import graft.chain.{CassandraShapedSink, Chain, ChainSink, ChainStore, SinkConfig}
 
 /** Sink-layer contract: roundtrip, idempotent re-write (ST3), pruned
   * point lookups. */
@@ -44,5 +44,38 @@ class StoreSpec extends SparkSpec {
     val h = tx.filter(col("tx_id") === 42L).select("tx_hash").as[String].head()
     val got = ChainStore.lookupByHash(spark, out, h)
     assert(got.select("tx_id").as[Long].collect().toSeq === Seq(42L))
+  }
+
+  test("writeChain exports all tables through the sink trait") {
+    val dir = sf("sf0.001")
+    val chainOut = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "chain_").toString
+    ChainSink.writeChain(spark, dir, chainOut)
+    val n = Chain.transactions(spark, dir).count()
+    assert(spark.read.parquet(s"$chainOut/transaction").count() === n)
+    assert(spark.read.parquet(s"$chainOut/transaction_by_tx_prefix")
+      .count() === n)
+    assert(spark.read.parquet(s"$chainOut/block").count() ===
+      Chain.blocks(spark, dir).count())
+  }
+
+  test("connector-shaped sink routes tables with the reference's options") {
+    val cfg = SinkConfig(keyspace = "btc",
+      nodes = Seq("n1", "n2"), concurrency = 50)
+    val captured = scala.collection.mutable.Buffer.empty[(String, Long)]
+    val sink = new CassandraShapedSink(cfg) {
+      override protected def save(df: org.apache.spark.sql.DataFrame,
+          table: String): Unit = captured += ((table, df.count()))
+    }
+    ChainSink.writeChain(spark, sf("sf0.001"), out = "", sink)
+    assert(captured.map(_._1).toSet ===
+      Set("transaction", "block", "transaction_by_tx_prefix"))
+    assert(captured.forall(_._2 > 0))
+    val opts = sink.writerOptions("transaction")
+    assert(opts("keyspace") === "btc")
+    assert(opts("table") === "transaction")
+    assert(opts("spark.cassandra.connection.host") === "n1,n2")
+    assert(opts("spark.cassandra.connection.port") === "9042")
+    assert(opts("spark.cassandra.output.concurrent.writes") === "50")
   }
 }
