@@ -364,6 +364,20 @@ object RefQueries {
           max(col("block_id")).as("last_block"),
           sum(col("no_transactions")).as("n_txs"))),
 
+    // the LIVE form of the previous-day cut (F5/P8,
+    // blocksci_export.py:540-553): today-midnight from the session
+    // clock, `unix_timestamp(date_trunc('DAY', current_timestamp()))`.
+    // Inequality-safe for the oracle: fixture timestamps are decades in
+    // the past, so both engines' "today" cuts (evaluated minutes apart,
+    // possibly in different zones) keep the identical row set.
+    "block_range_live" -> ((s, dir) =>
+      blocks(s, dir)
+        .filter(col("block_id").between(500, 1500) &&
+          col("ts") < unix_timestamp(date_trunc("DAY", current_timestamp())))
+        .agg(count(lit(1)).as("n_blocks"), min(col("block_id")).as("first_block"),
+          max(col("block_id")).as("last_block"),
+          sum(col("no_transactions")).as("n_txs"))),
+
     // address-type distribution (F8): code → name via a map literal, the
     // reference's categorical encode table (blocksci_export.py:22-33).
     "addr_type_dist" -> ((s, dir) => {
@@ -537,6 +551,13 @@ object RefQueries {
         |  min(block_id) AS first_block, max(block_id) AS last_block,
         |  CAST(sum(no_transactions) AS BIGINT) AS n_txs
         |FROM blk WHERE block_id BETWEEN 500 AND 1500 AND ts < 852076800""".stripMargin),
+
+    "block_range_live" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      """SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |  min(block_id) AS first_block, max(block_id) AS last_block,
+        |  CAST(sum(no_transactions) AS BIGINT) AS n_txs
+        |FROM blk WHERE block_id BETWEEN 500 AND 1500
+        |  AND ts < CAST(epoch(date_trunc('day', now())) AS BIGINT)""".stripMargin),
 
     "addr_type_dist" -> withCtes(ChainSql.io)(
       """SELECT address_type,
