@@ -11,6 +11,8 @@ import graft.chain.{Chain, ChainStore, GraftCatalog}
   * {{{
   * val spark = SparkSession.builder()
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   // events.parquet carries TIMESTAMP(NANOS); set once at build time
+  *   .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   *   .getOrCreate()
   *
   * // chain tables (derive → write partitioned → point lookup)
@@ -36,13 +38,12 @@ object Graft {
     Chain.rates(s, dir)
 
   /** Write the full bucket-partitioned keyspace (transaction + block +
-    * prefix index) idempotently. */
-  def writeChain(s: SparkSession, dir: String, out: String): Unit = {
-    val tx = Chain.transactions(s, dir)
-    ChainStore.writeTransactions(tx, out)
-    ChainStore.writeBlocks(Chain.blocks(s, dir), out)
-    ChainStore.writePrefixIndex(tx, out)
-  }
+    * prefix index) idempotently through any [[graft.chain.ChainSink]]
+    * (parquet store by default; pass a
+    * [[graft.chain.CassandraShapedSink]] for the connector contract). */
+  def writeChain(s: SparkSession, dir: String, out: String,
+      sink: graft.chain.ChainSink = ChainStore): Unit =
+    graft.chain.ChainSink.writeChain(s, dir, out, sink)
 
   /** Register the SQL surface (temp views + custom functions). */
   def registerSql(s: SparkSession, dir: String): Unit =

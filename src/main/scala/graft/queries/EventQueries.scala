@@ -24,9 +24,11 @@ object EventQueries {
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
     * to its µs TimestampType — read it as a long (nanos) and derive epoch
     * seconds by exact integer division (a double division would lose
-    * precision above 2^53 ns). */
+    * precision above 2^53 ns). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set by
+    * Verify/Bench and documented on the [[graft.Graft]] facade) — not
+    * mutated here: a query builder must not side-effect session conf. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, dir, "events").select(
       col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),

@@ -107,7 +107,6 @@ object IncrementalIngest {
     * query with `outputMode("append")` + a real trigger is the continuous
     * deployment. */
   def hourlyEventCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
     val agg = stream

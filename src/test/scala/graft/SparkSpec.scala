@@ -10,7 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
     // keep managed-table data out of the repo root and inside target/
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .getOrCreate()
