@@ -53,6 +53,26 @@ object DedupQueries {
         |  FROM sig)""".stripMargin)
   }
 
+  /** DuckDB mirror of [[graft.api.Dedup.simhash16]]. */
+  private val simhashSqlCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(b AS INT) ELSE 0 END)
+      |         AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, b, sum(v) AS s FROM (
+      |      SELECT doc_id, b,
+      |        CASE WHEN CAST(floor(
+      |          (instr('0123456789abcdef',
+      |                 substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+      |          / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+      |                  WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
+      |        THEN 1 ELSE -1 END AS v
+      |      FROM (SELECT doc_id, unnest(w) AS word FROM words),
+      |           (SELECT unnest(range(0, 16)) AS b))
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id)""".stripMargin
+
   private val pairsSqlCte: String =
     """pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -115,7 +135,33 @@ object DedupQueries {
     // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
     // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
     "dedup_simhash" -> ((s, dir) =>
-      graft.api.Dedup.simhash16(words(corpus(s, dir)))))
+      graft.api.Dedup.simhash16(words(corpus(s, dir)))),
+
+    // SimHash near-dup pairs by the pigeonhole banding: split the 16-bit
+    // fingerprint into 4 nibbles — any pair at Hamming distance ≤ 3
+    // shares at least one unchanged nibble, so candidates = equi-join on
+    // (band position, nibble value), then the exact bit_count verify
+    // (kept at the tighter ≤ 1 cut). Same bucketed shape as MinHash-LSH:
+    // cost ∝ band-bucket occupancy, never |docs|².
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = graft.api.Dedup.simhash16(words(corpus(s, dir)))
+      val bands = sh
+        .select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("nv",
+          expr("shiftright(simhash, CAST(4 * i AS INT)) % 16"))
+      val cand = bands
+        .select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+          col("i"), col("nv"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sb"), col("i"), col("nv")), Seq("i", "nv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb").distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+    }))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> withCtes(corpusSql)(
@@ -163,21 +209,19 @@ object DedupQueries {
         |JOIN cnt ca ON ca.doc_id = i.doc_a
         |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
 
-    "dedup_simhash" -> withCtes(corpusSql, wordsSql)(
-      """SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(b AS INT) ELSE 0 END)
-        |       AS BIGINT) AS simhash
-        |FROM (
-        |  SELECT doc_id, b, sum(v) AS s FROM (
-        |    SELECT doc_id, b,
-        |      CASE WHEN CAST(floor(
-        |        (instr('0123456789abcdef',
-        |               substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-        |        / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
-        |                WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
-        |      THEN 1 ELSE -1 END AS v
-        |    FROM (SELECT doc_id, unnest(w) AS word FROM words),
-        |         (SELECT unnest(range(0, 16)) AS b))
-        |  GROUP BY doc_id, b)
-        |GROUP BY doc_id""".stripMargin))
+    "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte)(
+      "SELECT doc_id, simhash FROM sh"),
+
+    "dedup_simhash_pairs" -> withCtes(corpusSql, wordsSql, simhashSqlCte,
+      """bands AS (
+        |  SELECT doc_id, simhash, i,
+        |         (simhash >> CAST(4 * i AS INT)) % 16 AS nv
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS i))""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.simhash AS sa, b.simhash AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.nv = b.nv AND a.doc_id < b.doc_id)""".stripMargin)(
+      """SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin))
 }

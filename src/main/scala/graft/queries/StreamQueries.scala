@@ -39,7 +39,18 @@ object StreamQueries {
     "stream_incremental" -> ((s, dir) => ingestAndReadBack(s, dir, 0L)),
 
     // ST5: same ingest with the tip−6 confirmation margin in force
-    "stream_tip_margin" -> ((s, dir) => ingestAndReadBack(s, dir, TipMargin)))
+    "stream_tip_margin" -> ((s, dir) => ingestAndReadBack(s, dir, TipMargin)),
+
+    // W2 in motion: the source replays every 97th tx; streaming
+    // dropDuplicates must restore exactly the batch row set (shares
+    // stream_incremental's oracle — the driver compare proves it).
+    "stream_dedup" -> ((s, dir) => {
+      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      IncrementalIngest.dedupedIngest(s, dir, out, Watermark)
+      s.read.parquet(s"$out/transaction")
+        .groupBy(col("block_id"))
+        .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "stream_incremental" -> withCtes(ChainSql.tx)(
@@ -54,5 +65,11 @@ object StreamQueries {
          |FROM tx
          |WHERE block_id > $Watermark
          |  AND block_id <= (SELECT max(block_id) FROM tx) - $TipMargin
+         |GROUP BY block_id""".stripMargin),
+
+    "stream_dedup" -> withCtes(ChainSql.tx)(
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+         |  max(tx_id) AS max_tx_id
+         |FROM tx WHERE block_id > $Watermark
          |GROUP BY block_id""".stripMargin))
 }

@@ -101,6 +101,31 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
   }
 
+  /** Stateful streaming dedup (W2 in motion): the source re-delivers
+    * every 97th tx as an exact replay; `dropDuplicates("tx_hash")` keeps
+    * one copy per hash across micro-batches through the dedup state
+    * store, and the surviving rows land through the same idempotent
+    * bucket sink. In continuous deployment add
+    * `.withWatermark("tsc", ...)` + `dropDuplicatesWithinWatermark` so
+    * the hash state is bounded; the AvailableNow demo keeps full state. */
+  def dedupedIngest(s: SparkSession, dir: String, out: String,
+      watermark: Long): Unit = {
+    val schema = s.read.parquet(s"$dir/orders.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val replayed = tx.unionByName(tx.filter(col("tx_id") % 97 === 0))
+    val name = s"dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = replayed.dropDuplicates("tx_hash")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.chain.ChainStore.writeTransactions(batch.toDF(), out)
+      }
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   /** Watermarked tumbling-window aggregation as a stream: hourly event
     * counts with a 1-hour watermark, run synchronously (complete mode so
     * the still-open tail window is emitted too — batch parity). The same
