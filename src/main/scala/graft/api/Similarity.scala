@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -75,6 +75,30 @@ object Similarity {
         .otherwise(expr(
           "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
       .drop("p")
+
+  /** IVF candidate generation: every vector joins the inverted list of
+    * its nearest centroid (exact integer L2 via dist² = |v|² + |c|² −
+    * 2·v·c); each query probes its `probes` nearest lists. `centroids`
+    * is (cent_id, cq, cn2) — seed vectors or k-means output — and is
+    * broadcast, so list assignment is one pass over the corpus and the
+    * candidate step is an equi-join on cent_id. */
+  def ivfCandidates(e: DataFrame, centroids: DataFrame,
+      isQuery: Column, probes: Int = 2): DataFrame = {
+    val dists = e.crossJoin(broadcast(centroids))
+      .withColumn("dist2", col("n2") + col("cn2") -
+        lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
+      .select(col("vec_id"), col("cent_id"), col("dist2"), isQuery.as("isq"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cent_id"))
+    val ranked = dists.withColumn("crank", row_number().over(byVec))
+    val lists = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val probeSet = ranked.filter(col("crank") <= probes && col("isq"))
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    probeSet.join(lists, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+  }
 
   /** Embedding near-duplicate pairs: same LSH bucket + exact cosine above
     * `threshold` (the vector analog of MinHash-LSH + Jaccard verify). */

@@ -183,26 +183,11 @@ object SimilarityQueries {
     // list id — is the production IVF shape.
     "embed_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = broadcast(e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("n2").as("cn2")))
-      // dist2(v, c) = |v|² + |c|² − 2·v·c (exact integers)
-      val dists = e.crossJoin(cents)
-        .withColumn("dist2", col("n2") + col("cn2") -
-          lit(2L) * graft.functions.VectorFunctions
-            .dot_product_long(col("q"), col("cq")))
-        .select(col("vec_id"), col("cent_id"), col("dist2"))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("cent_id"))
-      val ranked = dists.withColumn("crank", row_number().over(byVec))
-      val lists = ranked.filter(col("crank") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cent_id"))
-      val probes = ranked
-        .filter(col("crank") <= 2 && col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("cent_id"))
-      val cand = probes.join(lists, Seq("cent_id"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
+          col("n2").as("cn2"))
+      val cand = graft.api.Similarity.ivfCandidates(
+        e, cents, col("vec_id") % QueryStride === 0, probes = 2)
       cosTopK(e, cand, 3)
     }),
 

@@ -49,10 +49,13 @@ object IncrementalIngest {
 
   /** Confirmation-depth cut (ST5): keep rows at least `tipMargin` blocks
     * below the source tip, computed distributively (broadcast 1-row tip
-    * dim joined on a constant key — no `.head()` on the driver). */
+    * dim joined on a constant key — no `.head()` on the driver). Margin
+    * 0 keeps every row at or below the tip, which is every source row —
+    * skip the join entirely. */
   private def belowTip(df: DataFrame, tip: DataFrame,
       tipMargin: Long): DataFrame =
-    df.withColumn("one", lit(1))
+    if (tipMargin == 0L) df
+    else df.withColumn("one", lit(1))
       .join(broadcast(tip), Seq("one"))
       .filter(col("block_id") <= col("src_tip") - tipMargin)
       .drop("one", "src_tip")

@@ -67,6 +67,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("custom as-of join equals reference scan on random data") {
+    // random left/right time sets across many partitions — the oracle is
+    // a driver-side sorted scan; exercises range boundaries and the
+    // cross-range boundary carry for arbitrary alignments
+    val timesGen = Gen.listOfN(120, Gen.chooseNum(0L, 500L))
+    samples(Gen.zip(timesGen, timesGen), 6).foreach { case (lt0, rt0) =>
+      val lt = lt0.distinct
+      val rt = rt0.distinct
+      val left = lt.toDF("t").repartition(7)
+      val right = rt.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("rt", "v").repartition(5)
+      val got = graft.plans.AsOfJoin.asof(left, right, "t", "rt")
+        .select("t", "rt").as[(Long, Option[Long])].collect().toMap
+      val sortedR = rt.sorted
+      lt.foreach { t =>
+        val expect = sortedR.takeWhile(_ <= t).lastOption
+        assert(got(t) === expect, s"as-of mismatch at t=$t")
+      }
+    }
+  }
+
   test("last-write-wins dedup keeps max id per key") {
     import org.apache.spark.sql.expressions.Window
     samples(Gen.listOfN(50, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 1000L))),
