@@ -89,13 +89,16 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** 16-bit SimHash over a words frame: per-word md5 nibble bits vote
-    * ±1 per bit position; the sign vector packs into a bigint. */
-  def simhash16(words: DataFrame): DataFrame =
+  /** SimHash over a words frame: per-word md5 nibble bits vote ±1 per
+    * bit position; the sign vector packs into a bigint. `bits` ≤ 62
+    * (bigint sign bit); md5 supplies 128 independent bits. 16 is the
+    * oracle-checked default; production near-dup uses 64. */
+  def simhash(words: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits $bits outside [1, 62]")
     words
       .select(col("doc_id"), explode(col("w")).as("word"))
       .select(col("doc_id"), col("word"),
-        explode(expr("sequence(0, 15)")).as("b"))
+        explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
       .withColumn("v", expr(
         """CASE WHEN CAST(floor(
           |  (instr('0123456789abcdef',
@@ -107,4 +110,8 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("bsum") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)"))
         .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** The oracle-checked 16-bit form. */
+  def simhash16(words: DataFrame): DataFrame = simhash(words, 16)
 }

@@ -306,9 +306,9 @@ object RefQueries {
     }),
 
     // the same as-of join through the custom operator (graft.plans
-    // .AsOfJoin: LogicalPlan + Strategy + sort-merge exec). Shares
-    // rate_asof's oracle → the custom node is hash-verified against both
-    // the relational form and DuckDB's native ASOF JOIN.
+    // .AsOfJoin: LogicalPlan + Strategy + range-partitioned merge exec).
+    // Shares rate_asof's oracle → the custom node is hash-verified
+    // against both the relational form and DuckDB's native ASOF JOIN.
     "rate_asof_custom" -> ((s, dir) => {
       val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
         .select(col("block_id").as("rate_block_id"), col("usdx16"))
@@ -316,6 +316,19 @@ object RefQueries {
       graft.plans.AsOfJoin.asof(blk, pub, "block_id", "rate_block_id")
         .select(col("block_id"), col("usdx16").as("asof_usdx16"),
           (col("usdx16").cast("double") / 16.0).as("asof_usd"))
+    }),
+
+    // the custom as-of with a FACT-table left side (every tx, not the
+    // block dim): the shape that melts a single-partition as-of. The
+    // range-partitioned exec merges each time range in parallel; the
+    // DuckDB ASOF oracle pins the semantics at fact cardinality.
+    "rate_asof_fact" -> ((s, dir) => {
+      val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
+        .select(col("block_id").as("rate_block_id"), col("usdx16"))
+      val tx = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      graft.plans.AsOfJoin.asof(tx, pub, "block_id", "rate_block_id")
+        .select(col("tx_id"), col("block_id"),
+          col("usdx16").as("asof_usdx16"))
     }),
 
     // multi-chain union (§2.7): odd keys = btc, even = ltc, unionByName
@@ -513,6 +526,13 @@ object RefQueries {
         |FROM blk b
         |ASOF LEFT JOIN (SELECT block_id, usdx16 FROM rates WHERE usdx16 % 3 = 0) p
         |  ON p.block_id <= b.block_id""".stripMargin),
+
+    "rate_asof_fact" -> withCtes(ChainSql.tx, ChainSql.rates)(
+      """SELECT t.tx_id, t.block_id, p.usdx16 AS asof_usdx16
+        |FROM tx t
+        |ASOF LEFT JOIN (SELECT block_id AS rate_block_id, usdx16
+        |                FROM rates WHERE usdx16 % 3 = 0) p
+        |  ON p.rate_block_id <= t.block_id""".stripMargin),
 
     "multichain_union" -> withCtes(ChainSql.tx)(
       """SELECT currency, CAST(count(*) AS BIGINT) AS n_txs,
