@@ -236,6 +236,22 @@ object RefQueries {
           (col("tx_id") >= DupOffset).as("was_duplicated"))
     }),
 
+    // last-write-wins as a hash AGGREGATION instead of a ranking window:
+    // max(struct(tx_id, ...)) per hash is map-side combinable, so the
+    // shuffle carries one candidate row per (mapper, hash) — strictly
+    // less data than the window form's full sort exchange. Shares
+    // bip30_dedup's oracle → the two forms are proven equivalent.
+    "bip30_dedup_agg" -> ((s, dir) => {
+      val t = transactions(s, dir).select("tx_hash", "tx_id")
+      val dups = t.filter(col("tx_id") % 97 === 0)
+        .select(col("tx_hash"), (col("tx_id") + DupOffset).as("tx_id"))
+      t.unionByName(dups)
+        .groupBy(col("tx_hash"))
+        .agg(max(struct(col("tx_id"))).as("w"))
+        .select(col("tx_hash"), col("w.tx_id").as("tx_id"),
+          (col("w.tx_id") >= DupOffset).as("was_duplicated"))
+    }),
+
     // hash→tx point lookup via prefix table (J5, schema.cql:36-41).
     // Prefix filter first = partition pruning on the 16^5 prefix buckets.
     "prefix_lookup" -> ((s, dir) => {
@@ -492,6 +508,15 @@ object RefQueries {
         |ORDER BY block_id DESC LIMIT 1""".stripMargin),
 
     "bip30_dedup" -> withCtes(ChainSql.tx)(
+      """SELECT tx_hash, tx_id, tx_id >= 10000000 AS was_duplicated FROM (
+        |  SELECT tx_hash, tx_id,
+        |    row_number() OVER (PARTITION BY tx_hash ORDER BY tx_id DESC) AS rn
+        |  FROM (SELECT tx_hash, tx_id FROM tx
+        |        UNION ALL
+        |        SELECT tx_hash, tx_id + 10000000 FROM tx WHERE tx_id % 97 = 0))
+        |WHERE rn = 1""".stripMargin),
+
+    "bip30_dedup_agg" -> withCtes(ChainSql.tx)(
       """SELECT tx_hash, tx_id, tx_id >= 10000000 AS was_duplicated FROM (
         |  SELECT tx_hash, tx_id,
         |    row_number() OVER (PARTITION BY tx_hash ORDER BY tx_id DESC) AS rn
