@@ -90,26 +90,30 @@ object Dedup {
   }
 
   /** SimHash over a words frame: per-word md5 nibble bits vote ±1 per
-    * bit position; the sign vector packs into a bigint. `bits` ≤ 62
-    * (bigint sign bit); md5 supplies 128 independent bits. 16 is the
-    * oracle-checked default; production near-dup uses 64. */
+    * bit position; the sign vector packs into a bigint. `bits` is a
+    * multiple of 4 up to 60 (md5 supplies the bits; bigint carries the
+    * mask). 16 is the oracle-checked default; near-dup pairing uses 48.
+    *
+    * The per-word vote mask IS the first bits/4 md5 nibbles read
+    * little-endian — one `conv(reverse(...))` scalar instead of a
+    * words × bits explode — and the votes accumulate in
+    * [[graft.functions.SimHashAgg]] (map-side combined counters), so the
+    * shuffle carries one counter array per (mapper, doc), never
+    * per-bit rows. */
   def simhash(words: DataFrame, bits: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 62, s"bits $bits outside [1, 62]")
-    words
+    require(bits >= 4 && bits <= 60 && bits % 4 == 0,
+      s"bits $bits must be a multiple of 4 in [4, 60]")
+    val s = words.sparkSession
+    import s.implicits._
+    val masks = words
       .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), col("word"),
-        explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
-      .withColumn("v", expr(
-        """CASE WHEN CAST(floor(
-          |  (instr('0123456789abcdef',
-          |         substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-          |  / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
-          |          WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
-          |THEN 1 ELSE -1 END""".stripMargin))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("bsum"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bsum") > 0, expr("CAST(shiftleft(1, b) AS BIGINT)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .select(col("doc_id"), expr(
+        s"CAST(conv(reverse(substr(md5(word), 1, ${bits / 4})), 16, 10) AS BIGINT)")
+        .as("mask"))
+      .as[(Long, Long)]
+    masks.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.SimHashAgg(bits).toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   /** The oracle-checked 16-bit form. */

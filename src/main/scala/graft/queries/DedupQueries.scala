@@ -29,6 +29,10 @@ object DedupQueries {
     * candidates worth quadratic pair expansion. */
   private val MaxBucket = 2
 
+  /** SimHash fingerprint width for the pairing query (4 bands of
+    * bits/4). 48 keeps band buckets fine-grained (4096 per band). */
+  private val SimHashBits = 48
+
   private def sigs(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.minhashSignatures(shingles(words(corpus(s, dir))))
 
@@ -53,25 +57,26 @@ object DedupQueries {
         |  FROM sig)""".stripMargin)
   }
 
-  /** DuckDB mirror of [[graft.api.Dedup.simhash16]]. */
-  private val simhashSqlCte: String =
-    """sh AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(b AS INT) ELSE 0 END)
-      |         AS BIGINT) AS simhash
-      |  FROM (
-      |    SELECT doc_id, b, sum(v) AS s FROM (
-      |      SELECT doc_id, b,
-      |        CASE WHEN CAST(floor(
-      |          (instr('0123456789abcdef',
-      |                 substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-      |          / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
-      |                  WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
-      |        THEN 1 ELSE -1 END AS v
-      |      FROM (SELECT doc_id, unnest(w) AS word FROM words),
-      |           (SELECT unnest(range(0, 16)) AS b))
-      |    GROUP BY doc_id, b)
-      |  GROUP BY doc_id)""".stripMargin
+  /** DuckDB mirror of [[graft.api.Dedup.simhash]] at `bits` width. */
+  private def simhashSqlCte(bits: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0
+       |                  THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+       |                  ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id, b, sum(v) AS s FROM (
+       |      SELECT doc_id, b,
+       |        CASE WHEN CAST(floor(
+       |          (instr('0123456789abcdef',
+       |                 substr(md5(word), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+       |          / (CASE CAST(b % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+       |                  WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) % 2 = 1
+       |        THEN 1 ELSE -1 END AS v
+       |      FROM (SELECT doc_id, unnest(w) AS word FROM words),
+       |           (SELECT unnest(range(0, $bits)) AS b))
+       |    GROUP BY doc_id, b)
+       |  GROUP BY doc_id)""".stripMargin
 
   private val pairsSqlCte: String =
     """pairs AS (
@@ -137,19 +142,22 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) =>
       graft.api.Dedup.simhash16(words(corpus(s, dir)))),
 
-    // SimHash near-dup pairs by the pigeonhole banding: split the 16-bit
-    // fingerprint into 4 nibbles — any pair at Hamming distance ≤ 3
-    // shares at least one unchanged nibble, so candidates = equi-join on
-    // (band position, nibble value), then the exact bit_count verify
-    // (kept at the tighter ≤ 1 cut). Same bucketed shape as MinHash-LSH:
-    // cost ∝ band-bucket occupancy, never |docs|².
+    // SimHash near-dup pairs by the pigeonhole banding: split a
+    // SimHashBits-wide fingerprint into 4 bands — any pair at Hamming
+    // distance ≤ 3 shares at least one unchanged band, so candidates =
+    // equi-join on (band position, band value), then the exact
+    // bit_count verify (kept at the tighter ≤ 1 cut). Band width sizes
+    // bucket count to the corpus: 12-bit bands = 4096 buckets per band,
+    // so occupancy — and pair cost — stays linear where 4-bit nibbles
+    // went quadratic at ~50k docs. Same bucketed shape as MinHash-LSH.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sh = graft.api.Dedup.simhash16(words(corpus(s, dir)))
+      val sh = graft.api.Dedup.simhash(words(corpus(s, dir)), SimHashBits)
+      val w = SimHashBits / 4
       val bands = sh
         .select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("i"))
         .withColumn("nv",
-          expr("shiftright(simhash, CAST(4 * i AS INT)) % 16"))
+          expr(s"shiftright(simhash, CAST($w * i AS INT)) % ${1L << w}"))
       val cand = bands
         .select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
           col("i"), col("nv"))
@@ -209,14 +217,15 @@ object DedupQueries {
         |JOIN cnt ca ON ca.doc_id = i.doc_a
         |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
 
-    "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte)(
+    "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte(16))(
       "SELECT doc_id, simhash FROM sh"),
 
-    "dedup_simhash_pairs" -> withCtes(corpusSql, wordsSql, simhashSqlCte,
-      """bands AS (
-        |  SELECT doc_id, simhash, i,
-        |         (simhash >> CAST(4 * i AS INT)) % 16 AS nv
-        |  FROM sh, (SELECT unnest(range(0, 4)) AS i))""".stripMargin,
+    "dedup_simhash_pairs" -> withCtes(corpusSql, wordsSql,
+      simhashSqlCte(48),
+      s"""bands AS (
+         |  SELECT doc_id, simhash, i,
+         |         (simhash >> CAST(12 * i AS INT)) % ${1L << 12} AS nv
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS i))""".stripMargin,
       """cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.simhash AS sa, b.simhash AS sb
