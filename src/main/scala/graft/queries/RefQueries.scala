@@ -385,6 +385,18 @@ object RefQueries {
         .agg(count(lit(1)).as("n_utxos"), sum(col("value")).as("total_value"))
     }),
 
+    // the SQL surface (S7): the same data model queried purely through
+    // spark.sql over the GraftCatalog temp views — what a SQL-only
+    // consumer of the reference keyspace would run after switching.
+    "sql_surface" -> ((s, dir) => {
+      graft.chain.GraftCatalog.register(s, dir)
+      s.sql(
+        """SELECT b.block_id, b.no_transactions,
+          |  CAST(sum(t.tx_id) AS BIGINT) AS sum_tx_id
+          |FROM gs_block b JOIN gs_tx t USING (block_id)
+          |GROUP BY b.block_id, b.no_transactions""".stripMargin)
+    }),
+
     // block-range + previous-day watermark filter (P7+P8/ST1)
     "block_range" -> ((s, dir) =>
       blocks(s, dir)
@@ -590,6 +602,12 @@ object RefQueries {
         |      FROM supplier) s USING (address)
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin),
+
+    "sql_surface" -> withCtes(ChainSql.tx, ChainSql.blk)(
+      """SELECT b.block_id, b.no_transactions,
+        |  CAST(sum(t.tx_id) AS BIGINT) AS sum_tx_id
+        |FROM blk b JOIN tx t USING (block_id)
+        |GROUP BY b.block_id, b.no_transactions""".stripMargin),
 
     "block_range" -> withCtes(ChainSql.tx, ChainSql.blk)(
       """SELECT CAST(count(*) AS BIGINT) AS n_blocks,
