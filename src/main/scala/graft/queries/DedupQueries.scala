@@ -13,8 +13,10 @@ import graft.chain.ChainSql.withCtes
   * Scale design: every stage is a hash-aggregate or equi-join on a derived
   * key — no global sorts, no driver-side loops. The LSH band join is the
   * 100 TB path: candidate generation cost is bounded by bucket sizes, not
-  * |docs|², and skewed buckets (boilerplate docs) are handled by AQE
-  * skew-join splitting.
+  * |docs|²; pathological buckets (boilerplate docs) are dropped by the
+  * `maxBucket` occupancy cap before the self-join (see
+  * `dedup_minhash_pairs_capped`), and the shingle/signature/band chain is
+  * computed once per corpus by `graft.ops.DedupMaterialize`.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
