@@ -429,6 +429,31 @@ object RefQueries {
         .select("address_type", "type_name", "n_ios", "total_value")
     }),
 
+    // skewed aggregation through explicit salting: address_type has only
+    // 10 distinct values (every io row lands on one of 10 reducers
+    // unsalted). saltedSum partial-aggregates on (key, salt) then
+    // finalizes on key; the plain GROUP BY oracle proves the two-level
+    // form exact for algebraic aggregates.
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSum(
+        io(s, dir).select(col("address_type"), col("value")),
+        "address_type", "value", nSalts = 16)),
+
+    // skewed fact ⋈ small dim through explicit salting: the fact side
+    // gets a content-derived salt, the dim replicates ×nSalts, hot keys
+    // spread over nSalts reducers. Shares plain-join semantics — the
+    // unsalted oracle proves it.
+    "skew_salted_join" -> ((s, dir) => {
+      val fact = io(s, dir).filter(!col("is_input"))
+        .select(explode(col("addresses")).as("address"), col("value"))
+      val dim = table(s, dir, "supplier").select(
+        concat(lit("a"), col("s_suppkey").cast("string")).as("address"),
+        col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(fact, dim, "address", nSalts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+    }),
+
     // incremental continue (ST2): sink watermark = max ingested block;
     // resume strictly above it (blocksci_export.py:489-505).
     "continue_watermark" -> ((s, dir) => {
@@ -633,6 +658,22 @@ object RefQueries {
         |  CAST(count(*) AS BIGINT) AS n_ios,
         |  CAST(sum(value) AS BIGINT) AS total_value
         |FROM io GROUP BY address_type""".stripMargin),
+
+    "skew_salted_agg" -> withCtes(ChainSql.io)(
+      """SELECT address_type, CAST(sum(value) AS BIGINT) AS sum_value
+        |FROM io GROUP BY address_type""".stripMargin),
+
+    "skew_salted_join" -> withCtes(ChainSql.io)(
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS total_value
+        |FROM (SELECT value,
+        |        unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                    WHEN address_type IN (1, 7, 10) THEN NULL
+        |                    ELSE [base_addr] END) AS address
+        |      FROM io WHERE NOT is_input) a
+        |JOIN (SELECT 'a' || CAST(s_suppkey AS VARCHAR) AS address, s_nationkey
+        |      FROM supplier) s USING (address)
+        |GROUP BY s_nationkey""".stripMargin),
 
     "continue_watermark" -> withCtes(ChainSql.tx, ChainSql.blk)(
       """SELECT CAST(count(*) AS BIGINT) AS n_new_blocks,

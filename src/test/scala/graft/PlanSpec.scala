@@ -41,4 +41,31 @@ class PlanSpec extends SparkSpec {
     // compact plan strings mark codegen stages with "*(n)"
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("))
   }
+
+  test("last-write-wins agg form partial-aggregates before the shuffle") {
+    val plan = executedPlan("bip30_dedup_agg")
+    assert(plan.contains("partial_max"),
+      s"no map-side combine before the exchange:\n$plan")
+  }
+
+  test("dedup pairs read the materialized band tier, not the corpus") {
+    val plan = executedPlan("dedup_minhash_pairs")
+    assert(plan.contains("target/intermediate"),
+      s"pairs plan recomputes the shingle chain:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"pairs plan still scans the raw corpus:\n$plan")
+  }
+
+  test("segmented rate_asof windows by bucket, never over the facts") {
+    val plan = executedPlan("rate_asof")
+    // the only unpartitioned (SinglePartition) exchange feeds the tiny
+    // per-bucket carry summary, which is then broadcast
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx === -1 ||
+      plan.lastIndexOf("BroadcastExchange") > 0,
+      s"global window over fact rows:\n$plan")
+    assert(plan.contains("windowspecdefinition(b#") ||
+      plan.matches("(?s).*Window.*\\[b#\\d+L\\].*"),
+      s"main window not bucket-partitioned:\n$plan")
+  }
 }
