@@ -32,6 +32,31 @@ object Text {
       |     WHEN fr_hits >= es_hits THEN 'fr'
       |     ELSE 'es' END""".stripMargin
 
+  /** Characteristic character n-grams per language (the classic
+    * profile-based heuristic; disjoint sets keep the argmax sharp). */
+  val Grams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "ing", "he "),
+    "de" -> Seq("sch", "ich", "ein"),
+    "fr" -> Seq("les", "ais", "oux"),
+    "es" -> Seq("los", "ado", "nto"))
+
+  /** Occurrence count of language `lang`'s n-grams in `text`:
+    * Σ (len(text) − len(replace(text, g, ''))) / len(g) — substring
+    * counting with no explode, codegen-friendly in both engines. */
+  def gramHits(lang: String): String =
+    Grams(lang).map(g =>
+      s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Language-ID from character n-gram profiles (no tokenization). */
+  def langIdNgram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr(gramHits("en")).as("en_hits"), expr(gramHits("de")).as("de_hits"),
+        expr(gramHits("fr")).as("fr_hits"), expr(gramHits("es")).as("es_hits"))
+      .withColumn("pred_lang", expr(predLangCase))
+      .withColumn("match", col("pred_lang") === col("lang"))
+
   /** Language-ID scores + prediction per doc. */
   def langId(docWords: DataFrame): DataFrame =
     docWords

@@ -54,6 +54,11 @@ object TextQueries {
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
 
+    // language ID from character n-gram profiles: substring-occurrence
+    // counting via length(replace(...)), no tokenization, no explode
+    "text_langid_ngram" -> ((s, dir) =>
+      graft.api.Text.langIdNgram(docWords(s, dir))),
+
     // quality scoring: exact-integer ratios
     "text_quality" -> ((s, dir) => graft.api.Text.quality(docWords(s, dir))),
 
@@ -115,6 +120,17 @@ object TextQueries {
          |        ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
          |        ${hitsSql("fr")} AS fr_hits, ${hitsSql("es")} AS es_hits
          |      FROM words)""".stripMargin),
+
+    "text_langid_ngram" -> withCtes(docWordsSql)({
+      def g(lang: String): String = graft.api.Text.gramHits(lang)
+      s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+         |  $predLangCase AS pred_lang,
+         |  $predLangCase = lang AS match
+         |FROM (SELECT doc_id, lang,
+         |        ${g("en")} AS en_hits, ${g("de")} AS de_hits,
+         |        ${g("fr")} AS fr_hits, ${g("es")} AS es_hits
+         |      FROM words)""".stripMargin
+    }),
 
     "text_quality" -> withCtes(docWordsSql)(
       s"""SELECT doc_id,
