@@ -23,13 +23,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: `seeds` permutations approximated by
-    * min(md5(seed || shingle)) per doc (hex-string min is
-    * order-isomorphic to a 128-bit hash min). */
+  /** 2^40 modulus of the permutation arithmetic: a_k·h + b_k·h2 with
+    * 20-bit multipliers and 40-bit hash halves peaks below 2^61 — no
+    * bigint overflow in either engine. */
+  val MinHashMod: Long = 1L << 40
+
+  /** Per-permutation odd multipliers, derived deterministically from the
+    * permutation index (md5 of "a|k"/"b|k", 20 bits, forced odd so the
+    * map is a bijection mod 2^40). Exposed so the DuckDB oracle inlines
+    * the identical constants. */
+  def minhashConsts(seeds: Int): IndexedSeq[(Long, Long)] = {
+    def odd(tag: String, k: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag|$k".getBytes("UTF-8"))
+      (BigInt(1, d.take(5)).toLong & ((1L << 20) - 1)) | 1L
+    }
+    (0 until seeds).map(k => (odd("a", k), odd("b", k)))
+  }
+
+  /** MinHash signatures: `seeds` permutations as independent affine
+    * transforms g_k = (a_k·h1 + b_k·h2) mod 2^40 over ONE md5 per
+    * shingle (h1/h2 = two 40-bit digest halves). One hash + `seeds`
+    * integer min-aggs instead of `seeds` md5 calls per shingle row, and
+    * the shuffle carries bigint mins, not 32-char hex strings. The
+    * k-specific odd multipliers scramble the orderings independently —
+    * a plain h1 + k·h2 family correlates permutations (one shingle
+    * minimal in both halves wins every k), inflating band collisions. */
   def minhashSignatures(shingles: DataFrame, seeds: Int = 8): DataFrame = {
-    val aggCols = (0 until seeds).map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"s$k"))
-    shingles.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    require(seeds >= 1 && seeds <= 1000, s"seeds $seeds outside [1, 1000]")
+    val h = shingles.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(shingle), 1, 10), 16, 10) AS BIGINT)")
+        .as("h1"),
+      expr("CAST(conv(substr(md5(shingle), 11, 10), 16, 10) AS BIGINT)")
+        .as("h2"))
+    val aggCols = minhashConsts(seeds).zipWithIndex.map { case ((a, b), k) =>
+      min((col("h1") * lit(a) + col("h2") * lit(b)) % lit(MinHashMod))
+        .as(s"s$k")
+    }
+    h.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** LSH band keys: `bands` bands of `seeds / bands` signature rows each
@@ -38,7 +69,8 @@ object Dedup {
     require(seeds % bands == 0, s"seeds $seeds not divisible into $bands bands")
     val rows = seeds / bands
     val bandCols = (0 until bands).map { b =>
-      md5(concat((b * rows until (b + 1) * rows).map(k => col(s"s$k")): _*))
+      md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(k => col(s"s$k").cast("string")): _*))
         .as(s"band$b")
     }
     sigs.select(col("doc_id") +: bandCols: _*)

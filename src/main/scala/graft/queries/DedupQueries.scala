@@ -46,17 +46,27 @@ object DedupQueries {
       graft.ops.DedupMaterialize.bandTable(s, dir))
 
   private val sigSqlCtes: Seq[String] = {
-    val sigCols = Seeds.map(k => s"min(md5('$k|' || shingle)) AS s$k")
-      .mkString(",\n         ")
+    val consts = graft.api.Dedup.minhashConsts(Seeds.size)
+    val m = graft.api.Dedup.MinHashMod
+    val sigCols = Seeds.map { k =>
+      val (a, b) = consts(k)
+      s"CAST(min((h1 * $a + h2 * $b) % $m) AS BIGINT) AS s$k"
+    }.mkString(",\n         ")
+    def bandSql(ks: Range): String = ks
+      .map(k => s"CAST(s$k AS VARCHAR)").mkString(" || '|' || ")
     Seq(corpusSql, wordsSql, shinglesSql,
       s"""sig AS (
          |  SELECT doc_id,
          |         $sigCols
-         |  FROM shingles GROUP BY doc_id)""".stripMargin,
-      """bands AS (
-        |  SELECT doc_id, md5(s0 || s1 || s2 || s3) AS band0,
-        |         md5(s4 || s5 || s6 || s7) AS band1
-        |  FROM sig)""".stripMargin)
+         |  FROM (SELECT doc_id,
+         |          ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h1,
+         |          ('0x' || substr(md5(shingle), 11, 10))::BIGINT AS h2
+         |        FROM shingles)
+         |  GROUP BY doc_id)""".stripMargin,
+      s"""bands AS (
+         |  SELECT doc_id, md5(${bandSql(0 to 3)}) AS band0,
+         |         md5(${bandSql(4 to 7)}) AS band1
+         |  FROM sig)""".stripMargin)
   }
 
   /** DuckDB mirror of [[graft.api.Dedup.simhash]] at `bits` width. */
