@@ -77,6 +77,37 @@ object MultimodalQueries {
           expr("CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) * 32 AS BIGINT)")
             .as("half_height"))),
 
+    // cross-modal ANN: decoded media metadata joined onto the embedding
+    // table by id, with the modality filter pushed INTO the LSH bucket
+    // key — only same-format vectors ever become candidates, so the
+    // "match images against images" restriction costs nothing extra at
+    // candidate-generation time.
+    "multimodal_embed_ann" -> ((s, dir) => {
+      import s.implicits._
+      val meta = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .select(col("doc_id").as("vec_id"), col("format"))
+      val e = graft.api.Similarity.quantize(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
+      val buckets = graft.api.Similarity.lshBuckets(s, e)
+        .join(meta, Seq("vec_id"))
+      val qb = buckets.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("format"))
+      val cand = buckets
+        .select(col("vec_id").as("neighbor_id"), col("bucket"), col("format"))
+        .join(qb, Seq("bucket", "format"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id", "format")
+      graft.api.Similarity.cosTopK(e, cand.select("query_id", "neighbor_id"), 2)
+        .join(cand.select(col("query_id"), col("neighbor_id"), col("format")),
+          Seq("query_id", "neighbor_id"))
+        .select("query_id", "neighbor_id", "format", "rank", "cos")
+    }),
+
     // metadata rollup: the decoded schema is a normal relational input
     "multimodal_format_stats" -> ((s, dir) => {
       import s.implicits._
@@ -121,5 +152,38 @@ object MultimodalQueries {
       """SELECT format, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
         |  max(width) AS max_width
-        |FROM decoded GROUP BY format""".stripMargin))
+        |FROM decoded GROUP BY format""".stripMargin),
+
+    "multimodal_embed_ann" -> withCtes(decodedSql,
+      SimilarityQueries.embSql, SimilarityQueries.eeSql,
+      SimilarityQueries.normSql, SimilarityQueries.hyperSql,
+      SimilarityQueries.bucketsSql,
+      """bmeta AS (
+        |  SELECT b.vec_id, b.bucket, m.format
+        |  FROM buckets b
+        |  JOIN (SELECT doc_id AS vec_id, format FROM decoded) m USING (vec_id))""".stripMargin,
+      """cand AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.format
+        |  FROM bmeta q
+        |  JOIN bmeta d ON q.bucket = d.bucket AND q.format = d.format
+        |              AND d.vec_id != q.vec_id
+        |  WHERE q.vec_id % 25 = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, c.format,
+        |         CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id, format,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, format, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 2""".stripMargin))
 }

@@ -197,19 +197,39 @@ object SimilarityQueries {
     "dedup_embedding" -> ((s, dir) =>
       graft.api.Similarity.nearDuplicates(s, embCorpus(s, dir), 0.99)))
 
-  private val embSql: String =
+  private[queries] val embSql: String =
     """emb AS (
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
       |  FROM embeddings)""".stripMargin
 
-  private val eeSql: String =
+  private[queries] val eeSql: String =
     """ee AS (
       |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
       |  FROM emb)""".stripMargin
 
-  private val normSql: String =
+  private[queries] val normSql: String =
     "norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM ee GROUP BY vec_id)"
+
+  /** Hyperplane + sign-bucket CTEs (8-bit LSH over `ee`), shared with
+    * the cross-modal query in MultimodalQueries. */
+  private[queries] val hyperSql: String =
+    """hyper AS (
+      |  SELECT j, i,
+      |    2 * (instr('0123456789abcdef',
+      |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+      |  FROM (SELECT unnest(range(0, 8)) AS j),
+      |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin
+
+  private[queries] val bucketsSql: String =
+    """buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+      |         AS BIGINT) AS bucket
+      |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+      |        FROM ee e JOIN hyper h ON e.i = h.i
+      |        GROUP BY e.vec_id, h.j)
+      |  GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> withCtes(embSql, eeSql, normSql,
