@@ -76,6 +76,40 @@ object Similarity {
           "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
       .drop("p")
 
+  /** Deterministic distributed k-means (Lloyd) over a quantized frame:
+    * seed centroids = the first `k` vectors, then `iters` rounds of
+    * assign (broadcast centroid arrays + fused codegen dot product, one
+    * corpus pass) and integer-floor mean update. All arithmetic is
+    * exact, so the trained centroids are reproducible across engines
+    * and cluster sizes. Returns (cent_id, cq, cn2) for [[ivfCandidates]]. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
+    val ee = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .withColumn("i", col("pos") + 1).drop("pos")
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist2", col("n2") + col("cn2") -
+          lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
+        .select(col("vec_id"), col("cent_id"), col("dist2"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select("vec_id", "cent_id")
+      cents = ee.join(assigned, Seq("vec_id"))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          x => x.getField("cv")).as("cq"))
+        .withColumn("cn2", expr("aggregate(cq, 0L, (acc, x) -> acc + x * x)"))
+    }
+    cents
+  }
+
   /** IVF candidate generation: every vector joins the inverted list of
     * its nearest centroid (exact integer L2 via dist² = |v|² + |c|² −
     * 2·v·c); each query probes its `probes` nearest lists. `centroids`

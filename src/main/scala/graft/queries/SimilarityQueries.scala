@@ -84,49 +84,13 @@ object SimilarityQueries {
     // reproducible across engines and cluster sizes.
     "embed_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
-
-      // assignment of every vector to its nearest centroid — broadcast
-      // centroid ARRAYS + the fused codegen dot product: one pass over
-      // the corpus per assignment, no element explode, no big joins
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist2"), col("cent_id"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("dist2", col("n2") + col("cn2") -
-            lit(2L) * graft.functions.VectorFunctions
-              .dot_product_long(col("q"), col("cq")))
-          .select(col("vec_id"), col("cent_id"), col("dist2"))
-          .withColumn("crank", row_number().over(w))
-      }
-
-      val cent0 = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("n2").as("cn2"))
-      val assign0 = assign(cent0).filter(col("crank") === 1)
-        .select(col("vec_id"), col("cent_id"))
-
-      // Lloyd update: integer-floor mean per (centroid, dimension) —
-      // the one place elements explode (the mean is per-dimension),
-      // reassembled into centroid arrays for the next broadcast round
-      val ee = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
-        .withColumn("i", col("pos") + 1).drop("pos")
-      val cent1 = ee.join(assign0, Seq("vec_id"))
-        .groupBy(col("cent_id"), col("i"))
-        .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
-          x => x.getField("cv")).as("cq"))
-        .withColumn("cn2", expr("aggregate(cq, 0L, (acc, x) -> acc + x * x)"))
-
-      val ranked = assign(cent1)
-      val lists = ranked.filter(col("crank") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cent_id"))
-      val probes = ranked
-        .filter(col("crank") <= 2 && col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("cent_id"))
-      val cand = probes.join(lists, Seq("cent_id"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
+      // one deterministic Lloyd round on the seed centroids, then the
+      // standard IVF probe — both through the parameterized API
+      // (broadcast centroid arrays + fused codegen dot product; elements
+      // explode only inside the Lloyd mean update)
+      val cents = graft.api.Similarity.kmeansCentroids(e, k = 16, iters = 1)
+      val cand = graft.api.Similarity.ivfCandidates(
+        e, cents, col("vec_id") % QueryStride === 0, probes = 2)
       cosTopK(e, cand, 3)
     }),
 

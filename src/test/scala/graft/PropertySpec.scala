@@ -67,6 +67,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinHash-LSH recall: every injected exact duplicate becomes a pair") {
+    // identical text → identical shingles → identical signatures in ANY
+    // hash family → identical band keys → the pair MUST surface. This
+    // guards the hash-family construction: precision may vary, recall
+    // of exact dups may not.
+    val dir = sf("sf0.001")
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val dupIds = graft.ops.TextCorpus.corpus(spark, dir)
+      .filter(col("doc_id") >= graft.ops.TextCorpus.DupOffset)
+      .select("doc_id").as[Long].collect()
+    // docs with < 3 words produce no shingles and legitimately drop out
+    val shingled = graft.ops.TextCorpus
+      .shingles(graft.ops.TextCorpus.words(graft.ops.TextCorpus.corpus(spark, dir)))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    dupIds.filter(shingled.contains).foreach { dup =>
+      val orig = dup - graft.ops.TextCorpus.DupOffset
+      assert(pairs.contains((orig, dup)),
+        s"exact duplicate pair ($orig, $dup) missing from LSH candidates")
+    }
+  }
+
+  test("embedding near-dup recall: injected duplicate vectors all pair up") {
+    val dir = sf("sf0.001")
+    val found = SparkEntry.queries("dedup_embedding")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val dups = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("long")).as[Long].collect()
+    dups.foreach { v =>
+      assert(found.contains((v, v + 1000000L)),
+        s"duplicate embedding pair ($v, ${v + 1000000L}) missing")
+    }
+  }
+
   test("custom as-of join equals reference scan on random data") {
     // random left/right time sets across many partitions — the oracle is
     // a driver-side sorted scan; exercises range boundaries and the
