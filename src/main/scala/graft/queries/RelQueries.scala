@@ -69,6 +69,36 @@ object RelQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // NTILE quartiles: equal-frequency bucketing of order totals per
+    // priority (deterministic order: totalprice then key)
+    "order_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
+            .as("max_price"))
+    }),
+
+    // FULL OUTER reconciliation of two snapshots: orders present only
+    // in the "old" cut, only in the "new" cut, or in both — the
+    // standard diff-two-feeds shape.
+    "full_outer_recon" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val neu = o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("old_price").isNull, "added")
+            .when(col("new_price").isNull, "removed")
+            .otherwise("kept").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     // grouping sets via ROLLUP (status × priority + subtotals + grand total)
     "rollup_orders" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -199,6 +229,29 @@ object RelQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders)
         |WHERE rn <= 2""".stripMargin,
+
+    "order_ntile" ->
+      """SELECT o_orderpriority, quartile,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |  FROM orders)
+        |GROUP BY o_orderpriority, quartile""".stripMargin,
+
+    "full_outer_recon" ->
+      """SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              ELSE 'kept' END AS status
+        |  FROM (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 3 != 0) o
+        |  FULL OUTER JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |                   WHERE o_orderkey % 2 != 0) n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |GROUP BY status""".stripMargin,
 
     "rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
