@@ -101,12 +101,15 @@ object ChainStore extends ChainSink {
   /** Spark-bucketed (CLUSTERED BY) tables for co-located joins: both
     * sides bucketed on the join key join WITHOUT a shuffle — the
     * pre-partitioning strategy for repeated large-fact joins at 100 TB.
-    * Requires saveAsTable (bucket metadata lives in the catalog). */
+    * Requires saveAsTable (bucket metadata lives in the catalog);
+    * `path` makes the table external at an explicit location (keeps
+    * data under target/ instead of the session warehouse). */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-      nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(tableName)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

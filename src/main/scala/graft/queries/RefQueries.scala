@@ -429,6 +429,30 @@ object RefQueries {
         .select("address_type", "type_name", "n_ios", "total_value")
     }),
 
+    // co-located bucketed join (the repeated-large-fact-join strategy):
+    // both sides land as CLUSTERED BY (tx_id) tables, so the join needs
+    // NO exchange on either side (BucketingSpec asserts the plan); the
+    // plain-join oracle proves the bucketed path's results identical.
+    "bucketed_join" -> ((s, dir) => {
+      def mk(name: String, df: DataFrame): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.io.File(s"target/bucketed/$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+        graft.chain.ChainStore.writeBucketed(df, name, "tx_id", 8,
+          Some(s"target/bucketed/$name"))
+      }
+      mk("gb_tx", transactions(s, dir))
+      mk("gb_iostats", txIoStats(s, dir))
+      s.table("gb_tx").join(s.table("gb_iostats"), Seq("tx_id"))
+        .groupBy(col("block_id"))
+        .agg(count(lit(1)).as("n_txs"),
+          sum(col("total_output")).as("total_output"))
+    }),
+
     // skewed aggregation through explicit salting: address_type has only
     // 10 distinct values (every io row lands on one of 10 reducers
     // unsalted). saltedSum partial-aggregates on (key, salt) then
@@ -658,6 +682,12 @@ object RefQueries {
         |  CAST(count(*) AS BIGINT) AS n_ios,
         |  CAST(sum(value) AS BIGINT) AS total_value
         |FROM io GROUP BY address_type""".stripMargin),
+
+    "bucketed_join" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioStats)(
+      """SELECT t.block_id, CAST(count(*) AS BIGINT) AS n_txs,
+        |  CAST(sum(s.total_output) AS BIGINT) AS total_output
+        |FROM tx t JOIN iostats s USING (tx_id)
+        |GROUP BY t.block_id""".stripMargin),
 
     "skew_salted_agg" -> withCtes(ChainSql.io)(
       """SELECT address_type, CAST(sum(value) AS BIGINT) AS sum_value
