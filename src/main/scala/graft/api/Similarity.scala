@@ -40,28 +40,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Hyperplane coefficient h(j, i): 2·hexval(md5("j_i")[0]) − 15, an odd
+    * integer in [−15, 15] — the same deterministic family the DuckDB
+    * oracle mirrors derive in SQL, computed driver-side so the planes can
+    * ship as literals. */
+  private def hyperCoeff(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_${i}".getBytes("UTF-8"))
+    2L * ((d(0) >> 4) & 0xf) - 15L
+  }
+
+  /** The `bits` × `dim` hyperplane table as plain arrays (row j = plane j,
+    * component p = coefficient for vector position p). */
+  def hyperplanes(bits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(bits)(j => Array.tabulate(dim)(p => hyperCoeff(j, p + 1)))
+
   /** Sign-LSH buckets: `bits` deterministic md5-derived hyperplanes over
     * `dim`-component vectors → 2^bits buckets. Size bits to the corpus:
     * at ~1e9 vectors, 8 bits (256 buckets) leaves ~4M vectors/bucket —
-    * widen to 16-20 bits and recover recall with multi-probe. */
+    * widen to 16-20 bits and recover recall with multi-probe.
+    *
+    * Bucket assignment is ZERO-shuffle: each plane is a broadcast array
+    * literal and each sign bit is one fused-codegen [[DotProductLong]]
+    * pass over the vector, so the bucket key exists map-side before any
+    * exchange — `bits` × `dim` multiply-adds per row, no explode, no
+    * join, no aggregation. Bit weights are built as Scala `1L << j`, so
+    * any width up to 62 is exact (no 32-bit shift wraparound). */
   def lshBuckets(s: SparkSession, e: DataFrame, bits: Int = 8,
       dim: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits $bits outside [1, 62]")
-    val hyper = s.range(0, bits).select(col("id").as("j"))
-      .crossJoin(s.range(1, dim + 1).select(col("id").as("i")))
-      .withColumn("h", expr(
-        """2 * (instr('0123456789abcdef',
-          |     substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 1)) - 1) - 15"""
-          .stripMargin))
-    val elems = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
-      .withColumn("i", col("pos") + 1)
-    elems.join(broadcast(hyper), Seq("i"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("v") * col("h")).as("sdot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("sdot") > 0,
-        expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)"))
-        .otherwise(lit(0L))).as("bucket"))
+    val planes = hyperplanes(bits, dim)
+    val bucket = (0 until bits).map { j =>
+      when(VectorFunctions.dot_product_long(
+        col("q"), typedLit(planes(j).toSeq)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** Multi-probe expansion: each row also probes the `bits` buckets at
@@ -71,9 +85,11 @@ object Similarity {
   def multiProbes(buckets: DataFrame, bits: Int = 8): DataFrame =
     buckets
       .withColumn("p", explode(expr(s"sequence(-1, ${bits - 1})")))
+      // the flip mask shifts a BIGINT: a 32-bit `1 << p` would turn
+      // negative at p=31 and wrap to an aliased mask for p >= 32
       .withColumn("probe", when(col("p") === -1, col("bucket"))
         .otherwise(expr(
-          "CAST(bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) AS BIGINT)")))
+          "bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")))
       .drop("p")
 
   /** Deterministic distributed k-means (Lloyd) over a quantized frame:
@@ -99,13 +115,23 @@ object Similarity {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select("vec_id", "cent_id")
-      cents = ee.join(assigned, Seq("vec_id"))
+      val updated = ee.join(assigned, Seq("vec_id"))
         .groupBy(col("cent_id"), col("i"))
         .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
           x => x.getField("cv")).as("cq"))
         .withColumn("cn2", expr("aggregate(cq, 0L, (acc, x) -> acc + x * x)"))
+      // materialize the round: centroids are k×dim bigints, so collecting
+      // them into a literal frame is a bounded driver action (exactly the
+      // payload the next round broadcasts anyway). Severs the lineage —
+      // plan depth stays O(1) in iters instead of re-evaluating every
+      // prior round under each broadcast; determinism is unaffected since
+      // the arithmetic is exact.
+      val s = e.sparkSession
+      cents = s.createDataFrame(
+        s.sparkContext.parallelize(updated.collect().toIndexedSeq, 1),
+        updated.schema)
     }
     cents
   }

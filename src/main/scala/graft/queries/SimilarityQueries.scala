@@ -28,6 +28,10 @@ object SimilarityQueries {
   /** Every 250th vector is a query (20 queries at sf0.01). */
   private val QueryStride = 250
 
+  /** Lloyd rounds for the learned-centroid IVF query (Spark side AND the
+    * generated oracle CTE chain below use the same constant). */
+  private val KmeansIters = 3
+
   private def quantize(raw: DataFrame): DataFrame =
     graft.api.Similarity.quantize(raw)
 
@@ -77,18 +81,17 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
-    // IVF with learned centroids: one deterministic Lloyd iteration on
-    // top of the seed centroids (assign → integer-floor mean → reassign),
+    // IVF with learned centroids: deterministic Lloyd iterations on top
+    // of the seed centroids (assign → integer-floor mean → reassign),
     // then probe the 2 nearest learned centroids. All arithmetic stays
     // exact (integer sums, one floor'd division) so the "training" is
-    // reproducible across engines and cluster sizes.
+    // reproducible across engines and cluster sizes. Each round is
+    // materialized (k×dim bigints collected into literals), so the plan
+    // depth stays O(1) in the iteration count.
     "embed_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
-      // one deterministic Lloyd round on the seed centroids, then the
-      // standard IVF probe — both through the parameterized API
-      // (broadcast centroid arrays + fused codegen dot product; elements
-      // explode only inside the Lloyd mean update)
-      val cents = graft.api.Similarity.kmeansCentroids(e, k = 16, iters = 1)
+      val cents = graft.api.Similarity.kmeansCentroids(
+        e, k = 16, iters = KmeansIters)
       val cand = graft.api.Similarity.ivfCandidates(
         e, cents, col("vec_id") % QueryStride === 0, probes = 2)
       cosTopK(e, cand, 3)
@@ -198,6 +201,44 @@ object SimilarityQueries {
       |        GROUP BY e.vec_id, h.j)
       |  GROUP BY vec_id)""".stripMargin
 
+  /** Oracle CTE chain for `iters` deterministic Lloyd rounds: seed
+    * centroids cent0 = the first 16 vectors, then per round r the
+    * argmin assignment (ranked{r} / assign{r}) and the integer-floor
+    * mean update (cent{r+1} / cnorm{r+1}); the final ranked{iters}
+    * drives the IVF lists/probes. Mirrors Similarity.kmeansCentroids
+    * exactly — the round count is the only parameter. */
+  private def kmeansRoundCtes(iters: Int): Seq[String] = {
+    def ranked(r: Int): String =
+      s"""ranked$r AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY n.n2 + c.cn2 - 2 * d.dot, d.cent_id) AS crank
+         |  FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+         |        FROM ee e JOIN cent$r c ON e.i = c.i
+         |        GROUP BY e.vec_id, c.cent_id) d
+         |  JOIN norm n ON n.vec_id = d.vec_id
+         |  JOIN cnorm$r c ON c.cent_id = d.cent_id)""".stripMargin
+    val seed = Seq(
+      """cent0 AS (
+        |  SELECT vec_id AS cent_id, i, v AS cv FROM ee WHERE vec_id < 16)""".stripMargin,
+      """cnorm0 AS (
+        |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
+        |  FROM cent0 GROUP BY cent_id)""".stripMargin)
+    val rounds = (0 until iters).flatMap { r =>
+      Seq(
+        ranked(r),
+        s"assign$r AS (SELECT vec_id, cent_id FROM ranked$r WHERE crank = 1)",
+        s"""cent${r + 1} AS (
+           |  SELECT a.cent_id, e.i, CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS cv
+           |  FROM ee e JOIN assign$r a ON a.vec_id = e.vec_id
+           |  GROUP BY a.cent_id, e.i)""".stripMargin,
+        s"""cnorm${r + 1} AS (
+           |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
+           |  FROM cent${r + 1} GROUP BY cent_id)""".stripMargin)
+    }
+    seed ++ rounds :+ ranked(iters)
+  }
+
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> withCtes(embSql, eeSql, normSql,
       s"""dots AS (
@@ -275,42 +316,11 @@ object SimilarityQueries {
         |  FROM ccos)
         |WHERE rank <= 3""".stripMargin),
 
-    "embed_ivf_kmeans" -> withCtes(embSql, eeSql, normSql,
-      """cent0 AS (
-        |  SELECT vec_id AS cent_id, i, v AS cv FROM ee WHERE vec_id < 16)""".stripMargin,
-      """cnorm0 AS (
-        |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
-        |  FROM cent0 GROUP BY cent_id)""".stripMargin,
-      """assign0 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT d.vec_id, d.cent_id,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY n.n2 + c.cn2 - 2 * d.dot, d.cent_id) AS crank
-        |    FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
-        |          FROM ee e JOIN cent0 c ON e.i = c.i
-        |          GROUP BY e.vec_id, c.cent_id) d
-        |    JOIN norm n ON n.vec_id = d.vec_id
-        |    JOIN cnorm0 c ON c.cent_id = d.cent_id)
-        |  WHERE crank = 1)""".stripMargin,
-      """cent1 AS (
-        |  SELECT a.cent_id, e.i, CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS cv
-        |  FROM ee e JOIN assign0 a ON a.vec_id = e.vec_id
-        |  GROUP BY a.cent_id, e.i)""".stripMargin,
-      """cnorm1 AS (
-        |  SELECT cent_id, CAST(sum(cv * cv) AS BIGINT) AS cn2
-        |  FROM cent1 GROUP BY cent_id)""".stripMargin,
-      """ranked1 AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |    row_number() OVER (PARTITION BY d.vec_id
-        |      ORDER BY n.n2 + c.cn2 - 2 * d.dot, d.cent_id) AS crank
-        |  FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
-        |        FROM ee e JOIN cent1 c ON e.i = c.i
-        |        GROUP BY e.vec_id, c.cent_id) d
-        |  JOIN norm n ON n.vec_id = d.vec_id
-        |  JOIN cnorm1 c ON c.cent_id = d.cent_id)""".stripMargin,
-      "lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked1 WHERE crank = 1)",
+    "embed_ivf_kmeans" -> withCtes(Seq(embSql, eeSql, normSql) ++
+      kmeansRoundCtes(KmeansIters) ++ Seq(
+      s"lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
       s"""probes AS (
-         |  SELECT vec_id AS query_id, cent_id FROM ranked1
+         |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
          |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
       """cand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
@@ -327,7 +337,7 @@ object SimilarityQueries {
         |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
         |  FROM cdots
         |  JOIN norm nq ON nq.vec_id = cdots.query_id
-        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin): _*)(
       """SELECT query_id, neighbor_id, rank, cos FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank

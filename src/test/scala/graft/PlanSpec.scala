@@ -57,15 +57,45 @@ class PlanSpec extends SparkSpec {
   }
 
   test("segmented rate_asof windows by bucket, never over the facts") {
-    val plan = executedPlan("rate_asof")
-    // the only unpartitioned (SinglePartition) exchange feeds the tiny
-    // per-bucket carry summary, which is then broadcast
-    val idx = plan.indexOf("Exchange SinglePartition")
-    assert(idx === -1 ||
-      plan.lastIndexOf("BroadcastExchange") > 0,
-      s"global window over fact rows:\n$plan")
-    assert(plan.contains("windowspecdefinition(b#") ||
-      plan.matches("(?s).*Window.*\\[b#\\d+L\\].*"),
-      s"main window not bucket-partitioned:\n$plan")
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // disable AQE for this run so the executed plan is a plain tree the
+    // assertions can traverse (query-stage leaves hide their subtrees)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("rate_asof")(spark, sf("sf0.001"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      val (globalWins, partedWins) = wins.partition(_.partitionSpec.isEmpty)
+      // the fact-side window must partition by the time bucket b
+      assert(partedWins.nonEmpty &&
+        partedWins.forall(_.partitionSpec.exists(_.toString.contains("b#"))),
+        s"fact-side window not bucket-partitioned:\n$plan")
+      // an unpartitioned window is only legal over the per-bucket carry
+      // summary, i.e. inside the subtree that gets broadcast back
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      globalWins.foreach { w =>
+        assert(bcasts.exists(_.find(_ eq w).isDefined),
+          s"unpartitioned window over fact rows (not in the broadcast " +
+            s"carry subtree):\n$plan")
+      }
+      assert(globalWins.size <= 1, s"multiple global windows:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("LSH bucket assignment is shuffle-free (broadcast plane literals)") {
+    val e = graft.api.Similarity.quantize(
+      spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+        .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding"))
+    val b = graft.api.Similarity.lshBuckets(spark, e)
+    b.collect()
+    val plan = b.queryExecution.executedPlan.toString
+    // the bucket key must exist map-side: scan → project, no exchange,
+    // no generate (explode), no aggregation
+    assert(!plan.contains("Exchange"), s"bucket assignment shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"bucket assignment explodes:\n$plan")
+    assert(plan.contains("dot_product_long"),
+      s"bucket bits not computed via the codegen dot product:\n$plan")
   }
 }
