@@ -36,6 +36,32 @@ object ChainStore extends ChainSink {
       .parquet(s"$out/transaction")
   }
 
+  /** Streaming-epoch variant of [[writeTransactions]]: partitions on
+    * (tx_id_group, ingest_epoch) so successive micro-batches that touch
+    * the SAME tx bucket stay additive — dynamic overwrite rewrites only
+    * this epoch's sub-partitions, so replaying an epoch after a failure
+    * is still idempotent, while other epochs' rows in a shared bucket
+    * survive (a plain bucket-keyed overwrite would wipe them; at 100 TB
+    * an epoch almost never covers whole buckets). Read the store back
+    * through [[readTransactions]], which hides the epoch column. */
+  def writeTransactionsEpoch(tx: DataFrame, out: String, epoch: Long): Unit = {
+    dynamicOverwrite(tx.sparkSession)
+    tx.withColumn("ingest_epoch", lit(epoch))
+      .repartition(col("tx_id_group"))
+      .sortWithinPartitions(col("tx_id"))
+      .write.mode("overwrite")
+      .partitionBy("tx_id_group", "ingest_epoch")
+      .parquet(s"$out/transaction")
+  }
+
+  /** Transaction store reader that works against both layouts: the batch
+    * bucket-only layout and the epoch-keyed streaming layout. */
+  def readTransactions(s: SparkSession, out: String): DataFrame = {
+    val df = s.read.parquet(s"$out/transaction")
+    if (df.schema.fieldNames.contains("ingest_epoch")) df.drop("ingest_epoch")
+    else df
+  }
+
   /** block table: clustering ORDER BY (block_id DESC) of schema.cql:13 →
     * descending sort inside each bucket. */
   def writeBlocks(blocks: DataFrame, out: String): Unit = {
@@ -70,12 +96,18 @@ object ChainStore extends ChainSink {
 
   /** Point lookup by full hash: prunes to one p2 directory, row-group
     * skips on the sorted tx_prefix column, final equality on the binary
-    * hash (F1's unhex direction in the lookup path). */
-  def lookupByHash(s: SparkSession, out: String, hashHex: String): DataFrame =
-    s.read.parquet(s"$out/transaction_by_tx_prefix")
-      .filter(col("p2") === hashHex.substring(0, 2) &&
-        col("tx_prefix") === hashHex.substring(0, Chain.PrefixLen) &&
-        col("tx_hash_bin") === unhex(lit(hashHex)))
+    * hash (F1's unhex direction in the lookup path). Indexes written
+    * before the binary column existed fall back to hex-string equality —
+    * same pruning, same result, 2× the hash-column bytes scanned. */
+  def lookupByHash(s: SparkSession, out: String, hashHex: String): DataFrame = {
+    val idx = s.read.parquet(s"$out/transaction_by_tx_prefix")
+    val finalEq =
+      if (idx.schema.fieldNames.contains("tx_hash_bin"))
+        col("tx_hash_bin") === unhex(lit(hashHex))
+      else col("tx_hash") === lit(hashHex)
+    idx.filter(col("p2") === hashHex.substring(0, 2) &&
+      col("tx_prefix") === hashHex.substring(0, Chain.PrefixLen) && finalEq)
+  }
 
   /** Point lookup by tx id: partition-pruned on the bucket column. */
   def lookupByTxId(s: SparkSession, out: String, txId: Long): DataFrame =

@@ -25,14 +25,28 @@ object DedupMaterialize {
 
   private val lock = new Object
 
-  /** Root is under target/ so `sbt clean` clears the tier. */
+  /** Minhash parameters the parked tier was built with — part of the
+    * cache key, so changing them invalidates instead of silently reusing
+    * a tier built under the old family. */
+  private val Seeds = 8
+  private val Bands = 2
+
+  /** Bump on any change to the shingle/signature/band derivation that
+    * is not visible in the parameters (hash family, shingle width…). */
+  private val FormatVersion = 2
+
+  /** Root is under target/ so `sbt clean` clears the tier. The key folds
+    * in corpus path, corpus mtime, the minhash parameters, and the code
+    * format version. */
   private def base(dir: String): String = {
     val f = new File(s"$dir/documents.parquet")
     val mtime =
-      if (f.isDirectory) f.listFiles().map(_.lastModified()).max
+      if (f.isDirectory)
+        // listFiles is empty for a bare directory → fall back to dir mtime
+        (f.lastModified() +: f.listFiles().map(_.lastModified()).toSeq).max
       else f.lastModified()
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/intermediate/dedup_${key}_$mtime"
+    s"target/intermediate/dedup_v${FormatVersion}_s${Seeds}b${Bands}_${key}_$mtime"
   }
 
   private def ensure(s: SparkSession, dir: String): String = {
@@ -45,8 +59,8 @@ object DedupMaterialize {
         // signatures/bands derive from the parked shingles — the
         // explosion is never recomputed
         val sigs = graft.api.Dedup.minhashSignatures(
-          s.read.parquet(s"$root/shingles"))
-        graft.api.Dedup.lshBands(sigs)
+          s.read.parquet(s"$root/shingles"), Seeds)
+        graft.api.Dedup.lshBands(sigs, Seeds, Bands)
           .write.mode("overwrite").parquet(s"$root/bands")
       }
     }

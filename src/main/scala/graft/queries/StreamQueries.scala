@@ -25,13 +25,16 @@ object StreamQueries {
   /** Reference confirmation depth (conf/btc.cfg:20 `maxBlockNum: -6`). */
   private val TipMargin = 6L
 
+  private def readBack(s: SparkSession, out: String): DataFrame =
+    graft.chain.ChainStore.readTransactions(s, out)
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+
   private def ingestAndReadBack(s: SparkSession, dir: String,
       tipMargin: Long): DataFrame = {
     val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     IncrementalIngest.ingestToStore(s, dir, out, Watermark, tipMargin)
-    s.read.parquet(s"$out/transaction")
-      .groupBy(col("block_id"))
-      .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+    readBack(s, out)
   }
 
   val queries: Map[String, Q] = Map(
@@ -47,9 +50,18 @@ object StreamQueries {
     "stream_dedup" -> ((s, dir) => {
       val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       IncrementalIngest.dedupedIngest(s, dir, out, Watermark)
-      s.read.parquet(s"$out/transaction")
-        .groupBy(col("block_id"))
-        .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
+      readBack(s, out)
+    }),
+
+    // the BOUNDED-state form of the same dedup (event-time watermark +
+    // dropDuplicatesWithinWatermark): on the in-order fixture the
+    // within-watermark replays are all removed, so it must produce the
+    // identical row set — shares the same oracle, while keeping dedup
+    // state evictable (the continuous-deployment requirement).
+    "stream_dedup_bounded" -> ((s, dir) => {
+      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      IncrementalIngest.dedupedIngestBounded(s, dir, out, Watermark)
+      readBack(s, out)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +80,12 @@ object StreamQueries {
          |GROUP BY block_id""".stripMargin),
 
     "stream_dedup" -> withCtes(ChainSql.tx)(
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+         |  max(tx_id) AS max_tx_id
+         |FROM tx WHERE block_id > $Watermark
+         |GROUP BY block_id""".stripMargin),
+
+    "stream_dedup_bounded" -> withCtes(ChainSql.tx)(
       s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
          |  max(tx_id) AS max_tx_id
          |FROM tx WHERE block_id > $Watermark

@@ -80,23 +80,31 @@ object IncrementalIngest {
   }
 
   /** ST3 production shape: stream → `foreachBatch` → deterministic
-    * dynamic overwrite of bucket partitions via the ChainStore sink.
-    * Exactly-once per epoch without a transactional sink: the bucket set
-    * an epoch writes is a pure function of its data, so replaying the
-    * epoch rewrites the same buckets to the same content. */
+    * dynamic overwrite of (bucket, epoch) partitions via the ChainStore
+    * sink. Exactly-once per epoch without a transactional sink: an
+    * epoch's partition set is a pure function of (its data, its batch
+    * id), so replaying the epoch rewrites exactly its own partitions to
+    * the same content — and because the epoch id is IN the partition
+    * key, a bucket whose rows span several micro-batches keeps every
+    * batch's rows (a bucket-only overwrite would wipe the earlier ones).
+    * `maxFilesPerTrigger` caps epoch size — at 100 TB an AvailableNow
+    * catch-up run must bound its epochs or the first one is the backlog. */
   def ingestToStore(s: SparkSession, dir: String, out: String,
-      watermark: Long, tipMargin: Long = 0L): Unit = {
+      watermark: Long, tipMargin: Long = 0L,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(s"$dir/orders*.parquet")
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
     val tip = tipFrame(s, dir)
     val name = s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = tx.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         // ST5 inside the epoch: the margin cut is a broadcast join on the
         // (static) batch frame — the epoch stays fully distributed
-        graft.chain.ChainStore.writeTransactions(
-          belowTip(batch.toDF(), tip, tipMargin), out)
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          belowTip(batch.toDF(), tip, tipMargin), out, epoch)
       }
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.AvailableNow())
@@ -108,9 +116,9 @@ object IncrementalIngest {
     * every 97th tx as an exact replay; `dropDuplicates("tx_hash")` keeps
     * one copy per hash across micro-batches through the dedup state
     * store, and the surviving rows land through the same idempotent
-    * bucket sink. In continuous deployment add
-    * `.withWatermark("tsc", ...)` + `dropDuplicatesWithinWatermark` so
-    * the hash state is bounded; the AvailableNow demo keeps full state. */
+    * epoch-keyed sink. State here is UNBOUNDED (full hash history) —
+    * fine for an AvailableNow catch-up run; a continuously-running
+    * deployment uses [[dedupedIngestBounded]]. */
   def dedupedIngest(s: SparkSession, dir: String, out: String,
       watermark: Long): Unit = {
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
@@ -120,13 +128,70 @@ object IncrementalIngest {
     val name = s"dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = replayed.dropDuplicates("tx_hash")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.chain.ChainStore.writeTransactions(batch.toDF(), out)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.chain.ChainStore.writeTransactionsEpoch(batch.toDF(), out, epoch)
       }
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  /** Bounded-state streaming dedup — the continuous-deployment form:
+    * event time = the tx timestamp, `delay` of allowed lateness, and
+    * `dropDuplicatesWithinWatermark` so each hash's dedup state is
+    * EVICTED once the watermark passes its event time + delay. Replays
+    * arriving within the window are dropped (same result as the
+    * unbounded form on an in-order source); a replay arriving after its
+    * original's state expired lands again — the explicit trade-off that
+    * keeps state O(events-per-delay-window) instead of O(history), which
+    * is what makes the query safe to leave running forever.
+    * StreamingSpec exercises both sides of that boundary. */
+  def dedupedIngestBounded(s: SparkSession, dir: String, out: String,
+      watermark: Long, delay: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/orders.parquet").schema
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(s"$dir/orders*.parquet")
+    val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val replayed = tx.unionByName(tx.filter(col("tx_id") % 97 === 0))
+    val name = s"ddb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = replayed
+      .withColumn("tsc", timestamp_seconds(col("ts")))
+      .withWatermark("tsc", delay)
+      .dropDuplicatesWithinWatermark("tx_hash")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          batch.drop("tsc"), out, epoch)
+      }
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  /** The SAME ingest query left running: a processing-time trigger
+    * instead of AvailableNow, returned as a live handle so the caller
+    * owns the lifecycle — new source files are picked up each interval
+    * and land through the identical epoch-keyed sink (SCALE.md's
+    * "same query left running = real-time sync", demonstrated as tested
+    * fact in StreamingSpec). */
+  def ingestContinuously(s: SparkSession, dir: String, out: String,
+      watermark: Long, intervalMs: Long = 500L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(s"$dir/orders.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val name = s"cont_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    tx.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.chain.ChainStore.writeTransactionsEpoch(batch.toDF(), out, epoch)
+      }
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
   }
 
   /** Watermarked tumbling-window aggregation as a stream: hourly event

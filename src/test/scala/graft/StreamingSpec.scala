@@ -48,6 +48,95 @@ class StreamingSpec extends SparkSpec {
       expect.agg(sum("tx_id")).as[Long].head())
   }
 
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toString
+
+  test("multi-batch epochs stay additive in a shared bucket") {
+    val dir = sf("sf0.001")
+    val src = tmpDir("mbsrc_")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    // two source files = two micro-batches under maxFilesPerTrigger=1;
+    // every sf0.001 tx lands in tx bucket 0, so a bucket-keyed overwrite
+    // would wipe batch 1's rows when batch 2 lands
+    orders.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/orders.parquet")
+    orders.filter(col("o_orderkey") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/orders2.parquet")
+    val out = tmpDir("mb_")
+    IncrementalIngest.ingestToStore(spark, src, out, -1L, 0L,
+      maxFilesPerTrigger = Some(1))
+    val raw = spark.read.parquet(s"$out/transaction")
+    assert(raw.select("ingest_epoch").distinct().count() >= 2,
+      "expected the source to split into multiple epochs")
+    val got = graft.chain.ChainStore.readTransactions(spark, out)
+    assert(got.count() === orders.count())
+    assert(got.agg(sum("tx_id")).as[Long].head() ===
+      Chain.txProjection(orders).agg(sum("tx_id")).as[Long].head())
+  }
+
+  test("continuous processing-time trigger catches up with new files") {
+    val dir = sf("sf0.001")
+    val src = tmpDir("contsrc_")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val first = orders.filter(col("o_orderkey") % 2 === 0)
+    val second = orders.filter(col("o_orderkey") % 2 === 1)
+    first.coalesce(1).write.parquet(s"$src/orders.parquet")
+    val out = tmpDir("cont_")
+    val q = IncrementalIngest.ingestContinuously(spark, src, out, -1L)
+    try {
+      q.processAllAvailable()
+      assert(graft.chain.ChainStore.readTransactions(spark, out).count() ===
+        first.count())
+      // feed a second file while the query is live: the running trigger
+      // must pick it up and the store must catch up to the full set
+      second.coalesce(1).write.parquet(s"$src/orders2.parquet")
+      q.processAllAvailable()
+      assert(graft.chain.ChainStore.readTransactions(spark, out).count() ===
+        orders.count())
+    } finally q.stop()
+  }
+
+  test("bounded dedup drops within-watermark replays, accepts post-eviction ones") {
+    val dir = sf("sf0.001")
+    val src = tmpDir("ddbsrc_")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val sample = orders.filter(col("o_orderkey") % 250 === 0)
+    val filler = orders.filter(col("o_orderkey") % 250 === 1)
+    // batch 1: the sample. batch 2: disjoint filler keys dated +15 days —
+    // advances the watermark so batch 1's dedup state gets evicted.
+    // batch 3: the sample's order keys again (same tx_hash), re-dated
+    // +1700 days so the replays sit ABOVE the post-filler watermark —
+    // a replay dated below it would be discarded as late data before
+    // the dedup operator ever saw it, which is a different (also
+    // correct) bounded-state outcome than the eviction path under test.
+    sample.coalesce(1).write.parquet(s"$src/orders.parquet")
+    filler.withColumn("o_orderdate", date_add(col("o_orderdate"), 15))
+      .coalesce(1).write.parquet(s"$src/orders2.parquet")
+    sample.withColumn("o_orderdate", date_add(col("o_orderdate"), 1700))
+      .coalesce(1).write.parquet(s"$src/orders3.parquet")
+    val out = tmpDir("ddb_")
+    IncrementalIngest.dedupedIngestBounded(spark, src, out, -1L,
+      delay = "1 hour", maxFilesPerTrigger = Some(1))
+    val tx1 = Chain.txProjection(sample)
+    val n1 = tx1.count()
+    val maxTs = tx1.agg(max("ts")).as[Long].head()
+    // hashes strictly older than the sample's newest day are certainly
+    // evicted before batch 3, so their replays MUST land again (bounded
+    // state's explicit trade-off); whether the newest-day hash was also
+    // evicted depends on the eviction boundary, so bound, don't pin it
+    val expectTwiceAtLeast = tx1.filter(col("ts") < maxTs).count()
+    val byHash = graft.chain.ChainStore.readTransactions(spark, out)
+      .groupBy("tx_hash").count()
+    val twice = byHash.filter(col("count") === 2).count()
+    assert(byHash.count() === n1 + filler.count())
+    assert(twice >= expectTwiceAtLeast && expectTwiceAtLeast >= 1,
+      s"post-eviction replays must land again (got $twice twice-landed, " +
+        s"expected >= $expectTwiceAtLeast)")
+    assert(byHash.agg(max("count")).as[Long].head() <= 2,
+      "no hash may land more than twice in this scenario")
+  }
+
   test("reorg guard refuses sink ahead of source") {
     IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 100L)
     intercept[IllegalArgumentException] {
