@@ -165,7 +165,33 @@ object SimilarityQueries {
     // exact cosine, keep pairs above threshold (the vector analog of
     // MinHash-LSH + Jaccard verify).
     "dedup_embedding" -> ((s, dir) =>
-      graft.api.Similarity.nearDuplicates(s, embCorpus(s, dir), 0.99)))
+      graft.api.Similarity.nearDuplicates(s, embCorpus(s, dir), 0.99)),
+
+    // recall@3 of each ANN variant against the brute-force ground truth —
+    // THE metric that justifies bits/probes/centroid choices at scale
+    // (parameter tuning at 100 TB is driven by this curve, computed on a
+    // sample exactly like here). Reuses the checked query definitions, so
+    // the measured methods are the shipped methods.
+    "ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id")))
+      val gtPairs = e.select(col("vec_id").as("neighbor_id")).crossJoin(qs)
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val gt = cosTopK(e, gtPairs, 3).select("query_id", "neighbor_id")
+      def recallOf(method: String, ann: DataFrame): DataFrame =
+        gt.join(ann.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "leftsemi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
+          .select(lit(method).as("method"), col("n_hits"), col("n_truth"),
+            (col("n_hits").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      recallOf("ivf", queries("embed_ivf_ann")(s, dir))
+        .unionByName(recallOf("lsh", queries("embed_lsh_ann")(s, dir)))
+        .unionByName(recallOf("multiprobe",
+          queries("embed_lsh_multiprobe")(s, dir)))
+    }))
 
   private[queries] val embSql: String =
     """emb AS (
@@ -200,6 +226,30 @@ object SimilarityQueries {
       |        FROM ee e JOIN hyper h ON e.i = h.i
       |        GROUP BY e.vec_id, h.j)
       |  GROUP BY vec_id)""".stripMargin
+
+  /** Exact-cosine re-rank CTE chain over a (query_id, neighbor_id)
+    * candidate CTE: `<p>dots` → `<p>cosv` → `<p>topk` (top-3). The same
+    * chain the individual ANN oracles inline, parameterized so the
+    * recall oracle can run it once per method without name clashes. */
+  private def rerankCtes(p: String, cand: String): Seq[String] = Seq(
+    s"""${p}dots AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+       |  FROM $cand c
+       |  JOIN ee qe ON qe.vec_id = c.query_id
+       |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+       |  GROUP BY 1, 2)""".stripMargin,
+    s"""${p}cosv AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+       |  FROM ${p}dots
+       |  JOIN norm nq ON nq.vec_id = ${p}dots.query_id
+       |  JOIN norm nd ON nd.vec_id = ${p}dots.neighbor_id)""".stripMargin,
+    s"""${p}topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ${p}cosv)
+       |  WHERE rank <= 3)""".stripMargin)
 
   /** Oracle CTE chain for `iters` deterministic Lloyd rounds: seed
     * centroids cent0 = the first 16 vectors, then per round r the
@@ -427,6 +477,75 @@ object SimilarityQueries {
         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM ccos)
         |WHERE rank <= 3""".stripMargin),
+
+    "ann_recall" -> withCtes((Seq(embSql, eeSql, normSql, hyperSql, bucketsSql,
+      // ground truth: brute-force pairs, same re-rank as the methods
+      s"""gtcand AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+         |  FROM emb q JOIN emb d ON d.vec_id != q.vec_id
+         |  WHERE q.vec_id % $QueryStride = 0)""".stripMargin) ++
+      rerankCtes("gt", "gtcand") ++ Seq(
+      // LSH single-bucket candidates (mirror of embed_lsh_ann)
+      s"""lcand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM buckets qb
+         |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin) ++
+      rerankCtes("l", "lcand") ++ Seq(
+      // multi-probe candidates (mirror of embed_lsh_multiprobe)
+      s"""mpprobes AS (
+         |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
+         |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id AS query_id, bucket,
+         |          unnest(range(-1, 8)) AS p
+         |        FROM buckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
+      """mpcand AS (
+        |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
+        |  FROM mpprobes p
+        |  JOIN buckets db ON p.bucket = db.bucket
+        |  WHERE db.vec_id != p.query_id)""".stripMargin) ++
+      rerankCtes("mp", "mpcand") ++ Seq(
+      // IVF candidates over the 16 seed centroids (mirror of embed_ivf_ann)
+      """icdist AS (
+        |  SELECT e.vec_id, c.vec_id AS cent_id,
+        |         ne.n2 + nc.n2 - 2 * CAST(sum(e.v * c.v) AS BIGINT) AS dist2
+        |  FROM ee e
+        |  JOIN ee c ON c.vec_id < 16 AND c.i = e.i
+        |  JOIN norm ne ON ne.vec_id = e.vec_id
+        |  JOIN norm nc ON nc.vec_id = c.vec_id
+        |  GROUP BY e.vec_id, c.vec_id, ne.n2, nc.n2)""".stripMargin,
+      """iranked AS (
+        |  SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist2, cent_id) AS crank
+        |  FROM icdist)""".stripMargin,
+      "ilists AS (SELECT vec_id AS neighbor_id, cent_id FROM iranked WHERE crank = 1)",
+      s"""iprobes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM iranked
+         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+      """icand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM iprobes p JOIN ilists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
+      rerankCtes("i", "icand")): _*)(
+      """SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+        |       CAST(n_truth AS BIGINT) AS n_truth,
+        |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+        |FROM (
+        |  SELECT 'ivf' AS method,
+        |    (SELECT count(*) FROM gttopk g JOIN itopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id) AS n_hits,
+        |    (SELECT count(*) FROM gttopk) AS n_truth
+        |  UNION ALL
+        |  SELECT 'lsh',
+        |    (SELECT count(*) FROM gttopk g JOIN ltopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+        |    (SELECT count(*) FROM gttopk)
+        |  UNION ALL
+        |  SELECT 'multiprobe',
+        |    (SELECT count(*) FROM gttopk g JOIN mptopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+        |    (SELECT count(*) FROM gttopk))""".stripMargin),
 
     "dedup_embedding" -> withCtes(
       """embc AS (
