@@ -23,6 +23,22 @@ object Schemas {
     StructField("value", LongType),
     StructField("address_type", LongType)))
 
+  val txSummary: StructType = StructType(Seq(
+    StructField("tx_id", LongType),
+    StructField("no_inputs", LongType),
+    StructField("no_outputs", LongType),
+    StructField("total_input", LongType),
+    StructField("total_output", LongType)))
+
+  /** block_transactions (schema.cql:51-56): the per-block ordered
+    * tx_summary list. The oracle-checked projection carries the ordered
+    * tx ids as a joined string (hashable by the driver); this is the
+    * full contract shape the export writes. */
+  val blockTransactions: StructType = StructType(Seq(
+    StructField("block_id_group", LongType, nullable = false),
+    StructField("block_id", LongType, nullable = false),
+    StructField("txs", ArrayType(txSummary))))
+
   /** block (schema.cql:6-13). */
   val block: StructType = StructType(Seq(
     StructField("block_id_group", LongType, nullable = false),
