@@ -106,15 +106,17 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
         col("n2").as("cn2"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("cent_id"))
+      // argmin as a lexicographic min(struct(dist2, cent_id)): identical
+      // tie-breaking to `ORDER BY dist2, cent_id` but map-side
+      // combinable — the shuffle carries one candidate per (vec,
+      // mapper) instead of sorting every vec × centroid row in a
+      // ranking window
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("dist2", col("n2") + col("cn2") -
           lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
-        .select(col("vec_id"), col("cent_id"), col("dist2"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select("vec_id", "cent_id")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"))
       val updated = ee.join(assigned, Seq("vec_id"))
         .groupBy(col("cent_id"), col("i"))
         .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
@@ -144,16 +146,25 @@ object Similarity {
     * candidate step is an equi-join on cent_id. */
   def ivfCandidates(e: DataFrame, centroids: DataFrame,
       isQuery: Column, probes: Int = 2): DataFrame = {
-    val dists = e.crossJoin(broadcast(centroids))
-      .withColumn("dist2", col("n2") + col("cn2") -
-        lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
-      .select(col("vec_id"), col("cent_id"), col("dist2"), isQuery.as("isq"))
+    def dists(frame: DataFrame): DataFrame =
+      frame.crossJoin(broadcast(centroids))
+        .withColumn("dist2", col("n2") + col("cn2") -
+          lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
+        .select(col("vec_id"), col("cent_id"), col("dist2"))
+    // list assignment over the FULL corpus: map-side-combinable
+    // min(struct) argmin (same dist2-then-cent_id tie-break as a
+    // ranking window, without shuffle-sorting corpus × k rows)
+    val lists = dists(e).groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("m.cent_id").as("cent_id"))
+    // top-`probes` needs ranks beyond 1, so it keeps the window — but
+    // only over the QUERY subset (|corpus| / stride rows), re-scanned
+    // cheaply rather than dragging every corpus row through the sort
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist2"), col("cent_id"))
-    val ranked = dists.withColumn("crank", row_number().over(byVec))
-    val lists = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
-    val probeSet = ranked.filter(col("crank") <= probes && col("isq"))
+    val probeSet = dists(e.filter(isQuery))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") <= probes)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     probeSet.join(lists, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
