@@ -52,6 +52,13 @@ final case class SinkConfig(
 class CassandraShapedSink(cfg: SinkConfig,
     format: String = "org.apache.spark.sql.cassandra") extends ChainSink {
 
+  /** S7 DDL bootstrap: the keyspace script a deployment runs before its
+    * first export (the reference's create_keyspace step), emitted from
+    * the declared engine schemas via [[CqlSchema]] with this sink's
+    * keyspace name — pinned against the reference DDL by SchemaSpec. */
+  def bootstrapDdl: String =
+    CqlSchema.ddl.replace("graphsense", cfg.keyspace)
+
   /** Per-table writer options (the connector's public keys). */
   def writerOptions(table: String): Map[String, String] = Map(
     "keyspace" -> cfg.keyspace,

@@ -77,5 +77,11 @@ class StoreSpec extends SparkSpec {
     assert(opts("spark.cassandra.connection.host") === "n1,n2")
     assert(opts("spark.cassandra.connection.port") === "9042")
     assert(opts("spark.cassandra.output.concurrent.writes") === "50")
+    // DDL bootstrap carries the configured keyspace + all 7 tables
+    val ddl = sink.bootstrapDdl
+    assert(ddl.contains("CREATE KEYSPACE IF NOT EXISTS btc"))
+    assert(!ddl.contains("graphsense"))
+    for (t <- graft.chain.CqlSchema.tables.map(_.name))
+      assert(ddl.contains(s"CREATE TABLE $t"), s"missing table $t in DDL")
   }
 }
