@@ -49,9 +49,26 @@ object SimilarityQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
   }
 
+  /** Recall-tuned LSH width for the fixture corpus (see ann_recall). */
+  private val TunedBits = 4
+
   /** 8-hyperplane sign buckets over a quantized embedding frame. */
   private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
     graft.api.Similarity.lshBuckets(s, e)
+
+  /** Single-probe LSH ANN at a given hyperplane width: bucket keys,
+    * same-bucket candidates, exact cosine top-3. */
+  private def lshAnn(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val e = emb(s, dir)
+    val buckets = graft.api.Similarity.lshBuckets(s, e, bits)
+    val qb = buckets.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(qb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    cosTopK(e, cand, 3)
+  }
 
   private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame =
     graft.api.Similarity.cosTopK(data, pairs, k)
@@ -69,17 +86,14 @@ object SimilarityQueries {
 
     // LSH-bucketed ANN: sign of 8 deterministic hyperplane projections →
     // bucket key; candidates = same bucket; exact cosine re-rank, top-3.
-    "embed_lsh_ann" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val buckets = lshBuckets(s, e)
-      val qb = buckets.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("bucket"))
-      val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
-        .join(qb, Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id")
-      cosTopK(e, cand, 3)
-    }),
+    "embed_lsh_ann" -> ((s, dir) => lshAnn(s, dir, bits = 8)),
+
+    // the same ANN with `bits` SIZED TO THE CORPUS (ann_recall's
+    // guidance made executable): 4 bits = 16 buckets over ~500 vectors
+    // keeps ~30 per bucket, so a single probe actually holds neighbors.
+    // At 1e9 vectors the identical query runs with bits≈24 — the width
+    // is the one knob, and ann_recall measures what each setting buys.
+    "embed_lsh_ann_tuned" -> ((s, dir) => lshAnn(s, dir, bits = TunedBits)),
 
     // IVF with learned centroids: deterministic Lloyd iterations on top
     // of the seed centroids (assign → integer-floor mean → reassign),
@@ -189,6 +203,8 @@ object SimilarityQueries {
               .as("recall"))
       recallOf("ivf", queries("embed_ivf_ann")(s, dir))
         .unionByName(recallOf("lsh", queries("embed_lsh_ann")(s, dir)))
+        .unionByName(recallOf("lsh_tuned",
+          queries("embed_lsh_ann_tuned")(s, dir)))
         .unionByName(recallOf("multiprobe",
           queries("embed_lsh_multiprobe")(s, dir)))
     }))
@@ -207,25 +223,31 @@ object SimilarityQueries {
   private[queries] val normSql: String =
     "norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM ee GROUP BY vec_id)"
 
-  /** Hyperplane + sign-bucket CTEs (8-bit LSH over `ee`), shared with
-    * the cross-modal query in MultimodalQueries. */
-  private[queries] val hyperSql: String =
-    """hyper AS (
-      |  SELECT j, i,
-      |    2 * (instr('0123456789abcdef',
-      |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-      |  FROM (SELECT unnest(range(0, 8)) AS j),
-      |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin
+  /** Parameterized hyperplane CTE: `bits` md5-derived planes under the
+    * given CTE name (the oracle mirror of Similarity.hyperplanes). */
+  private[queries] def hyperSqlFor(bits: Int, hyper: String): String =
+    s"""$hyper AS (
+       |  SELECT j, i,
+       |    2 * (instr('0123456789abcdef',
+       |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+       |  FROM (SELECT unnest(range(0, $bits)) AS j),
+       |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin
 
-  private[queries] val bucketsSql: String =
-    """buckets AS (
-      |  SELECT vec_id,
-      |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
-      |         AS BIGINT) AS bucket
-      |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
-      |        FROM ee e JOIN hyper h ON e.i = h.i
-      |        GROUP BY e.vec_id, h.j)
-      |  GROUP BY vec_id)""".stripMargin
+  /** Sign-bucket CTE over `ee` against a named hyperplane CTE. */
+  private[queries] def bucketsSqlFor(hyper: String, buckets: String): String =
+    s"""$buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+       |         AS BIGINT) AS bucket
+       |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+       |        FROM ee e JOIN $hyper h ON e.i = h.i
+       |        GROUP BY e.vec_id, h.j)
+       |  GROUP BY vec_id)""".stripMargin
+
+  /** The default 8-bit instances, shared with the cross-modal query in
+    * MultimodalQueries. */
+  private[queries] val hyperSql: String = hyperSqlFor(8, "hyper")
+  private[queries] val bucketsSql: String = bucketsSqlFor("hyper", "buckets")
 
   /** Exact-cosine re-rank CTE chain over a (query_id, neighbor_id)
     * candidate CTE: `<p>dots` → `<p>cosv` → `<p>topk` (top-3). The same
@@ -289,6 +311,34 @@ object SimilarityQueries {
     seed ++ rounds :+ ranked(iters)
   }
 
+  /** Single-probe LSH ANN oracle at a given hyperplane width — the SQL
+    * twin of [[lshAnn]]. */
+  private def lshAnnOracle(bits: Int): String =
+    withCtes(embSql, eeSql, normSql,
+      hyperSqlFor(bits, "hyper"), bucketsSqlFor("hyper", "buckets"),
+      s"""cand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM buckets qb
+         |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.query_id
+        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ccos AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.query_id
+        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM ccos)
+        |WHERE rank <= 3""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> withCtes(embSql, eeSql, normSql,
       s"""dots AS (
@@ -328,43 +378,8 @@ object SimilarityQueries {
         |  FROM cosv)
         |WHERE rank <= 5""".stripMargin),
 
-    "embed_lsh_ann" -> withCtes(embSql, eeSql, normSql,
-      """hyper AS (
-        |  SELECT j, i,
-        |    2 * (instr('0123456789abcdef',
-        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-        |  FROM (SELECT unnest(range(0, 8)) AS j),
-        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
-      """buckets AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
-        |         AS BIGINT) AS bucket
-        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
-        |        FROM ee e JOIN hyper h ON e.i = h.i
-        |        GROUP BY e.vec_id, h.j)
-        |  GROUP BY vec_id)""".stripMargin,
-      s"""cand AS (
-         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
-         |  FROM buckets qb
-         |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
-         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
-      """cdots AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN ee qe ON qe.vec_id = c.query_id
-        |  JOIN ee de ON de.vec_id = c.neighbor_id AND de.i = qe.i
-        |  GROUP BY 1, 2)""".stripMargin,
-      """ccos AS (
-        |  SELECT query_id, neighbor_id,
-        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
-        |  FROM cdots
-        |  JOIN norm nq ON nq.vec_id = cdots.query_id
-        |  JOIN norm nd ON nd.vec_id = cdots.neighbor_id)""".stripMargin)(
-      """SELECT query_id, neighbor_id, rank, cos FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM ccos)
-        |WHERE rank <= 3""".stripMargin),
+    "embed_lsh_ann" -> lshAnnOracle(8),
+    "embed_lsh_ann_tuned" -> lshAnnOracle(TunedBits),
 
     "embed_ivf_kmeans" -> withCtes(Seq(embSql, eeSql, normSql) ++
       kmeansRoundCtes(KmeansIters) ++ Seq(
@@ -492,6 +507,14 @@ object SimilarityQueries {
          |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
          |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin) ++
       rerankCtes("l", "lcand") ++ Seq(
+      // recall-tuned width (mirror of embed_lsh_ann_tuned)
+      hyperSqlFor(TunedBits, "thyper"), bucketsSqlFor("thyper", "tbuckets"),
+      s"""tcand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM tbuckets qb
+         |  JOIN tbuckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin) ++
+      rerankCtes("t", "tcand") ++ Seq(
       // multi-probe candidates (mirror of embed_lsh_multiprobe)
       s"""mpprobes AS (
          |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
@@ -539,6 +562,11 @@ object SimilarityQueries {
         |  UNION ALL
         |  SELECT 'lsh',
         |    (SELECT count(*) FROM gttopk g JOIN ltopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+        |    (SELECT count(*) FROM gttopk)
+        |  UNION ALL
+        |  SELECT 'lsh_tuned',
+        |    (SELECT count(*) FROM gttopk g JOIN ttopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk)
         |  UNION ALL

@@ -102,6 +102,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LSH widths beyond 32 bits stay exact (64-bit bit weights)") {
+    // regression for the 32-bit shiftleft wraparound: with bits=40, high
+    // planes must contribute real 2^j weights (j >= 32), and the
+    // multi-probe flip of a high bit must stay within [0, 2^40)
+    val e = graft.api.Similarity.quantize(
+      spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+        .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding"))
+    val b = graft.api.Similarity.lshBuckets(spark, e, bits = 40)
+    val mx = b.agg(max("bucket")).as[Long].head()
+    assert(mx >= (1L << 32), s"no bucket uses a bit >= 32 (max=$mx)")
+    assert(mx < (1L << 40), s"bucket overflows the declared width (max=$mx)")
+    val probes = graft.api.Similarity.multiProbes(
+      b.select(col("vec_id").as("query_id"), col("bucket")), bits = 40)
+    assert(probes.agg(min("probe")).as[Long].head() >= 0L)
+    assert(probes.agg(max("probe")).as[Long].head() < (1L << 40))
+    // self + 40 single-bit flips, all distinct per query
+    assert(probes.select("query_id", "probe").distinct()
+      .groupBy("query_id").count().agg(min("count")).as[Long].head() === 41L)
+  }
+
   test("custom as-of join equals reference scan on random data") {
     // random left/right time sets across many partitions — the oracle is
     // a driver-side sorted scan; exercises range boundaries and the
