@@ -202,6 +202,8 @@ object SimilarityQueries {
             (col("n_hits").cast("double") / col("n_truth").cast("double"))
               .as("recall"))
       recallOf("ivf", queries("embed_ivf_ann")(s, dir))
+        .unionByName(recallOf("ivf_kmeans",
+          queries("embed_ivf_kmeans")(s, dir)))
         .unionByName(recallOf("lsh", queries("embed_lsh_ann")(s, dir)))
         .unionByName(recallOf("lsh_tuned",
           queries("embed_lsh_ann_tuned")(s, dir)))
@@ -550,7 +552,19 @@ object SimilarityQueries {
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM iprobes p JOIN ilists l ON p.cent_id = l.cent_id
         |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
-      rerankCtes("i", "icand")): _*)(
+      rerankCtes("i", "icand") ++
+      // learned-centroid IVF (mirror of embed_ivf_kmeans: the same
+      // generated Lloyd-round chain, probing ranked{KmeansIters})
+      kmeansRoundCtes(KmeansIters) ++ Seq(
+      s"klists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
+      s"""kprobes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
+         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+      """kcand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
+      rerankCtes("k", "kcand")): _*)(
       """SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
         |       CAST(n_truth AS BIGINT) AS n_truth,
         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
@@ -559,6 +573,11 @@ object SimilarityQueries {
         |    (SELECT count(*) FROM gttopk g JOIN itopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id) AS n_hits,
         |    (SELECT count(*) FROM gttopk) AS n_truth
+        |  UNION ALL
+        |  SELECT 'ivf_kmeans',
+        |    (SELECT count(*) FROM gttopk g JOIN ktopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+        |    (SELECT count(*) FROM gttopk)
         |  UNION ALL
         |  SELECT 'lsh',
         |    (SELECT count(*) FROM gttopk g JOIN ltopk a
