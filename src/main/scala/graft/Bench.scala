@@ -76,9 +76,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"sf":"$sfDir"}"""
     // durable copy first (the full inventory is long and consoles
     // truncate), then the compact headline line LAST so a tail-capture
-    // always gets the parseable totals
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), full)
+    // always gets the parseable totals; the file write must never take
+    // the timed results down with it (e.g. foreign cwd without target/)
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench.json"), full)
+    } catch { case _: Throwable => () }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir","full":"target/bench.json"}""")
     spark.stop()

@@ -75,7 +75,11 @@ object Similarity {
         col("q"), typedLit(planes(j).toSeq)) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    e.select(col("vec_id"), bucket.as("bucket"))
+    // null/empty vectors are excluded (the exploded formulation dropped
+    // them structurally); keeping them would park every degenerate row
+    // in bucket 0 and surface NaN cosines at re-rank time
+    e.filter(col("q").isNotNull && size(col("q")) > 0)
+      .select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** Multi-probe expansion: each row also probes the `bits` buckets at

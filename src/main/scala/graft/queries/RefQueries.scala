@@ -30,7 +30,11 @@ object RefQueries {
 
   def buildBucketedTables(s: SparkSession, dir: String): Unit =
     bucketedFor.synchronized {
-      if (bucketedFor.get() != dir) {
+      // the cache is JVM-wide but catalog entries are per-session: a new
+      // session in the same JVM must rebuild even for the same dir
+      if (bucketedFor.get() != dir ||
+          !s.catalog.tableExists("gb_tx") ||
+          !s.catalog.tableExists("gb_iostats")) {
         def mk(name: String, df: DataFrame): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")
           val loc = new java.io.File(s"target/bucketed/$name")
@@ -48,8 +52,6 @@ object RefQueries {
       }
     }
 
-  private def ensureBucketedTables(s: SparkSession, dir: String): Unit =
-    buildBucketedTables(s, dir)
 
   // ---- shared sub-plans -------------------------------------------------
 
@@ -463,11 +465,11 @@ object RefQueries {
     // both sides land as CLUSTERED BY (tx_id) tables, so the join needs
     // NO exchange on either side (BucketingSpec asserts the plan); the
     // plain-join oracle proves the bucketed path's results identical.
-    // The build runs once per (JVM, dir) via ensureBucketedTables —
+    // The build runs once per (session, dir) via buildBucketedTables —
     // Bench times it as its own entry, so the query's latency is the
     // PROBE (the operation a user repeats), not the one-time build.
     "bucketed_join" -> ((s, dir) => {
-      ensureBucketedTables(s, dir)
+      buildBucketedTables(s, dir)
       s.table("gb_tx").join(s.table("gb_iostats"), Seq("tx_id"))
         .groupBy(col("block_id"))
         .agg(count(lit(1)).as("n_txs"),

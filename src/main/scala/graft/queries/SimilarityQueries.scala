@@ -192,7 +192,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id")))
       val gtPairs = e.select(col("vec_id").as("neighbor_id")).crossJoin(qs)
         .filter(col("neighbor_id") =!= col("query_id"))
+      // the brute-force pass is the most expensive subplan and every
+      // method row references it twice (hits + truth): cache the tiny
+      // result (3 rows per query) so the 5-way union computes it once
       val gt = cosTopK(e, gtPairs, 3).select("query_id", "neighbor_id")
+        .cache()
       def recallOf(method: String, ann: DataFrame): DataFrame =
         gt.join(ann.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "leftsemi")

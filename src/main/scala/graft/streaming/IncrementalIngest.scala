@@ -31,6 +31,37 @@ object IncrementalIngest {
       s"most recent block in sink ($sinkMax) ahead of source tip " +
         s"($sourceTip); refusing to continue (reorg guard)")
 
+  /** ST2/ST3 resume precondition: when the target store already holds
+    * rows, a new run must resume at or above the store's newest block.
+    * A fresh run's epoch numbering restarts at 0, so re-ingesting a
+    * range the store already holds would overwrite only the epoch
+    * partitions the new run happens to produce and leave any other
+    * stale epochs in place — duplicate rows instead of convergence.
+    * Full rebuild therefore requires an empty store (delete it first);
+    * in-place, incremental resume is the supported path — the
+    * reference's own "--continue resumes at sink max + 1" contract
+    * (blocksci_export.py:489-505). Replays WITHIN one checkpoint are
+    * unaffected (same epoch ids → same partitions → idempotent). */
+  def resumeGuard(s: SparkSession, out: String, watermark: Long): Unit =
+    if (new java.io.File(s"$out/transaction").exists()) {
+      val sinkMax =
+        try {
+          val r = graft.chain.ChainStore.readTransactions(s, out)
+            .agg(max(col("block_id"))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        } catch {
+          // dir exists but holds no readable parquet = empty store
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      sinkMax.foreach { mx =>
+        require(watermark >= mx,
+          s"store at $out holds blocks up to $mx but the resume " +
+            s"watermark is $watermark; resuming below the sink max " +
+            "would duplicate rows across runs — resume at/above it, " +
+            "or delete the store for a full rebuild")
+      }
+    }
+
   /** Run the incremental ingest synchronously: stream the orders source,
     * derive tx rows with the SAME projection as the batch path, keep only
     * blocks strictly above `watermark`, land them in a named in-memory
@@ -92,6 +123,7 @@ object IncrementalIngest {
   def ingestToStore(s: SparkSession, dir: String, out: String,
       watermark: Long, tipMargin: Long = 0L,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
+    resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -121,6 +153,7 @@ object IncrementalIngest {
     * deployment uses [[dedupedIngestBounded]]. */
   def dedupedIngest(s: SparkSession, dir: String, out: String,
       watermark: Long): Unit = {
+    resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
@@ -150,6 +183,7 @@ object IncrementalIngest {
   def dedupedIngestBounded(s: SparkSession, dir: String, out: String,
       watermark: Long, delay: String = "1 hour",
       maxFilesPerTrigger: Option[Int] = None): Unit = {
+    resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -179,15 +213,20 @@ object IncrementalIngest {
     * "same query left running = real-time sync", demonstrated as tested
     * fact in StreamingSpec). */
   def ingestContinuously(s: SparkSession, dir: String, out: String,
-      watermark: Long, intervalMs: Long = 500L)
+      watermark: Long, intervalMs: Long = 500L, tipMargin: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
+    val tip = tipFrame(s, dir)
     val name = s"cont_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     tx.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        graft.chain.ChainStore.writeTransactionsEpoch(batch.toDF(), out, epoch)
+        // same ST5 margin cut as the batch catch-up path — switching
+        // trigger modes must not silently widen what lands in the store
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          belowTip(batch.toDF(), tip, tipMargin), out, epoch)
       }
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.ProcessingTime(intervalMs))

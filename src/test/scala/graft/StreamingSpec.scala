@@ -36,15 +36,31 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get("target"), "ing_").toString
     val wm = 2000L
     IncrementalIngest.ingestToStore(spark, dir, out, wm)
-    val once = spark.read.parquet(s"$out/transaction")
+    val once = graft.chain.ChainStore.readTransactions(spark, out)
     val expect = Chain.transactions(spark, dir).filter(col("block_id") > wm)
     assert(once.count() === expect.count())
-    // replay the whole ingest (fresh checkpoint = worst-case full redo):
-    // dynamic bucket overwrite must converge to the identical state
+    // an in-place re-ingest below the sink max is REFUSED: a fresh
+    // run's epoch numbering restarts, so it could leave stale epoch
+    // partitions from the first run next to its own rewrites
+    intercept[IllegalArgumentException] {
+      IncrementalIngest.ingestToStore(spark, dir, out, wm)
+    }
+    // resuming AT the sink max is legal and a no-op
+    val sinkMax = once.agg(max("block_id")).as[Long].head()
+    IncrementalIngest.ingestToStore(spark, dir, out, sinkMax)
+    assert(graft.chain.ChainStore.readTransactions(spark, out).count() ===
+      expect.count())
+    // full rebuild path: wipe the store, redo with a fresh checkpoint —
+    // must converge to the identical state
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$out/transaction"))
     IncrementalIngest.ingestToStore(spark, dir, out, wm)
-    val twice = spark.read.parquet(s"$out/transaction")
-    assert(twice.count() === expect.count())
-    assert(twice.agg(sum("tx_id")).as[Long].head() ===
+    val redo = graft.chain.ChainStore.readTransactions(spark, out)
+    assert(redo.count() === expect.count())
+    assert(redo.agg(sum("tx_id")).as[Long].head() ===
       expect.agg(sum("tx_id")).as[Long].head())
   }
 
