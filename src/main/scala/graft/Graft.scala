@@ -49,6 +49,27 @@ object Graft {
   def registerSql(s: SparkSession, dir: String): Unit =
     GraftCatalog.register(s, dir)
 
+  /** Incremental ingest, batch catch-up form (AvailableNow): resume
+    * above `watermark` into the epoch-keyed store at `out`; refuses a
+    * resume below the sink max (see IncrementalIngest.resumeGuard). */
+  def ingest(s: SparkSession, dir: String, out: String, watermark: Long,
+      tipMargin: Long = 0L): Unit =
+    streaming.IncrementalIngest.ingestToStore(s, dir, out, watermark,
+      tipMargin)
+
+  /** The same ingest left running (processing-time trigger) — returns
+    * the live handle; new source files land each interval. */
+  def ingestLive(s: SparkSession, dir: String, out: String,
+      watermark: Long, tipMargin: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.IncrementalIngest.ingestContinuously(s, dir, out, watermark,
+      tipMargin = tipMargin)
+
+  /** The keyspace DDL for a connector deployment's bootstrap step,
+    * pinned against the reference schema by SchemaSpec. */
+  def keyspaceDdl(keyspace: String = "graphsense"): String =
+    graft.chain.CqlSchema.ddl.replace("graphsense", keyspace)
+
   /** The full oracle-checked query inventory (driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries

@@ -51,4 +51,14 @@ class ApiSpec extends SparkSpec {
       .select("pred_lang").as[String].head()
     assert(pred === "en")
   }
+
+  test("Graft facade: ingest + keyspace DDL entry points") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "facade_").toString
+    Graft.ingest(spark, sf("sf0.001"), out, watermark = 2300L)
+    assert(graft.chain.ChainStore.readTransactions(spark, out).count() > 0)
+    val ddl = Graft.keyspaceDdl("mychain")
+    assert(ddl.contains("CREATE KEYSPACE IF NOT EXISTS mychain"))
+    assert(ddl.contains("CREATE TABLE transaction"))
+  }
 }
