@@ -128,4 +128,44 @@ object Chain {
     val w = Window.partitionBy(col("block_id"))
     tx.withColumn("coinbase", col("tx_id") === min(col("tx_id")).over(w))
   }
+
+  /** exchange_rates contract frame (schema.cql:58-61, F11): one row per
+    * rate date with the fiat map. */
+  def exchangeRatesTable(spark: SparkSession, dir: String): DataFrame =
+    rates(spark, dir).select(col("d").as("date"),
+      map(lit("USD"), col("usd").cast("float"),
+        lit("EUR"), col("eur").cast("float")).as("fiat_values"))
+
+  /** block_transactions contract frame (schema.cql:51-56): the ordered
+    * tx_summary list per block. array_sort over the collected structs
+    * orders by the leading tx_id field — one pass, map-side combinable
+    * partials on the io rollup feeding it. */
+  def blockTransactions(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir).select(col("tx_id"), col("block_id"))
+      .join(txIoStats(spark, dir), Seq("tx_id"), "left")
+      .select(col("block_id"), struct(
+        col("tx_id"),
+        coalesce(col("no_inputs"), lit(0L)).as("no_inputs"),
+        coalesce(col("no_outputs"), lit(0L)).as("no_outputs"),
+        coalesce(col("total_input"), lit(0L)).as("total_input"),
+        coalesce(col("total_output"), lit(0L)).as("total_output")).as("t"))
+      .groupBy(col("block_id"))
+      .agg(array_sort(collect_list(col("t"))).as("txs"))
+      .withColumn("block_id_group", floor(col("block_id") / BlockBucketSize))
+      .select("block_id_group", "block_id", "txs")
+
+  /** summary_statistics contract frame (schema.cql:63-68, A6). */
+  def summaryStatistics(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir).agg(
+      (max(col("block_id")) + 1L).as("no_blocks"),
+      (max(col("tx_id")) + 1L).as("no_txs"),
+      max(col("ts")).as("ts"))
+
+  /** configuration row (schema.cql:70-75, S8). */
+  def configuration(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit("graft").as("id"),
+      lit(BlockBucketSize).as("block_bucket_size"),
+      lit(PrefixLen.toLong).as("tx_prefix_length"),
+      lit(TxBucketSize).as("tx_bucket_size"))
 }

@@ -17,11 +17,20 @@ trait ChainSink {
   def writeBlocks(blocks: DataFrame, out: String): Unit
   /** hash→id index (schema.cql:36-41). */
   def writePrefixIndex(tx: DataFrame, out: String): Unit
+  /** per-block ordered tx_summary list (schema.cql:51-56). */
+  def writeBlockTransactions(bt: DataFrame, out: String): Unit
+  /** fiat rates map table (schema.cql:58-61). */
+  def writeExchangeRates(rates: DataFrame, out: String): Unit
+  /** 1-row keyspace summary (schema.cql:63-68). */
+  def writeSummaryStatistics(stats: DataFrame, out: String): Unit
+  /** 1-row bucket/prefix configuration (schema.cql:70-75). */
+  def writeConfiguration(conf: DataFrame, out: String): Unit
 }
 
 object ChainSink {
   /** Full-keyspace export through any sink — the reference's main export
-    * loop (blocksci_export.py:519-539) as three table writes. `out` is
+    * loop (blocksci_export.py:519-539: txs + blocks + rates, then the
+    * summary/config rows) as the complete seven-table write. `out` is
     * the sink-specific locator: a directory for parquet, ignored by the
     * connector sink (the keyspace addresses the target). */
   def writeChain(s: SparkSession, dir: String, out: String,
@@ -30,6 +39,10 @@ object ChainSink {
     sink.writeTransactions(tx, out)
     sink.writeBlocks(Chain.blocks(s, dir), out)
     sink.writePrefixIndex(tx, out)
+    sink.writeBlockTransactions(Chain.blockTransactions(s, dir), out)
+    sink.writeExchangeRates(Chain.exchangeRatesTable(s, dir), out)
+    sink.writeSummaryStatistics(Chain.summaryStatistics(s, dir), out)
+    sink.writeConfiguration(Chain.configuration(s), out)
   }
 }
 
@@ -80,4 +93,13 @@ class CassandraShapedSink(cfg: SinkConfig,
     save(tx.selectExpr(
       s"substring(tx_hash, 1, ${Chain.PrefixLen}) AS tx_prefix",
       "tx_hash", "tx_id"), "transaction_by_tx_prefix")
+  override def writeBlockTransactions(bt: DataFrame, out: String): Unit =
+    save(bt, "block_transactions")
+  override def writeExchangeRates(rates: DataFrame, out: String): Unit =
+    save(rates, "exchange_rates")
+  override def writeSummaryStatistics(stats: DataFrame, out: String): Unit =
+    save(stats.selectExpr("'graft' AS id", "no_blocks", "no_txs", "ts"),
+      "summary_statistics")
+  override def writeConfiguration(conf: DataFrame, out: String): Unit =
+    save(conf, "configuration")
 }

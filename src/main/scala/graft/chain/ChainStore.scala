@@ -94,6 +94,33 @@ object ChainStore extends ChainSink {
       .parquet(s"$out/transaction_by_tx_prefix")
   }
 
+  /** block_transactions table: same layout as block (bucketed dirs,
+    * block_id DESC inside, schema.cql:51-56). */
+  def writeBlockTransactions(bt: DataFrame, out: String): Unit = {
+    dynamicOverwrite(bt.sparkSession)
+    bt.repartition(col("block_id_group"))
+      .sortWithinPartitions(col("block_id").desc)
+      .write.mode("overwrite")
+      .partitionBy("block_id_group")
+      .parquet(s"$out/block_transactions")
+  }
+
+  /** exchange_rates: one row per day — a single file regardless of
+    * history length (a century is ~37k rows). */
+  def writeExchangeRates(rates: DataFrame, out: String): Unit =
+    rates.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/exchange_rates")
+
+  /** summary_statistics: the 1-row keyspace summary. */
+  def writeSummaryStatistics(stats: DataFrame, out: String): Unit =
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/summary_statistics")
+
+  /** configuration: the 1-row bucket/prefix parameter record. */
+  def writeConfiguration(conf: DataFrame, out: String): Unit =
+    conf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/configuration")
+
   /** Point lookup by full hash: prunes to one p2 directory, row-group
     * skips on the sorted tx_prefix column, final equality on the binary
     * hash (F1's unhex direction in the lookup path). Indexes written

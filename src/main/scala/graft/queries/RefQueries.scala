@@ -151,9 +151,7 @@ object RefQueries {
   /** exchange_rates in its schema.cql:58-61 shape: date text key +
     * map<text,float> fiat values (F11). */
   private def exchangeRatesTable(s: SparkSession, dir: String): DataFrame =
-    rates(s, dir).select(col("d").as("date"),
-      map(lit("USD"), col("usd").cast("float"),
-        lit("EUR"), col("eur").cast("float")).as("fiat_values"))
+    graft.chain.Chain.exchangeRatesTable(s, dir)
 
   // ---- queries ----------------------------------------------------------
 
@@ -228,20 +226,26 @@ object RefQueries {
         .select("block_id_group", "block_id", "no_txs", "txs")
     }),
 
+    // the nested block_transactions contract frame with its tx_summary
+    // structs canonically serialized (the driver's hasher cannot hash
+    // nested cells — same pattern as transaction_table_check), so the
+    // exported list content is oracle-verified, not just shape-checked.
+    "block_transactions_table_check" -> ((s, dir) =>
+      graft.chain.Chain.blockTransactions(s, dir).select(
+        col("block_id_group"), col("block_id"),
+        array_join(transform(col("txs"), x => concat_ws(":",
+          x.getField("tx_id").cast("string"),
+          x.getField("no_inputs").cast("string"),
+          x.getField("no_outputs").cast("string"),
+          x.getField("total_input").cast("string"),
+          x.getField("total_output").cast("string"))), ";").as("txs_s"))),
+
     // summary_statistics (schema.cql:63-68; A6)
     "summary_statistics" -> ((s, dir) =>
-      transactions(s, dir).agg(
-        (max(col("block_id")) + 1L).as("no_blocks"),
-        (max(col("tx_id")) + 1L).as("no_txs"),
-        max(col("ts")).as("ts"))),
+      graft.chain.Chain.summaryStatistics(s, dir)),
 
     // configuration row (schema.cql:70-75; S8)
-    "configuration" -> ((s, dir) =>
-      s.range(1).select(
-        lit("graft").as("id"),
-        lit(BlockBucketSize).as("block_bucket_size"),
-        lit(PrefixLen.toLong).as("tx_prefix_length"),
-        lit(TxBucketSize).as("tx_bucket_size"))),
+    "configuration" -> ((s, dir) => graft.chain.Chain.configuration(s)),
 
     // newest block: per-partition top-1 then global top-1 (W1,
     // blocksci_export.py:51-69)
@@ -574,6 +578,22 @@ object RefQueries {
         |  CAST(count(*) AS BIGINT) AS no_txs,
         |  string_agg(CAST(tx_id AS VARCHAR), ',' ORDER BY tx_id) AS txs
         |FROM tx GROUP BY block_id""".stripMargin),
+
+    "block_transactions_table_check" -> withCtes(
+      ChainSql.tx, ChainSql.io, ChainSql.ioStats)(
+      """SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group,
+        |  block_id,
+        |  string_agg(
+        |    CAST(tx_id AS VARCHAR) || ':' || CAST(ni AS VARCHAR) || ':' ||
+        |    CAST(no AS VARCHAR) || ':' || CAST(ti AS VARCHAR) || ':' ||
+        |    CAST(tot AS VARCHAR), ';' ORDER BY tx_id) AS txs_s
+        |FROM (SELECT t.block_id, t.tx_id,
+        |        CAST(coalesce(s.no_inputs, 0) AS BIGINT) AS ni,
+        |        CAST(coalesce(s.no_outputs, 0) AS BIGINT) AS no,
+        |        CAST(coalesce(s.total_input, 0) AS BIGINT) AS ti,
+        |        CAST(coalesce(s.total_output, 0) AS BIGINT) AS tot
+        |      FROM tx t LEFT JOIN iostats s USING (tx_id))
+        |GROUP BY block_id""".stripMargin),
 
     "summary_statistics" -> withCtes(ChainSql.tx)(
       """SELECT CAST(max(block_id) + 1 AS BIGINT) AS no_blocks,

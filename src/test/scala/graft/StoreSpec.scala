@@ -52,11 +52,34 @@ class StoreSpec extends SparkSpec {
       java.nio.file.Paths.get("target"), "chain_").toString
     ChainSink.writeChain(spark, dir, chainOut)
     val n = Chain.transactions(spark, dir).count()
+    val nBlocks = Chain.blocks(spark, dir).count()
     assert(spark.read.parquet(s"$chainOut/transaction").count() === n)
     assert(spark.read.parquet(s"$chainOut/transaction_by_tx_prefix")
       .count() === n)
-    assert(spark.read.parquet(s"$chainOut/block").count() ===
-      Chain.blocks(spark, dir).count())
+    assert(spark.read.parquet(s"$chainOut/block").count() === nBlocks)
+    // the full seven-table keyspace (schema.cql:6-75)
+    val bt = spark.read.parquet(s"$chainOut/block_transactions")
+    assert(bt.count() === nBlocks)
+    // per-block tx_summary lists cover every tx exactly once
+    import org.apache.spark.sql.functions.{aggregate, col, lit, sum}
+    assert(bt.select(
+      aggregate(col("txs"), lit(0L), (a, _) => a + 1L).as("k"))
+      .agg(sum("k")).as[Long].head() === n)
+    assert(spark.read.parquet(s"$chainOut/exchange_rates").count() ===
+      Chain.exchangeRatesTable(spark, dir).count())
+    assert(spark.read.parquet(s"$chainOut/summary_statistics").count() === 1)
+    assert(spark.read.parquet(s"$chainOut/configuration").count() === 1)
+  }
+
+  test("blockTransactions conforms to the declared contract schema") {
+    val bt = Chain.blockTransactions(spark, sf("sf0.001"))
+    assert(graft.chain.Schemas.conforms(bt.schema,
+      graft.chain.Schemas.blockTransactions))
+    // ordered: each list ascends by tx_id
+    import org.apache.spark.sql.functions.{col, expr}
+    val unordered = bt.filter(!expr(
+      "forall(zip_with(txs, slice(txs, 2, size(txs)), (a, b) -> a.tx_id < b.tx_id), x -> x)"))
+    assert(unordered.count() === 0L)
   }
 
   test("connector-shaped sink routes tables with the reference's options") {
@@ -69,7 +92,7 @@ class StoreSpec extends SparkSpec {
     }
     ChainSink.writeChain(spark, sf("sf0.001"), out = "", sink)
     assert(captured.map(_._1).toSet ===
-      Set("transaction", "block", "transaction_by_tx_prefix"))
+      graft.chain.CqlSchema.tables.map(_.name).toSet)
     assert(captured.forall(_._2 > 0))
     val opts = sink.writerOptions("transaction")
     assert(opts("keyspace") === "btc")
