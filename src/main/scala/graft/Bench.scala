@@ -78,14 +78,19 @@ object Bench {
     // truncate), then the compact headline line LAST so a tail-capture
     // always gets the parseable totals; the file write must never take
     // the timed results down with it (e.g. foreign cwd without target/)
-    try {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench.json"), full)
-    } catch { case _: Throwable => () }
+    val wroteFull =
+      try {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench.json"), full)
+        true
+      } catch { case _: Throwable => false }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir","full":"target/bench.json"}""")
+    // only advertise the artifact when it was actually written — a stale
+    // or missing pointer is worse than none
+    val fullPtr = if (wroteFull) "\"target/bench.json\"" else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir","full":$fullPtr}""")
     spark.stop()
   }
 }

@@ -20,14 +20,20 @@ object ScaleUp {
     * injection offset (1e7): replicas stay below it. */
   val KeyOffset = 1000000L
 
+  /** Replica keys must stay below the BIP30 dup-injection offset (1e7,
+    * RefQueries.DupOffset): the max replica key is
+    * (factor-1)*KeyOffset + maxBaseKey with maxBaseKey < KeyOffset, so
+    * factor*KeyOffset <= 1e7 keeps every replica clear of the injected
+    * range (the documented default factor=10 passes). */
+  def checkFactor(factor: Int): Unit =
+    require(factor >= 1 && factor * KeyOffset <= 10000000L,
+      s"factor $factor pushes replica keys into the dup-injection range")
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sfx10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    // replica keys must stay below the BIP30 dup-injection offset (1e7,
-    // RefQueries.DupOffset) or amplified ids alias the injected-dup space
-    require(factor >= 1 && factor * KeyOffset < 10000000L,
-      s"factor $factor pushes replica keys into the dup-injection range")
+    checkFactor(factor)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

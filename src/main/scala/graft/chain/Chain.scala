@@ -161,10 +161,12 @@ object Chain {
       (max(col("tx_id")) + 1L).as("no_txs"),
       max(col("ts")).as("ts"))
 
-  /** configuration row (schema.cql:70-75, S8). */
-  def configuration(spark: SparkSession): DataFrame =
+  /** configuration row (schema.cql:70-75, S8). The reference keys this
+    * single-row table by the keyspace name (blocksci_export.py:625-629);
+    * `id` defaults to the library name for keyspace-less parquet stores. */
+  def configuration(spark: SparkSession, id: String = "graft"): DataFrame =
     spark.range(1).select(
-      lit("graft").as("id"),
+      lit(id).as("id"),
       lit(BlockBucketSize).as("block_bucket_size"),
       lit(PrefixLen.toLong).as("tx_prefix_length"),
       lit(TxBucketSize).as("tx_bucket_size"))

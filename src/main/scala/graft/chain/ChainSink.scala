@@ -1,6 +1,6 @@
 package graft.chain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 
 /** The sink contract of the reference export (S5/ST3): every chain table
   * lands through one of these, so the storage backend is a deployment
@@ -97,9 +97,14 @@ class CassandraShapedSink(cfg: SinkConfig,
     save(bt, "block_transactions")
   override def writeExchangeRates(rates: DataFrame, out: String): Unit =
     save(rates, "exchange_rates")
+  /** Both single-row tables are keyed by the keyspace name in the
+    * reference (blocksci_export.py:383, 625-629) — consumers look them up
+    * by `id = keyspace`, so the sink stamps its own keyspace, overriding
+    * whatever id the engine-side frame carries. */
   override def writeSummaryStatistics(stats: DataFrame, out: String): Unit =
-    save(stats.selectExpr("'graft' AS id", "no_blocks", "no_txs", "ts"),
+    save(stats.select(functions.lit(cfg.keyspace).as("id"),
+      stats("no_blocks"), stats("no_txs"), stats("ts")),
       "summary_statistics")
   override def writeConfiguration(conf: DataFrame, out: String): Unit =
-    save(conf, "configuration")
+    save(conf.withColumn("id", functions.lit(cfg.keyspace)), "configuration")
 }

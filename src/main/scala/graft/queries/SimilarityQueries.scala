@@ -193,10 +193,13 @@ object SimilarityQueries {
       val gtPairs = e.select(col("vec_id").as("neighbor_id")).crossJoin(qs)
         .filter(col("neighbor_id") =!= col("query_id"))
       // the brute-force pass is the most expensive subplan and every
-      // method row references it twice (hits + truth): cache the tiny
-      // result (3 rows per query) so the 5-way union computes it once
-      val gt = cosTopK(e, gtPairs, 3).select("query_id", "neighbor_id")
-        .cache()
+      // method row references it twice (hits + truth): collect the tiny
+      // result (3 rows per query) to a literal frame so the 5-way union
+      // computes it once and nothing stays pinned in the cache manager
+      // afterwards (same pattern as kmeansCentroids)
+      val gtDf = cosTopK(e, gtPairs, 3).select("query_id", "neighbor_id")
+      val gt = s.createDataFrame(
+        java.util.Arrays.asList(gtDf.collect(): _*), gtDf.schema)
       def recallOf(method: String, ann: DataFrame): DataFrame =
         gt.join(ann.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "leftsemi")

@@ -44,15 +44,31 @@ object IncrementalIngest {
     * unaffected (same epoch ids → same partitions → idempotent). */
   def resumeGuard(s: SparkSession, out: String, watermark: Long): Unit =
     if (new java.io.File(s"$out/transaction").exists()) {
-      val sinkMax =
-        try {
-          val r = graft.chain.ChainStore.readTransactions(s, out)
-            .agg(max(col("block_id"))).head()
-          if (r.isNullAt(0)) None else Some(r.getLong(0))
-        } catch {
+      val existing =
+        try Some(s.read.parquet(s"$out/transaction"))
+        catch {
           // dir exists but holds no readable parquet = empty store
           case _: org.apache.spark.sql.AnalysisException => None
         }
+      // layout check first: every caller of this guard writes the
+      // epoch-keyed layout (partition dirs tx_id_group/ingest_epoch), so
+      // a store laid out by the batch writeTransactions (tx_id_group
+      // only) must be refused outright — mixing the two depths under one
+      // transaction/ root makes parquet partition discovery fail with
+      // "conflicting directory structures" on the NEXT read, i.e. the
+      // corruption would surface long after this run succeeded
+      existing.foreach { df =>
+        require(df.schema.fieldNames.contains("ingest_epoch"),
+          s"store at $out was written by the batch layout (no " +
+            "ingest_epoch partition key); resuming a streaming ingest " +
+            "into it would mix partition-directory depths and break " +
+            "partition discovery — use a separate store directory, or " +
+            "delete this one for a full streaming rebuild")
+      }
+      val sinkMax = existing.flatMap { df =>
+        val r = df.agg(max(col("block_id"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
       sinkMax.foreach { mx =>
         require(watermark >= mx,
           s"store at $out holds blocks up to $mx but the resume " +

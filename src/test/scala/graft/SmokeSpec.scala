@@ -20,4 +20,11 @@ class SmokeSpec extends SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
+
+  test("scale-up factor guard admits the documented default") {
+    ScaleUp.checkFactor(1)
+    ScaleUp.checkFactor(10) // the default invocation and SCALE.md's curve
+    intercept[IllegalArgumentException] { ScaleUp.checkFactor(0) }
+    intercept[IllegalArgumentException] { ScaleUp.checkFactor(11) }
+  }
 }

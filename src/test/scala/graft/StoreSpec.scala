@@ -86,11 +86,20 @@ class StoreSpec extends SparkSpec {
     val cfg = SinkConfig(keyspace = "btc",
       nodes = Seq("n1", "n2"), concurrency = 50)
     val captured = scala.collection.mutable.Buffer.empty[(String, Long)]
+    val ids = scala.collection.mutable.Map.empty[String, String]
     val sink = new CassandraShapedSink(cfg) {
       override protected def save(df: org.apache.spark.sql.DataFrame,
-          table: String): Unit = captured += ((table, df.count()))
+          table: String): Unit = {
+        captured += ((table, df.count()))
+        if (df.schema.fieldNames.contains("id"))
+          ids(table) = df.select("id").head().getString(0)
+      }
     }
     ChainSink.writeChain(spark, sf("sf0.001"), out = "", sink)
+    // single-row tables are keyed by the keyspace name, as the reference
+    // inserts them (blocksci_export.py:383, 625-629)
+    assert(ids("summary_statistics") === "btc")
+    assert(ids("configuration") === "btc")
     assert(captured.map(_._1).toSet ===
       graft.chain.CqlSchema.tables.map(_.name).toSet)
     assert(captured.forall(_._2 > 0))

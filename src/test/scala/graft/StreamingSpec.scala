@@ -153,6 +153,24 @@ class StreamingSpec extends SparkSpec {
       "no hash may land more than twice in this scenario")
   }
 
+  test("resume guard refuses a batch-layout store") {
+    val dir = sf("sf0.001")
+    val out = tmpDir("mix_")
+    // batch layout: partition dirs are tx_id_group only — an epoch-keyed
+    // streaming resume into this root would mix partition-dir depths and
+    // break parquet partition discovery on the next read
+    graft.chain.ChainStore.writeTransactions(
+      Chain.transactions(spark, dir), out)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalIngest.resumeGuard(spark, out, Long.MaxValue)
+    }
+    assert(ex.getMessage.contains("batch layout"))
+    // and the ingest entry points are guarded the same way
+    intercept[IllegalArgumentException] {
+      IncrementalIngest.ingestToStore(spark, dir, out, Long.MaxValue)
+    }
+  }
+
   test("reorg guard refuses sink ahead of source") {
     IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 100L)
     intercept[IllegalArgumentException] {
