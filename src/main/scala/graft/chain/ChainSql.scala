@@ -69,4 +69,25 @@ object ChainSql {
 
   def withCtes(ctes: String*)(body: String): String =
     ctes.mkString("WITH ", ",\n", "\n") + body
+
+  /** Like [[withCtes]] but RECURSIVE, for oracles that need a fixpoint
+    * (connected components): DuckDB lets non-recursive and recursive CTEs
+    * mix under one WITH RECURSIVE header. */
+  def withRecursiveCtes(ctes: String*)(body: String): String =
+    ctes.mkString("WITH RECURSIVE ", ",\n", "\n") + body
+
+  /** Recursive min-label walk over an undirected edge CTE: every
+    * component label reaches every member, so `min(comp) GROUP BY node`
+    * is each node's component minimum — the oracle mirror of
+    * [[graft.operators.ConnectedComponents]]. `nodesCte` must expose
+    * `node`, `edgesCte` endpoints `a`/`b` (one direction; the walk
+    * symmetrizes). Termination: UNION dedups against everything already
+    * reached, so cycles add no new rows. */
+  def ccWalkCte(nodesCte: String, edgesCte: String): String =
+    s"""esym AS (SELECT a, b FROM $edgesCte
+       |         UNION SELECT b, a FROM $edgesCte),
+       |walk(node, comp) AS (
+       |  SELECT node, node FROM $nodesCte
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN esym e ON e.a = w.node)""".stripMargin
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", ACM SoCC 2014) — the published shuffle-bounded answer to
+  * clustering at data sizes where a driver-side union-find cannot hold
+  * the node set.
+  *
+  * This is the pairs→clusters step every near-dup dedup pipeline needs
+  * (MinHash/SimHash/embedding candidate pairs → duplicate groups → one
+  * kept doc per group) and the reference domain's core downstream
+  * transformation (GraphSense's multi-input-heuristic address→entity
+  * clustering).
+  *
+  * Scale design: each round is two hash shuffles (a groupBy-min per star
+  * direction and the join back), edge rows only ever carry two ids, and
+  * the round count is O(log n) — a path of 10⁹ nodes converges in ~30
+  * rounds where naive min-label propagation needs 10⁹. Per-round results
+  * are eagerly localCheckpoint'ed: the convergence test needs an action
+  * per round anyway, and without truncation the iterative plan re-executes
+  * the whole prefix each round (same lineage trap as iterative k-means —
+  * see kmeansCentroids). On a multi-executor cluster with a long-running
+  * job, `spark.sparkContext.setCheckpointDir` + `checkpoint()` swaps in
+  * fault-tolerant truncation with no other change.
+  *
+  * Determinism: every operation is a min/least over the node ids — the
+  * result is a pure function of the edge set, independent of partitioning
+  * and execution order, for any orderable column type (numeric or
+  * string).
+  */
+object ConnectedComponents {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (first two columns = endpoints; self-loops and duplicate/reversed
+    * edges are fine). Returns one row per node that appears in any edge:
+    * (node, component) where component is the smallest node id in the
+    * node's component. Isolated nodes never appear in an edge list —
+    * callers that track a node universe use [[labels]].
+    */
+  def run(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, "edges needs two endpoint columns")
+    var e = canonical(
+      edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
+      .localCheckpoint(true)
+    var sig = checksum(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge in " +
+      s"$maxIter rounds — raise maxIter (rounds needed is O(log n))")
+    // fixpoint edges form stars u→root (u > root): every non-root node
+    // appears exactly once on the left, every root only on the right
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** (node, component) for every row of `nodes` (single-column frame):
+    * the [[run]] labels, with isolated nodes as their own singleton
+    * component. */
+  def labels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 40)
+      : DataFrame = {
+    val n = nodes.select(col(nodes.columns.head).as("node"))
+    n.join(run(edges, maxIter), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Undirected canonical form: (larger, smaller), no self-loops, no
+    * duplicates. */
+  private def canonical(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its neighborhood (incl. itself) — long tails collapse onto small
+    * ids without ever growing a reducer past the true neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    canonical(
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  /** Small-star: every node connects its SMALLER neighbors (and itself)
+    * to the minimum among them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = canonical(e) // (u, v) with u > v: neighbors-below per u
+    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val reattached = dir.join(m, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    canonical(reattached.union(m.select(col("u"), col("m").as("v"))))
+  }
+
+  /** Order-independent edge-set fingerprint: count + XOR of row hashes
+    * (xor is overflow-free under ANSI mode, and the edge set is distinct
+    * so no pair can cancel another) — the per-round convergence probe,
+    * and the action that materializes the round's checkpoint. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

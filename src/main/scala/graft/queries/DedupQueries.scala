@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextCorpus._
-import graft.chain.ChainSql.withCtes
+import graft.chain.ChainSql.{ccWalkCte, withCtes, withRecursiveCtes}
 
 /** Document deduplication operators for the training-data pipeline:
   * exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
@@ -149,6 +149,29 @@ object DedupQueries {
             .as("jaccard"))
     }),
 
+    // pairs → CLUSTERS: connected components over the LSH candidate
+    // pairs (graft.operators.ConnectedComponents, alternating
+    // large-star/small-star — O(log n) rounds of pure hash shuffles).
+    // Every doc gets a cluster label; docs with no near-dup candidate
+    // are their own singleton. This is the step that turns a pair list
+    // into actionable dedup groups at 100 TB, where a driver-side
+    // union-find over the pair set cannot exist.
+    "dedup_components" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.labels(
+          corpus(s, dir).select(col("doc_id")), candidatePairs(s, dir))
+        .select(col("node").as("doc_id"), col("component"))),
+
+    // keep-one-per-cluster: the surviving corpus after near-dup dedup —
+    // the canonical representative (min doc_id = the component label)
+    // with its cluster size. Anti-joining the corpus against the
+    // non-representatives is the same frame filtered to n_members > 1.
+    "dedup_keep_one" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.labels(
+          corpus(s, dir).select(col("doc_id")), candidatePairs(s, dir))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("doc_id"), col("n_members"))),
+
     // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
     // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
     "dedup_simhash" -> ((s, dir) =>
@@ -228,6 +251,25 @@ object DedupQueries {
         |FROM inter i
         |JOIN cnt ca ON ca.doc_id = i.doc_a
         |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
+
+    "dedup_components" -> withRecursiveCtes(sigSqlCtes ++ Seq(
+      pairsSqlCte,
+      "nodes AS (SELECT doc_id AS node FROM corpus)",
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+      ccWalkCte("nodes", "edges")): _*)(
+      """SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        |FROM walk GROUP BY node""".stripMargin),
+
+    "dedup_keep_one" -> withRecursiveCtes(sigSqlCtes ++ Seq(
+      pairsSqlCte,
+      "nodes AS (SELECT doc_id AS node FROM corpus)",
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+      ccWalkCte("nodes", "edges"),
+      """cc AS (SELECT node, min(comp) AS component
+        |       FROM walk GROUP BY node)""".stripMargin): _*)(
+      """SELECT CAST(component AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM cc GROUP BY component""".stripMargin),
 
     "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte(16))(
       "SELECT doc_id, simhash FROM sh"),

@@ -421,6 +421,27 @@ object RefQueries {
         .agg(count(lit(1)).as("n_utxos"), sum(col("value")).as("total_value"))
     }),
 
+    // address → ENTITY clustering: the multi-input heuristic (addresses
+    // co-spent as inputs of one tx share an owner) — GraphSense's core
+    // downstream transformation, run here as star edges from each input
+    // address to its tx's minimum address (same components as the
+    // per-tx clique at linear edge count) clustered by the O(log n)
+    // large-star/small-star connected-components operator. The entity
+    // label is the component's minimum address, so the result is a pure
+    // function of the chain — stable across runs and cluster sizes.
+    "entity_components" -> ((s, dir) => {
+      val ia = io(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), explode(col("addresses")).as("address"))
+        .distinct()
+      val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
+      val edges = ia.join(root, Seq("tx_id"))
+        .filter(col("address") =!= col("root"))
+        .select(col("address"), col("root"))
+      graft.operators.ConnectedComponents.labels(
+          ia.select(col("address")).distinct(), edges)
+        .select(col("node").as("address"), col("component").as("entity"))
+    }),
+
     // the SQL surface (S7): the same data model queried purely through
     // spark.sql over the GraftCatalog temp views — what a SQL-only
     // consumer of the reference keyspace would run after switching.
@@ -681,6 +702,21 @@ object RefQueries {
         |                    ELSE [base_addr] END) AS address
         |      FROM io WHERE NOT is_input)
         |GROUP BY address""".stripMargin),
+
+    "entity_components" -> ChainSql.withRecursiveCtes(ChainSql.io,
+      """ia AS (SELECT DISTINCT tx_id, address FROM (
+        |  SELECT tx_id,
+        |    unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                WHEN address_type IN (1, 7, 10) THEN NULL
+        |                ELSE [base_addr] END) AS address
+        |  FROM io WHERE is_input))""".stripMargin,
+      "tr AS (SELECT tx_id, min(address) AS root FROM ia GROUP BY tx_id)",
+      """edges AS (SELECT DISTINCT address AS a, root AS b
+        |          FROM ia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
+      "nodes AS (SELECT DISTINCT address AS node FROM ia)",
+      ChainSql.ccWalkCte("nodes", "edges"))(
+      """SELECT node AS address, min(comp) AS entity
+        |FROM walk GROUP BY node""".stripMargin),
 
     "address_entity_join" -> withCtes(ChainSql.io)(
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_utxos,
