@@ -89,6 +89,34 @@ object TextQueries {
     "doc_fingerprint" -> ((s, dir) =>
       graft.api.Text.fingerprint(docWords(s, dir))),
 
+    // TF-IDF top-k distinctive terms per document (keyword extraction /
+    // vocab weighting). idf is the LINEAR N/df variant: ln() is
+    // implementation-defined in the last ulp across engines, while
+    // tf/df and ·N are single IEEE ops — bit-identical everywhere and
+    // order-isomorphic to tf·log-idf for ranking within a document.
+    // Shape at scale: tokens explode map-side, tf is one hash-agg on
+    // (doc, token), df one on token; the tf⋈df equi-join shuffles only
+    // (token, counts) rows — no text moves after tokenization.
+    "text_tfidf_topk" -> ((s, dir) => {
+      val toks = docWords(s, dir).select(col("doc_id"),
+        explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+          .as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      val n = docWords(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfq, Seq("token")).crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf").cast("double") / col("doc_freq") * col("n_docs"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+          col("doc_freq"), col("tfidf"))
+    }),
+
     // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
     // nibble values. Reproducible across runs/engines/cluster sizes —
     // the property `df.sample()` cannot give a training pipeline.
@@ -156,6 +184,28 @@ object TextQueries {
         |       x -> x != '')) AS BIGINT) AS n_regex_tokens,
         |  CAST(len(w) AS BIGINT) AS n_ws_tokens
         |FROM words""".stripMargin),
+
+    "text_tfidf_topk" -> withCtes(docWordsSql,
+      """toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |           x -> x != '')) AS token
+        |  FROM words)""".stripMargin,
+      """tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, token)""".stripMargin,
+      """dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+        |        FROM tf GROUP BY token)""".stripMargin)(
+      """SELECT doc_id, rk, token, tf, doc_freq, tfidf FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+        |    CAST(tf.tf AS DOUBLE) / dfq.doc_freq
+        |      * (SELECT count(*) FROM words) AS tfidf,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / dfq.doc_freq
+        |                 * (SELECT count(*) FROM words) DESC,
+        |               tf.token) AS BIGINT) AS rk
+        |  FROM tf JOIN dfq USING (token))
+        |WHERE rk <= 5""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words
