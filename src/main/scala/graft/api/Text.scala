@@ -79,6 +79,33 @@ object Text {
       ((length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
         .cast("long")).as("n_periods"))
 
+  /** Benchmark decontamination — the n-gram-overlap eval-leak filter a
+    * pretraining pipeline runs before training: count the distinct
+    * word-shingles each corpus document shares with a benchmark shingle
+    * set and flag documents at or above `minOverlap`.
+    *
+    * Scale: benchmark suites are MBs while the corpus is TBs, so the
+    * benchmark side is `broadcast()` — the corpus never shuffles except
+    * the per-doc overlap count (a map-side-combinable hash-agg on
+    * doc_id). `corpusShingles`/`benchShingles` carry (doc_id, shingle) /
+    * (shingle); `docs` is the doc_id universe to label (docs without any
+    * overlap get n_overlap = 0).
+    */
+  def decontaminate(corpusShingles: DataFrame, benchShingles: DataFrame,
+      docs: DataFrame, minOverlap: Long = 1L): DataFrame = {
+    val bench = broadcast(
+      benchShingles.select(col("shingle")).distinct())
+    val overlap = corpusShingles.select(col("doc_id"), col("shingle"))
+      .distinct()
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Positional polynomial fingerprint (rolling-hash analog). */
   def fingerprint(docWords: DataFrame): DataFrame =
     docWords

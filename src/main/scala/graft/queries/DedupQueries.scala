@@ -45,7 +45,10 @@ object DedupQueries {
     graft.api.Dedup.candidatePairs(
       graft.ops.DedupMaterialize.bandTable(s, dir))
 
-  private val sigSqlCtes: Seq[String] = {
+  /** sig + bands CTEs over whatever `shingles` CTE precedes them —
+    * shared with the composite pipeline query, which runs the same
+    * MinHash chain over the plain (no injected dups) document set. */
+  private[queries] val sigBandCtes: Seq[String] = {
     val consts = graft.api.Dedup.minhashConsts(Seeds.size)
     val m = graft.api.Dedup.MinHashMod
     val sigCols = Seeds.map { k =>
@@ -54,7 +57,7 @@ object DedupQueries {
     }.mkString(",\n         ")
     def bandSql(ks: Range): String = ks
       .map(k => s"CAST(s$k AS VARCHAR)").mkString(" || '|' || ")
-    Seq(corpusSql, wordsSql, shinglesSql,
+    Seq(
       s"""sig AS (
          |  SELECT doc_id,
          |         $sigCols
@@ -68,6 +71,9 @@ object DedupQueries {
          |         md5(${bandSql(4 to 7)}) AS band1
          |  FROM sig)""".stripMargin)
   }
+
+  private val sigSqlCtes: Seq[String] =
+    Seq(corpusSql, wordsSql, shinglesSql) ++ sigBandCtes
 
   /** DuckDB mirror of [[graft.api.Dedup.simhash]] at `bits` width. */
   private def simhashSqlCte(bits: Int): String =
@@ -90,7 +96,7 @@ object DedupQueries {
        |    GROUP BY doc_id, b)
        |  GROUP BY doc_id)""".stripMargin
 
-  private val pairsSqlCte: String =
+  private[queries] val pairsSqlCte: String =
     """pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b

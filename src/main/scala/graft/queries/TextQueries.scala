@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.chain.Chain.table
-import graft.chain.ChainSql.withCtes
-import graft.ops.TextCorpus.docWordsSql
+import graft.chain.ChainSql.{ccWalkCte, withCtes, withRecursiveCtes}
+import graft.ops.TextCorpus.{docWordsSql, shinglesSql}
 
 /** Text-analysis operators for the training-data pipeline: language ID
   * (stopword-hit heuristic), quality scoring (length / punctuation /
@@ -117,6 +117,51 @@ object TextQueries {
           col("doc_freq"), col("tfidf"))
     }),
 
+    // benchmark decontamination: every 100th doc plays the eval set;
+    // training docs sharing ANY word-trigram shingle with it are
+    // flagged. The benchmark side is broadcast (eval suites are MBs
+    // against a TB corpus) — the corpus never shuffles except the
+    // per-doc overlap hash-agg.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = docWords(s, dir)
+      val sh = graft.ops.TextCorpus.shingles(docs)
+      graft.api.Text.decontaminate(
+        sh.filter(col("doc_id") % 100 =!= 0),
+        sh.filter(col("doc_id") % 100 === 0).select(col("shingle")),
+        docs.filter(col("doc_id") % 100 =!= 0).select(col("doc_id")))
+    }),
+
+    // the END-TO-END pretraining corpus build as ONE declarative query:
+    // near-dup clusters (MinHash→LSH→connected components) over the
+    // full document set, keep-one-per-cluster, drop benchmark-
+    // contaminated docs, apply a minimum-length quality gate, and
+    // return the surviving corpus with its cluster sizes and token
+    // counts. Every stage is the already-verified operator — this query
+    // pins that they COMPOSE (the actual shape a pipeline deploys).
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = docWords(s, dir)
+      val sh = graft.ops.TextCorpus.shingles(docs)
+      val pairs = graft.api.Dedup.candidatePairs(
+        graft.api.Dedup.lshBands(graft.api.Dedup.minhashSignatures(sh)))
+      val cc = graft.operators.ConnectedComponents.labels(
+        docs.select(col("doc_id")), pairs)
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      val decon = graft.api.Text.decontaminate(
+        sh.filter(col("doc_id") % 100 =!= 0),
+        sh.filter(col("doc_id") % 100 === 0).select(col("shingle")),
+        docs.filter(col("doc_id") % 100 =!= 0).select(col("doc_id")))
+      cc.filter(col("node") === col("component"))
+        .join(sizes, Seq("component"))
+        .select(col("node").as("doc_id"), col("n_members"))
+        .join(docs.select(col("doc_id"), size(col("w")).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+        .join(decon.filter(!col("contaminated")).select(col("doc_id")),
+          Seq("doc_id"))
+        .filter(col("n_tokens") >= 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_members"))
+    }),
+
     // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
     // nibble values. Reproducible across runs/engines/cluster sizes —
     // the property `df.sample()` cannot give a training pipeline.
@@ -206,6 +251,43 @@ object TextQueries {
         |               tf.token) AS BIGINT) AS rk
         |  FROM tf JOIN dfq USING (token))
         |WHERE rk <= 5""".stripMargin),
+
+    "text_decontaminate" -> withCtes(docWordsSql, shinglesSql,
+      "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
+      """ov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles
+        |        WHERE doc_id % 100 != 0) t JOIN bench USING (shingle)
+        |  GROUP BY doc_id)""".stripMargin)(
+      """SELECT w.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM words WHERE doc_id % 100 != 0) w
+        |LEFT JOIN ov USING (doc_id)""".stripMargin),
+
+    "pipeline_corpus" -> withRecursiveCtes(
+      Seq(docWordsSql, shinglesSql) ++ DedupQueries.sigBandCtes ++ Seq(
+        DedupQueries.pairsSqlCte,
+        "nodes AS (SELECT doc_id AS node FROM words)",
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+        ccWalkCte("nodes", "edges"),
+        "cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)",
+        """sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          |          FROM cc GROUP BY component)""".stripMargin,
+        "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
+        """ov AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+          |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles
+          |        WHERE doc_id % 100 != 0) t JOIN bench USING (shingle)
+          |  GROUP BY doc_id)""".stripMargin): _*)(
+      """SELECT c.node AS doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  s.n_members
+        |FROM cc c
+        |JOIN sizes s USING (component)
+        |JOIN words w ON w.doc_id = c.node
+        |LEFT JOIN ov ON ov.doc_id = c.node
+        |WHERE c.node = c.component AND c.node % 100 != 0
+        |  AND coalesce(ov.n_overlap, 0) < 1
+        |  AND len(w.w) >= 5""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words
