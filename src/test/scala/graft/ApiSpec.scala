@@ -52,6 +52,21 @@ class ApiSpec extends SparkSpec {
     assert(pred === "en")
   }
 
+  test("Text.decontaminate flags shared-shingle docs against a benchmark") {
+    val sh = TextCorpus.shingles(TextCorpus.words(docs))
+    // doc 3 plays the benchmark; docs 1 and 2 share its shingles iff
+    // their text matches (the fixture's 1 and 2 are identical, 3 isn't)
+    val flagged = Text.decontaminate(
+      sh.filter(col("doc_id") =!= 3), sh.filter(col("doc_id") === 3),
+      docs.filter(col("doc_id") =!= 3).select("doc_id"))
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(flagged.map(t => t._1 -> t._3).toMap === Map(1L -> false, 2L -> false))
+    // against itself as benchmark, everything with shingles is flagged
+    val self = Text.decontaminate(sh, sh, docs.select("doc_id"))
+    assert(self.filter(col("contaminated")).count() ===
+      sh.select("doc_id").distinct().count())
+  }
+
   test("Graft facade: ingest + keyspace DDL entry points") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "facade_").toString

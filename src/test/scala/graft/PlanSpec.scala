@@ -18,6 +18,12 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q3_shipping").contains("BroadcastHashJoin"))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    // the corpus side must never shuffle its text: the benchmark join is
+    // a broadcast, the only corpus exchange is the per-doc overlap agg
+    assert(executedPlan("text_decontaminate").contains("BroadcastHashJoin"))
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = executedPlan("q1_pricing")
     assert(plan.contains("PushedFilters") &&

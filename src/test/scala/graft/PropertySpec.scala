@@ -89,6 +89,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cluster recall: every injected exact duplicate shares its original's component") {
+    // the pairs→clusters step must preserve what pair recall guarantees:
+    // if (orig, dup) surfaces as a candidate pair, connected components
+    // MUST put both in one cluster — and keep-one must keep exactly one
+    val dir = sf("sf0.001")
+    val comp = SparkEntry.queries("dedup_components")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"paired docs $a,$b split across clusters")
+    }
+    val keepOne = SparkEntry.queries("dedup_keep_one")(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(keepOne.map(_._1).toSet === comp.values.toSet,
+      "keep-one reps must be exactly the component labels")
+    assert(keepOne.map(_._2).sum === comp.size,
+      "cluster sizes must partition the corpus")
+  }
+
   test("embedding near-dup recall: injected duplicate vectors all pair up") {
     val dir = sf("sf0.001")
     val found = SparkEntry.queries("dedup_embedding")(spark, dir)
