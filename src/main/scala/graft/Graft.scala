@@ -26,6 +26,10 @@ import graft.chain.{Chain, ChainStore, GraftCatalog}
   *                api.Dedup.lshBands(api.Dedup.minhashSignatures(shingles)))
   * val verify = api.Dedup.jaccardVerify(shingles, pairs)
   * val knn    = api.Similarity.cosTopK(api.Similarity.quantize(embs), qs, 5)
+  *
+  * // pairs → clusters → keep-one; eval-set decontamination
+  * val comp   = operators.ConnectedComponents.labels(docIds, pairs)
+  * val clean  = api.Text.decontaminate(shingles, benchShingles, docIds)
   * }}}
   */
 object Graft {
