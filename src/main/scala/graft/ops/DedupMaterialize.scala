@@ -74,4 +74,25 @@ object DedupMaterialize {
   /** (doc_id, band0, band1) LSH band keys. */
   def bandTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/bands")
+
+  /** (node, component) near-dup cluster labels over the LSH candidate
+    * pairs — the iterative connected-components fixpoint parked once per
+    * corpus, exactly like the band tier: clusters feed several consumers
+    * (labeling, keep-one, pair statistics) and the CC loop is the most
+    * expensive stage of the chain, so recomputing it per reference would
+    * dominate at scale. Derives from the parked band tier, so the
+    * shingle explosion still happens exactly once. */
+  def componentTable(s: SparkSession, dir: String): DataFrame = {
+    val root = ensure(s, dir)
+    lock.synchronized {
+      if (!new File(s"$root/components/_SUCCESS").exists()) {
+        graft.operators.ConnectedComponents.labels(
+            corpus(s, dir).select("doc_id"),
+            graft.api.Dedup.candidatePairs(
+              s.read.parquet(s"$root/bands"), Bands))
+          .write.mode("overwrite").parquet(s"$root/components")
+      }
+    }
+    s.read.parquet(s"$root/components")
+  }
 }

@@ -161,19 +161,21 @@ object DedupQueries {
     // Every doc gets a cluster label; docs with no near-dup candidate
     // are their own singleton. This is the step that turns a pair list
     // into actionable dedup groups at 100 TB, where a driver-side
-    // union-find over the pair set cannot exist.
+    // union-find over the pair set cannot exist. Like the band tier,
+    // the iterative fixpoint is parked once per corpus
+    // (DedupMaterialize.componentTable) — every consumer reads labels,
+    // nobody re-runs the loop.
     "dedup_components" -> ((s, dir) =>
-      graft.operators.ConnectedComponents.labels(
-          corpus(s, dir).select(col("doc_id")), candidatePairs(s, dir))
+      graft.ops.DedupMaterialize.componentTable(s, dir)
         .select(col("node").as("doc_id"), col("component"))),
 
     // keep-one-per-cluster: the surviving corpus after near-dup dedup —
     // the canonical representative (min doc_id = the component label)
-    // with its cluster size. Anti-joining the corpus against the
-    // non-representatives is the same frame filtered to n_members > 1.
+    // with its cluster size, one hash-agg over the parked labels.
+    // Anti-joining the corpus against the non-representatives is the
+    // same frame filtered to n_members > 1.
     "dedup_keep_one" -> ((s, dir) =>
-      graft.operators.ConnectedComponents.labels(
-          corpus(s, dir).select(col("doc_id")), candidatePairs(s, dir))
+      graft.ops.DedupMaterialize.componentTable(s, dir)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("doc_id"), col("n_members"))),

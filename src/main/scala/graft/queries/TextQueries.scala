@@ -138,6 +138,11 @@ object TextQueries {
     // return the surviving corpus with its cluster sizes and token
     // counts. Every stage is the already-verified operator — this query
     // pins that they COMPOSE (the actual shape a pipeline deploys).
+    // It derives its own shingle/pair chain rather than reading the
+    // DedupMaterialize tier because the tier is keyed to the
+    // dup-injected dedup corpus while the pipeline runs on the plain
+    // document universe; a deployment materializes the tier for
+    // whatever universe its pipeline uses.
     "pipeline_corpus" -> ((s, dir) => {
       val docs = docWords(s, dir)
       val sh = graft.ops.TextCorpus.shingles(docs)
