@@ -95,9 +95,12 @@ object Text {
       docs: DataFrame, minOverlap: Long = 1L): DataFrame = {
     val bench = broadcast(
       benchShingles.select(col("shingle")).distinct())
+    // join BEFORE distinct: the broadcast semi-reduction keeps only
+    // overlapping (doc, shingle) rows, so the dedup shuffle carries the
+    // overlap set, not the whole corpus shingle explosion
     val overlap = corpusShingles.select(col("doc_id"), col("shingle"))
-      .distinct()
       .join(bench, Seq("shingle"))
+      .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     docs.select(col("doc_id"))
       .join(overlap, Seq("doc_id"), "left")
