@@ -117,6 +117,24 @@ object TextQueries {
           col("doc_freq"), col("tfidf"))
     }),
 
+    // within-document repetition (the Gopher-style quality signal):
+    // duplicate-word mass per doc. One explode + two hash-aggs, all
+    // exact integers with a single final division — docs whose
+    // repetition_ratio spikes are template/boilerplate candidates.
+    "text_repetition" -> ((s, dir) => {
+      val wc = docWords(s, dir)
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          max(col("c")).as("max_word_count"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("max_word_count"),
+          (lit(1.0) - col("n_distinct_words").cast("double") /
+            col("n_words")).as("repetition_ratio"))
+    }),
+
     // benchmark decontamination: every 100th doc plays the eval set;
     // training docs sharing ANY word-trigram shingle with it are
     // flagged. The benchmark side is broadcast (eval suites are MBs
@@ -256,6 +274,18 @@ object TextQueries {
         |               tf.token) AS BIGINT) AS rk
         |  FROM tf JOIN dfq USING (token))
         |WHERE rk <= 5""".stripMargin),
+
+    "text_repetition" -> withCtes(docWordsSql,
+      """wc AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+        |  GROUP BY doc_id, word)""".stripMargin)(
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |  CAST(max(c) AS BIGINT) AS max_word_count,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+        |    AS repetition_ratio
+        |FROM wc GROUP BY doc_id""".stripMargin),
 
     "text_decontaminate" -> withCtes(docWordsSql, shinglesSql,
       "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
