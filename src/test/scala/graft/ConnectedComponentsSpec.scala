@@ -76,6 +76,15 @@ class ConnectedComponentsSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 7L, 10L -> 10L))
   }
 
+  test("a high-degree hub with pendant chains stays correct") {
+    // the skew shape large-star exists for: one hub with thousands of
+    // neighbors, some of which chain further — per-node reducer state is
+    // the true neighborhood, never the whole component
+    val hub = (1L to 4000L).map(i => (0L, i))
+    val chains = (1L to 50L).map(i => (i, 10000L + i))
+    check(hub ++ chains)
+  }
+
   test("a 512-node path converges within logarithmic rounds") {
     // naive min-propagation needs ~512 rounds here; the star algorithm
     // must finish in far fewer (paper bound O(log n), 40 is generous)
