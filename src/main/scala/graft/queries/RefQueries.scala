@@ -55,6 +55,38 @@ object RefQueries {
 
   // ---- shared sub-plans -------------------------------------------------
 
+  /** entity_summary's pinned clustering window (first ~2 weeks of chain
+    * history): early-chain co-spend graphs are sparse enough for real
+    * entity structure at every verification sf. */
+  private val EntityWindow = 1110L
+
+  /** Multi-input-heuristic entity labels: star edges from each input
+    * address to its tx's minimum address (same components as the per-tx
+    * clique at linear edge count), clustered by the O(log n)
+    * large-star/small-star connected-components operator. The entity
+    * label is the component's minimum address — a pure function of the
+    * chain, stable across runs and cluster sizes. */
+  private def entityLabels(s: SparkSession, dir: String,
+      maxBlock: Option[Long] = None): DataFrame = {
+    val iaAll = io(s, dir).filter(col("is_input"))
+      .select(col("tx_id"), explode(col("addresses")).as("address"))
+      .distinct()
+    // optional analysis window: cluster only txs below a block cut —
+    // on this dense fixture the full chain collapses to one giant
+    // entity (290 addresses, thousands of co-spends), so windowed
+    // clustering is what produces non-degenerate entity structure
+    val ia = maxBlock.fold(iaAll)(b => iaAll.join(
+      Chain.transactions(s, dir).filter(col("block_id") < b)
+        .select(col("tx_id")), Seq("tx_id")))
+    val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
+    val edges = ia.join(root, Seq("tx_id"))
+      .filter(col("address") =!= col("root"))
+      .select(col("address"), col("root"))
+    graft.operators.ConnectedComponents.labels(
+        ia.select(col("address")).distinct(), edges)
+      .select(col("node").as("address"), col("component").as("entity"))
+  }
+
   /** Per-tx max count of equal-valued outputs — the coinjoin signal (U1,
     * blocksci_export.py:365). Two-level hash agg, both map-side combinable. */
   private def maxEqualOutputs(spark: SparkSession, dir: String): DataFrame =
@@ -429,17 +461,24 @@ object RefQueries {
     // large-star/small-star connected-components operator. The entity
     // label is the component's minimum address, so the result is a pure
     // function of the chain — stable across runs and cluster sizes.
-    "entity_components" -> ((s, dir) => {
-      val ia = io(s, dir).filter(col("is_input"))
-        .select(col("tx_id"), explode(col("addresses")).as("address"))
-        .distinct()
-      val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
-      val edges = ia.join(root, Seq("tx_id"))
-        .filter(col("address") =!= col("root"))
-        .select(col("address"), col("root"))
-      graft.operators.ConnectedComponents.labels(
-          ia.select(col("address")).distinct(), edges)
-        .select(col("node").as("address"), col("component").as("entity"))
+    "entity_components" -> ((s, dir) => entityLabels(s, dir)),
+
+    // the analytics the clustering exists FOR: per-entity address count
+    // and total received value — cluster labels joined back to the
+    // output-value flow (one equi-join on address + one hash-agg on the
+    // entity label; both shuffle only id/value pairs). Clustering runs
+    // on the pinned early-chain window (block_id < 1110, where the
+    // fixture has real multi-entity structure: 12 entities at sf0.01);
+    // received value accrues over the WHOLE chain, as balances do.
+    "entity_summary" -> ((s, dir) => {
+      val received = io(s, dir).filter(!col("is_input"))
+        .select(explode(col("addresses")).as("address"), col("value"))
+        .groupBy(col("address")).agg(sum(col("value")).as("recv"))
+      entityLabels(s, dir, maxBlock = Some(EntityWindow))
+        .join(received, Seq("address"), "left")
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_addresses"),
+          sum(coalesce(col("recv"), lit(0L))).as("total_received"))
     }),
 
     // the SQL surface (S7): the same data model queried purely through
@@ -717,6 +756,33 @@ object RefQueries {
       ChainSql.ccWalkCte("nodes", "edges"))(
       """SELECT node AS address, min(comp) AS entity
         |FROM walk GROUP BY node""".stripMargin),
+
+    "entity_summary" -> ChainSql.withRecursiveCtes(ChainSql.tx, ChainSql.io,
+      s"""ia AS (SELECT DISTINCT i.tx_id, address FROM (
+         |  SELECT tx_id,
+         |    unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+         |                WHEN address_type IN (1, 7, 10) THEN NULL
+         |                ELSE [base_addr] END) AS address
+         |  FROM io WHERE is_input) i
+         |  JOIN tx ON tx.tx_id = i.tx_id AND tx.block_id < $EntityWindow)""".stripMargin,
+      "tr AS (SELECT tx_id, min(address) AS root FROM ia GROUP BY tx_id)",
+      """edges AS (SELECT DISTINCT address AS a, root AS b
+        |          FROM ia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
+      "nodes AS (SELECT DISTINCT address AS node FROM ia)",
+      ChainSql.ccWalkCte("nodes", "edges"),
+      """cc AS (SELECT node AS address, min(comp) AS entity
+        |       FROM walk GROUP BY node)""".stripMargin,
+      """recv AS (SELECT address, CAST(sum(value) AS BIGINT) AS recv FROM (
+        |  SELECT value,
+        |    unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                WHEN address_type IN (1, 7, 10) THEN NULL
+        |                ELSE [base_addr] END) AS address
+        |  FROM io WHERE NOT is_input)
+        |  GROUP BY address)""".stripMargin)(
+      """SELECT entity, CAST(count(*) AS BIGINT) AS n_addresses,
+        |  CAST(sum(coalesce(recv, 0)) AS BIGINT) AS total_received
+        |FROM cc LEFT JOIN recv USING (address)
+        |GROUP BY entity""".stripMargin),
 
     "address_entity_join" -> withCtes(ChainSql.io)(
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_utxos,
