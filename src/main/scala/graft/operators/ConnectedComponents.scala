@@ -35,7 +35,8 @@ object ConnectedComponents {
 
   /** Connected components of the undirected graph given by `edges`
     * (first two columns = endpoints; self-loops and duplicate/reversed
-    * edges are fine). Returns one row per node that appears in any edge:
+    * edges are fine). Returns one row per node that appears in any edge
+    * — including nodes whose only edges are self-loops, as singletons:
     * (node, component) where component is the smallest node id in the
     * node's component. Isolated nodes never appear in an edge list —
     * callers that track a node universe use [[labels]].
@@ -43,9 +44,29 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     val cols = edges.columns
     require(cols.length >= 2, "edges needs two endpoint columns")
-    var e = canonical(
-      edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
-      .localCheckpoint(true)
+    val e = edges.select(col(cols(0)).as("u"), col(cols(1)).as("v"))
+    // every endpoint is a node, even if all its edges are self-loops
+    // (canonical() drops those edges, so the star fixpoint alone would
+    // lose such nodes)
+    labelsOver(e.select(col("u")).union(e.select(col("v"))).distinct()
+      .toDF("node"), e, maxIter)
+  }
+
+  /** (node, component) for every row of `nodes` (single-column frame):
+    * the [[run]] labels, with isolated nodes as their own singleton
+    * component. */
+  def labels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 40)
+      : DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, "edges needs two endpoint columns")
+    labelsOver(nodes.select(col(nodes.columns.head).as("node")),
+      edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")), maxIter)
+  }
+
+  /** Star fixpoint + label join over an explicit node universe. */
+  private def labelsOver(nodes: DataFrame, edges: DataFrame, maxIter: Int)
+      : DataFrame = {
+    var e = canonical(edges).localCheckpoint(true)
     var sig = checksum(e)
     var it = 0
     var converged = false
@@ -61,18 +82,11 @@ object ConnectedComponents {
       s"$maxIter rounds — raise maxIter (rounds needed is O(log n))")
     // fixpoint edges form stars u→root (u > root): every non-root node
     // appears exactly once on the left, every root only on the right
-    e.select(col("u").as("node"), col("v").as("component"))
+    val star = e
+      .select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")))
       .groupBy("node").agg(min("component").as("component"))
-  }
-
-  /** (node, component) for every row of `nodes` (single-column frame):
-    * the [[run]] labels, with isolated nodes as their own singleton
-    * component. */
-  def labels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 40)
-      : DataFrame = {
-    val n = nodes.select(col(nodes.columns.head).as("node"))
-    n.join(run(edges, maxIter), Seq("node"), "left")
+    nodes.join(star, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
   }

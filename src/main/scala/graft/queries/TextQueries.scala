@@ -39,6 +39,30 @@ object TextQueries {
       col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"),
       col("source"), split(col("text"), " ").as("w"))
 
+  /** Shared decontamination sub-plan (every 100th doc plays the eval
+    * set; training docs flagged on ANY shared word-trigram): ONE
+    * definition for text_decontaminate and pipeline_corpus, so the rule
+    * cannot drift between them. Returns the training-doc universe with
+    * (doc_id, n_overlap, contaminated). */
+  private def deconFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = docWords(s, dir)
+    val sh = graft.ops.TextCorpus.shingles(docs)
+    graft.api.Text.decontaminate(
+      sh.filter(col("doc_id") % 100 =!= 0),
+      sh.filter(col("doc_id") % 100 === 0).select(col("shingle")),
+      docs.filter(col("doc_id") % 100 =!= 0).select(col("doc_id")))
+  }
+
+  /** DuckDB mirror of [[deconFrame]]'s overlap side (composes after a
+    * `shingles` CTE). */
+  private val deconCtes: Seq[String] = Seq(
+    "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
+    """ov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles
+      |        WHERE doc_id % 100 != 0) t JOIN bench USING (shingle)
+      |  GROUP BY doc_id)""".stripMargin)
+
   /** Deterministic argmax with fixed precedence en>de>fr>es, zh fallback
     * when no stopwords hit — identical CASE in both engines (no reliance
     * on engine-specific arg_max tie rules). */
@@ -140,22 +164,18 @@ object TextQueries {
     // flagged. The benchmark side is broadcast (eval suites are MBs
     // against a TB corpus) — the corpus never shuffles except the
     // per-doc overlap hash-agg.
-    "text_decontaminate" -> ((s, dir) => {
-      val docs = docWords(s, dir)
-      val sh = graft.ops.TextCorpus.shingles(docs)
-      graft.api.Text.decontaminate(
-        sh.filter(col("doc_id") % 100 =!= 0),
-        sh.filter(col("doc_id") % 100 === 0).select(col("shingle")),
-        docs.filter(col("doc_id") % 100 =!= 0).select(col("doc_id")))
-    }),
+    "text_decontaminate" -> ((s, dir) => deconFrame(s, dir)),
 
     // the END-TO-END pretraining corpus build as ONE declarative query:
     // near-dup clusters (MinHash→LSH→connected components) over the
-    // full document set, keep-one-per-cluster, drop benchmark-
-    // contaminated docs, apply a minimum-length quality gate, and
-    // return the surviving corpus with its cluster sizes and token
-    // counts. Every stage is the already-verified operator — this query
-    // pins that they COMPOSE (the actual shape a pipeline deploys).
+    // full document set, then per-doc eligibility (training side only,
+    // not benchmark-contaminated, minimum length), then ONE KEPT DOC
+    // per cluster chosen among the eligible members — so a cluster
+    // whose minimum-id member is a benchmark doc or too short still
+    // contributes its best surviving member instead of silently
+    // vanishing. Returns the surviving corpus with full cluster sizes
+    // and token counts. Every stage is the already-verified operator —
+    // this query pins that they COMPOSE (the shape a pipeline deploys).
     // It derives its own shingle/pair chain rather than reading the
     // DedupMaterialize tier because the tier is keyed to the
     // dup-injected dedup corpus while the pipeline runs on the plain
@@ -170,18 +190,15 @@ object TextQueries {
         docs.select(col("doc_id")), pairs)
       val sizes = cc.groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"))
-      val decon = graft.api.Text.decontaminate(
-        sh.filter(col("doc_id") % 100 =!= 0),
-        sh.filter(col("doc_id") % 100 === 0).select(col("shingle")),
-        docs.filter(col("doc_id") % 100 =!= 0).select(col("doc_id")))
-      cc.filter(col("node") === col("component"))
-        .join(sizes, Seq("component"))
-        .select(col("node").as("doc_id"), col("n_members"))
-        .join(docs.select(col("doc_id"), size(col("w")).cast("long")
-          .as("n_tokens")), Seq("doc_id"))
-        .join(decon.filter(!col("contaminated")).select(col("doc_id")),
-          Seq("doc_id"))
+      val eligible = cc.select(col("node").as("doc_id"), col("component"))
+        .join(docs.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .join(deconFrame(s, dir).filter(!col("contaminated"))
+          .select(col("doc_id")), Seq("doc_id"))
         .filter(col("n_tokens") >= 5)
+      eligible.groupBy(col("component")).agg(min(col("doc_id")).as("doc_id"))
+        .join(eligible, Seq("component", "doc_id"))
+        .join(sizes, Seq("component"))
         .select(col("doc_id"), col("n_tokens"), col("n_members"))
     }),
 
@@ -287,13 +304,8 @@ object TextQueries {
         |    AS repetition_ratio
         |FROM wc GROUP BY doc_id""".stripMargin),
 
-    "text_decontaminate" -> withCtes(docWordsSql, shinglesSql,
-      "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
-      """ov AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles
-        |        WHERE doc_id % 100 != 0) t JOIN bench USING (shingle)
-        |  GROUP BY doc_id)""".stripMargin)(
+    "text_decontaminate" -> withCtes(
+      Seq(docWordsSql, shinglesSql) ++ deconCtes: _*)(
       """SELECT w.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM words WHERE doc_id % 100 != 0) w
@@ -307,22 +319,23 @@ object TextQueries {
         ccWalkCte("nodes", "edges"),
         "cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)",
         """sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
-          |          FROM cc GROUP BY component)""".stripMargin,
-        "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)",
-        """ov AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-          |  FROM (SELECT DISTINCT doc_id, shingle FROM shingles
-          |        WHERE doc_id % 100 != 0) t JOIN bench USING (shingle)
-          |  GROUP BY doc_id)""".stripMargin): _*)(
-      """SELECT c.node AS doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
-        |  s.n_members
-        |FROM cc c
-        |JOIN sizes s USING (component)
-        |JOIN words w ON w.doc_id = c.node
-        |LEFT JOIN ov ON ov.doc_id = c.node
-        |WHERE c.node = c.component AND c.node % 100 != 0
-        |  AND coalesce(ov.n_overlap, 0) < 1
-        |  AND len(w.w) >= 5""".stripMargin),
+          |          FROM cc GROUP BY component)""".stripMargin) ++
+      deconCtes ++ Seq(
+        """elig AS (
+          |  SELECT c.node AS doc_id, c.component,
+          |         CAST(len(w.w) AS BIGINT) AS n_tokens
+          |  FROM cc c
+          |  JOIN words w ON w.doc_id = c.node
+          |  LEFT JOIN ov ON ov.doc_id = c.node
+          |  WHERE c.node % 100 != 0
+          |    AND coalesce(ov.n_overlap, 0) < 1
+          |    AND len(w.w) >= 5)""".stripMargin,
+        """keep AS (SELECT component, min(doc_id) AS doc_id
+          |         FROM elig GROUP BY component)""".stripMargin): _*)(
+      """SELECT e.doc_id, e.n_tokens, s.n_members
+        |FROM keep k
+        |JOIN elig e ON e.component = k.component AND e.doc_id = k.doc_id
+        |JOIN sizes s ON s.component = e.component""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words

@@ -10,7 +10,7 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -29,7 +29,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = ConnectedComponents
       .run(edges.toDF("a", "b"), maxIter)
       .as[(Long, Long)].collect().toMap
-    assert(got === unionFind(0, edges))
+    assert(got === unionFind(edges))
   }
 
   test("paths, cycles, stars, cliques and forests match union-find") {
@@ -46,7 +46,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       .shuffle(forest ++ forest.map(_.swap) ++ forest)
     val got = ConnectedComponents.run(noisy.toDF("x", "y"))
       .as[(Long, Long)].collect().toMap
-    assert(got === unionFind(0, forest))
+    assert(got === unionFind(forest))
     assert(got.values.toSet.size === 40)
   }
 
@@ -62,9 +62,11 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("self-loops and duplicate edges are ignored, strings order correctly") {
     val labeled = ConnectedComponents.run(
-      Seq(("b", "b"), ("b", "c"), ("c", "b"), ("x", "y"))
+      Seq(("b", "b"), ("b", "c"), ("c", "b"), ("x", "y"), ("q", "q"))
         .toDF("s", "t")).as[(String, String)].collect().toMap
-    assert(labeled === Map("b" -> "b", "c" -> "b", "x" -> "x", "y" -> "x"))
+    // q appears only in a self-loop: still a node, its own singleton
+    assert(labeled === Map("b" -> "b", "c" -> "b", "x" -> "x", "y" -> "x",
+      "q" -> "q"))
   }
 
   test("labels covers isolated nodes as singletons") {
