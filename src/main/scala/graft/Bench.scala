@@ -56,6 +56,9 @@ object Bench {
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
     }
+    val entityEntry = timed("entity_build") {
+      graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
+    }
 
     def time(names: Seq[String]): Seq[(String, Double)] =
       names.map { name =>
@@ -69,7 +72,7 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val results = Seq(matEntry, bucketEntry) ++ time(headline)
+    val results = Seq(matEntry, bucketEntry, entityEntry) ++ time(headline)
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)
     val allResults = results ++ rest

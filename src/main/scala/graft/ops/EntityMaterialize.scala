@@ -1,0 +1,51 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized address→entity labels — the chain-side analog of
+  * [[DedupMaterialize]], and the architecture the reference family
+  * actually deploys: GraphSense computes its multi-input-heuristic
+  * clustering as a transformation STEP whose output tables downstream
+  * queries read, not as a subplan re-run per query. The iterative
+  * connected-components fixpoint is the most expensive stage of the
+  * entity chain, so it is parked once per (fixture, window) and every
+  * consumer starts from a pruned two-column scan.
+  *
+  * Cache key = lineitem/orders path + mtime + window + format version;
+  * writes are idempotent and guarded by a JVM-local lock + _SUCCESS
+  * marker, like the dedup tier.
+  */
+object EntityMaterialize {
+
+  private val lock = new Object
+
+  /** Bump on any change to the edge derivation or clustering. */
+  private val FormatVersion = 1
+
+  private def base(dir: String, window: Option[Long]): String = {
+    val mtime = Seq("lineitem", "orders").map { t =>
+      val f = new File(s"$dir/$t.parquet")
+      if (f.isDirectory)
+        (f.lastModified() +: f.listFiles().map(_.lastModified()).toSeq).max
+      else f.lastModified()
+    }.max
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val w = window.fold("all")(_.toString)
+    s"target/intermediate/entity_v${FormatVersion}_${key}_${mtime}_w$w"
+  }
+
+  /** (address, entity) labels for the given clustering window,
+    * computing and parking them on first access. `build` derives the
+    * labels (injected so the query module owns the edge semantics). */
+  def labelTable(s: SparkSession, dir: String, window: Option[Long])(
+      build: => DataFrame): DataFrame = {
+    val root = base(dir, window)
+    lock.synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
+}

@@ -28,6 +28,15 @@ object RefQueries {
     * own entry, the dedup_materialize pattern. */
   private val bucketedFor = new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** One-time entity-label tier builds (both clustering windows) so
+    * Bench reports the iterative CC build as its own entry and
+    * entity_components / entity_summary measure label consumption. */
+  def buildEntityTiers(s: SparkSession, dir: String): Unit = {
+    entityLabels(s, dir).count()
+    entityLabels(s, dir, Some(EntityWindow)).count()
+    ()
+  }
+
   def buildBucketedTables(s: SparkSession, dir: String): Unit =
     bucketedFor.synchronized {
       // the cache is JVM-wide but catalog entries are per-session: a new
@@ -65,9 +74,19 @@ object RefQueries {
     * clique at linear edge count), clustered by the O(log n)
     * large-star/small-star connected-components operator. The entity
     * label is the component's minimum address — a pure function of the
-    * chain, stable across runs and cluster sizes. */
+    * chain, stable across runs and cluster sizes. The iterative
+    * fixpoint is parked once per (fixture, window) by
+    * [[graft.ops.EntityMaterialize]] — clustering is a transformation
+    * step whose output queries read, as the reference family deploys
+    * it. */
   private def entityLabels(s: SparkSession, dir: String,
-      maxBlock: Option[Long] = None): DataFrame = {
+      maxBlock: Option[Long] = None): DataFrame =
+    graft.ops.EntityMaterialize.labelTable(s, dir, maxBlock)(
+      buildEntityLabels(s, dir, maxBlock))
+
+  /** The uncached label derivation behind [[entityLabels]]. */
+  private def buildEntityLabels(s: SparkSession, dir: String,
+      maxBlock: Option[Long]): DataFrame = {
     val iaAll = io(s, dir).filter(col("is_input"))
       .select(col("tx_id"), explode(col("addresses")).as("address"))
       .distinct()
