@@ -202,6 +202,28 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_members"))
     }),
 
+    // training-shard packing: assign documents to token-budget shards
+    // (the sequence-packing step that turns a corpus into training
+    // shards). Packing is greedy-by-doc_id WITHIN pack groups of 100
+    // docs, so the cumulative-sum window is bounded and every group
+    // packs in parallel — a single global cumsum would funnel the
+    // corpus through one partition at 100 TB. Shard ids are globally
+    // unique ((group, local) encoded); all integer math.
+    "pipeline_shards" -> ((s, dir) => {
+      val budget = 2000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pack_group")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docWords(s, dir)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .withColumn("pack_group", floor(col("doc_id") / 100L).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("pack_group"),
+          (col("pack_group") * 1000L +
+            floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
+            .as("shard_id"))
+    }),
+
     // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
     // nibble values. Reproducible across runs/engines/cluster sizes —
     // the property `df.sample()` cannot give a training pipeline.
@@ -336,6 +358,20 @@ object TextQueries {
         |FROM keep k
         |JOIN elig e ON e.component = k.component AND e.doc_id = k.doc_id
         |JOIN sizes s ON s.component = e.component""".stripMargin),
+
+    "pipeline_shards" -> withCtes(docWordsSql)(
+      """SELECT doc_id, n_tokens, pack_group,
+        |  CAST(pack_group * 1000 +
+        |       floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(floor(doc_id / 100.0) AS BIGINT) AS pack_group,
+        |    CAST(sum(len(w)) OVER (
+        |      PARTITION BY CAST(floor(doc_id / 100.0) AS BIGINT)
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM words)""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words
