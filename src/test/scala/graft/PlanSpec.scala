@@ -18,6 +18,13 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q3_shipping").contains("BroadcastHashJoin"))
   }
 
+  test("shard packing windows stay partitioned (no global-order funnel)") {
+    val plan = executedPlan("pipeline_shards")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SinglePartition"),
+      "the packing cumsum must run per pack group, never globally")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     // the corpus side must never shuffle its text: the benchmark join is
     // a broadcast, the only corpus exchange is the per-doc overlap agg
