@@ -16,6 +16,7 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (SimilarityQueries.queries, SimilarityQueries.oracles),
+    (GraphQueries.queries, GraphQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
     (StreamQueries.queries, StreamQueries.oracles))
 

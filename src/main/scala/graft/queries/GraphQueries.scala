@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chain.{Chain, ChainSql}
+import graft.chain.Chain.{io, transactions}
+import graft.chain.ChainSql.withCtes
+import graft.queries.RefQueries.{entityLabels, EntityWindow}
+
+/** Graph analytics over the chain's money-flow graph — the queries the
+  * reference keyspace exists to FEED (GraphSense's downstream address /
+  * entity / relation tables consume exactly the io rows exported by
+  * /root/reference/scripts/blocksci_export.py:300-345): per-address
+  * lifetime statistics, entity→entity flow edges over the clustering,
+  * and an iterative PageRank centrality over the address flow graph.
+  *
+  * Scale posture (100 TB):
+  *  - address_stats is ONE shuffle join (io ⋈ tx on tx_id — both sides
+  *    bucket-alignable on tx_id_group) + ONE hash-agg on address; the
+  *    conditional distinct-counts share the same grouping pass.
+  *  - entity_graph shuffles only (id, label, value) tuples after the
+  *    explode — no text/hash columns move; the label table is the
+  *    materialized clustering tier, not a recomputation.
+  *  - graph_pagerank is O(iters) rounds of edge ⋈ rank equi-joins, each
+  *    shuffling on the same key (src / node), so a cluster co-partitions
+  *    consecutive rounds; lineage is truncated per round
+  *    (localCheckpoint locally, checkpoint on a cluster). All rank math
+  *    is FIXED-POINT integer (ranks scaled by 1e6, floor division) —
+  *    bit-identical across engines, partitionings, and cluster sizes,
+  *    which floating-point PageRank cannot promise.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PageRank iterations / scaling: rank starts at Scale (=1.0), each
+    * round keeps 85% of flowed-in mass + a 15% teleport floor, all in
+    * integer arithmetic: r' = 0.15·Scale + (85 · Σ (r div outdeg)) div 100. */
+  private val PrIters = 3
+  private val PrScale = 1000000L
+
+  /** Exploded io rows: (tx_id, is_input, value, address). */
+  private def ioAddresses(s: SparkSession, dir: String): DataFrame =
+    io(s, dir).select(col("tx_id"), col("is_input"), col("value"),
+      explode(col("addresses")).as("address"))
+
+  /** Distinct directed flow edges src→dst: input address to output
+    * address of the same tx (GraphSense's address_relations edge set).
+    * Self-flows (change back to the same address) are excluded. */
+  private def flowEdges(s: SparkSession, dir: String): DataFrame = {
+    val ia = ioAddresses(s, dir).filter(col("is_input"))
+      .select(col("tx_id"), col("address").as("src")).distinct()
+    val oa = ioAddresses(s, dir).filter(!col("is_input"))
+      .select(col("tx_id"), col("address").as("dst")).distinct()
+    ia.join(oa, Seq("tx_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // per-address lifetime statistics — the GraphSense "address" table:
+    // tx counts by direction, received/spent totals, balance, first/last
+    // activity. One io⋈tx join on tx_id + one hash-agg on address.
+    "address_stats" -> ((s, dir) => {
+      val ioa = ioAddresses(s, dir)
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      ioa.join(t, Seq("tx_id"))
+        .groupBy(col("address"))
+        .agg(
+          countDistinct(when(!col("is_input"), col("tx_id")))
+            .as("no_incoming_txs"),
+          countDistinct(when(col("is_input"), col("tx_id")))
+            .as("no_outgoing_txs"),
+          sum(when(!col("is_input"), col("value")).otherwise(0L))
+            .as("total_received"),
+          sum(when(col("is_input"), col("value")).otherwise(0L))
+            .as("total_spent"),
+          min(col("block_id")).as("first_block"),
+          max(col("block_id")).as("last_block"))
+        .withColumn("balance", col("total_received") - col("total_spent"))
+    }),
+
+    // entity→entity value flows over the pinned clustering window — the
+    // GraphSense "entity_relations" edge list: each windowed tx flows
+    // from its (single, by multi-input construction) input entity to the
+    // entities of its output addresses; output addresses never seen as
+    // inputs are singleton entities labeled by the address itself.
+    "entity_graph" -> ((s, dir) => {
+      val wtx = transactions(s, dir)
+        .filter(col("block_id") < EntityWindow).select(col("tx_id"))
+      val labels = entityLabels(s, dir, Some(EntityWindow))
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address")).distinct()
+        .join(wtx, Seq("tx_id"))
+      val srcPerTx = ia.join(labels, Seq("address"))
+        .groupBy(col("tx_id")).agg(min(col("entity")).as("src_entity"))
+      val outFlows = ioAddresses(s, dir).filter(!col("is_input"))
+        .join(wtx, Seq("tx_id"))
+        .join(labels, Seq("address"), "left")
+        .select(col("tx_id"), col("value"),
+          coalesce(col("entity"), col("address")).as("dst_entity"))
+      srcPerTx.join(outFlows, Seq("tx_id"))
+        .groupBy(col("src_entity"), col("dst_entity"))
+        .agg(countDistinct(col("tx_id")).as("n_txs"),
+          sum(col("value")).as("total_value"))
+    }),
+
+    // fixed-point integer PageRank over the address flow graph (the
+    // centrality GraphSense ranks entities by). Deterministic: floor
+    // division at every step, dangling mass dropped — the exact DuckDB
+    // CTE chain reproduces it bit-for-bit.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = flowEdges(s, dir)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val outd = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("outdeg"))
+      // (src, dst, outdeg) reused every round: materialize once
+      val esrc = edges.join(outd, Seq("src")).localCheckpoint(true)
+      var ranks = nodes.select(col("node"), lit(PrScale).as("rank"))
+      for (_ <- 1 to PrIters) {
+        val contrib = esrc
+          .join(ranks, esrc("src") === ranks("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(PrScale * 15 / 100) +
+              expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node").as("address"), col("rank").as("pagerank"))
+    }))
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val edgeCtes: Seq[String] = Seq(
+    ChainSql.io, ChainSql.ioAddr,
+    """fedges AS (
+      |  SELECT DISTINCT i.address AS src, o.address AS dst
+      |  FROM (SELECT DISTINCT tx_id, address FROM ioa WHERE is_input) i
+      |  JOIN (SELECT DISTINCT tx_id, address FROM ioa WHERE NOT is_input) o
+      |    USING (tx_id)
+      |  WHERE i.address <> o.address)""".stripMargin,
+    """fnodes AS (SELECT src AS node FROM fedges
+      |           UNION SELECT dst FROM fedges)""".stripMargin,
+    """outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+      |         FROM fedges GROUP BY src)""".stripMargin,
+    "esrc AS (SELECT e.src, e.dst, o.outdeg FROM fedges e JOIN outd o USING (src))",
+    s"r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM fnodes)")
+
+  private def prIterCte(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.node,
+       |    CAST(${PrScale * 15 / 100} + (85 * coalesce(c.contrib, 0)) // 100
+       |         AS BIGINT) AS rank
+       |  FROM fnodes n LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS contrib
+       |    FROM esrc e JOIN r${i - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "address_stats" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr)(
+      """SELECT address,
+        |  CAST(count(DISTINCT CASE WHEN NOT is_input THEN i.tx_id END) AS BIGINT)
+        |    AS no_incoming_txs,
+        |  CAST(count(DISTINCT CASE WHEN is_input THEN i.tx_id END) AS BIGINT)
+        |    AS no_outgoing_txs,
+        |  CAST(sum(CASE WHEN NOT is_input THEN value ELSE 0 END) AS BIGINT)
+        |    AS total_received,
+        |  CAST(sum(CASE WHEN is_input THEN value ELSE 0 END) AS BIGINT)
+        |    AS total_spent,
+        |  CAST(sum(CASE WHEN NOT is_input THEN value ELSE 0 END)
+        |       - sum(CASE WHEN is_input THEN value ELSE 0 END) AS BIGINT)
+        |    AS balance,
+        |  min(t.block_id) AS first_block,
+        |  max(t.block_id) AS last_block
+        |FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
+        |GROUP BY address""".stripMargin),
+
+    "entity_graph" -> ChainSql.withRecursiveCtes(
+      ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
+      s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
+      """wia AS (SELECT DISTINCT tx_id, address
+        |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
+      "tr AS (SELECT tx_id, min(address) AS root FROM wia GROUP BY tx_id)",
+      """cedges AS (SELECT DISTINCT address AS a, root AS b
+        |           FROM wia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
+      "cnodes AS (SELECT DISTINCT address AS node FROM wia)",
+      ChainSql.ccWalkCte("cnodes", "cedges"),
+      """cc AS (SELECT node AS address, min(comp) AS entity
+        |       FROM walk GROUP BY node)""".stripMargin,
+      """src AS (SELECT w.tx_id, min(cc.entity) AS src_entity
+        |        FROM wia w JOIN cc USING (address) GROUP BY w.tx_id)""".stripMargin,
+      """dstf AS (SELECT o.tx_id, o.value,
+        |           coalesce(cc.entity, o.address) AS dst_entity
+        |         FROM (SELECT tx_id, value, address FROM ioa
+        |               JOIN wtx USING (tx_id) WHERE NOT is_input) o
+        |         LEFT JOIN cc ON cc.address = o.address)""".stripMargin)(
+      """SELECT s.src_entity, d.dst_entity,
+        |  CAST(count(DISTINCT d.tx_id) AS BIGINT) AS n_txs,
+        |  CAST(sum(d.value) AS BIGINT) AS total_value
+        |FROM src s JOIN dstf d USING (tx_id)
+        |GROUP BY s.src_entity, d.dst_entity""".stripMargin),
+
+    "graph_pagerank" -> withCtes(
+      edgeCtes ++ (1 to PrIters).map(prIterCte): _*)(
+      s"SELECT node AS address, rank AS pagerank FROM r$PrIters"))
+}

@@ -67,7 +67,7 @@ object RefQueries {
   /** entity_summary's pinned clustering window (first ~2 weeks of chain
     * history): early-chain co-spend graphs are sparse enough for real
     * entity structure at every verification sf. */
-  private val EntityWindow = 1110L
+  private[queries] val EntityWindow = 1110L
 
   /** Multi-input-heuristic entity labels: star edges from each input
     * address to its tx's minimum address (same components as the per-tx
@@ -79,7 +79,7 @@ object RefQueries {
     * [[graft.ops.EntityMaterialize]] — clustering is a transformation
     * step whose output queries read, as the reference family deploys
     * it. */
-  private def entityLabels(s: SparkSession, dir: String,
+  private[queries] def entityLabels(s: SparkSession, dir: String,
       maxBlock: Option[Long] = None): DataFrame =
     graft.ops.EntityMaterialize.labelTable(s, dir, maxBlock)(
       buildEntityLabels(s, dir, maxBlock))

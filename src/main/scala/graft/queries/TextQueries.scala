@@ -224,6 +224,76 @@ object TextQueries {
             .as("shard_id"))
     }),
 
+    // inverted index build (token → posting list): doc_freq over the
+    // full corpus plus a TRUNCATED posting segment (first 20 doc ids) —
+    // the head segment of the segmented posting tier a search index
+    // materializes. At 100 TB the full list for a stopword is the skew
+    // hazard; the truncation bounds every row while doc_freq stays
+    // exact (count, not the collected list).
+    "inverted_index" -> ((s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+            .as("token"))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"),
+          concat_ws(",",
+            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+              d => d.cast("string"))).as("postings_head"))),
+
+    // pattern-based redaction (the PII-scrub pipeline stage): flagged
+    // terms are replaced with a placeholder; the doc ships out as an
+    // md5 content digest so only (id, counts, digest) move — never the
+    // redacted text itself. Purely narrow (no shuffle).
+    "pii_redact" -> ((s, dir) => {
+      val pat = "\\b(customer|value|key)\\b"
+      docWords(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_redactions"),
+        length(regexp_replace(col("text"), pat, "<PII>")).cast("long")
+          .as("redacted_len"),
+        md5(regexp_replace(col("text"), pat, "<PII>")).as("redacted_md5"))
+    }),
+
+    // bigram language-model counts, global top-50: consecutive word
+    // pairs explode map-side, one hash-agg on the bigram, then a
+    // DISTRIBUTED top-k (TakeOrderedAndProject — no single-partition
+    // global sort). Total order (n DESC, bigram) makes the cut
+    // deterministic.
+    "ngram_bigrams" -> ((s, dir) =>
+      docWords(s, dir).filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+            .stripMargin)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(50)),
+
+    // temperature-rebalanced source mixing (the multinomial-mixture
+    // resampling step of a pretraining data recipe, α = 1/2): each
+    // source's quota ∝ √n_docs, members chosen by hash rank — small
+    // sources are upweighted relative to their share, big sources
+    // capped. Quotas are exact integers (sqrt of a BIGINT is one
+    // correctly-rounded IEEE op, floored); the rank window partitions
+    // by source, so every stratum samples in parallel.
+    "corpus_mix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      val quotas = docWords(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("quota",
+          greatest(lit(1L),
+            (floor(sqrt(col("n_docs").cast("double"))) * 4).cast("long")))
+      docWords(s, dir)
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rn"), col("quota"))
+    }),
+
     // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
     // nibble values. Reproducible across runs/engines/cluster sizes —
     // the property `df.sample()` cannot give a training pipeline.
@@ -372,6 +442,52 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum
         |  FROM words)""".stripMargin),
+
+    "inverted_index" -> withCtes(docWordsSql,
+      """dtoks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |           x -> x != '')) AS token
+        |  FROM words)""".stripMargin)(
+      """SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    FILTER (WHERE rn <= 20) AS postings_head
+        |FROM (SELECT token, doc_id,
+        |        row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |      FROM dtoks)
+        |GROUP BY token""".stripMargin),
+
+    "pii_redact" -> withCtes(docWordsSql)(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|value|key)\b')) AS BIGINT)
+        |    AS n_redactions,
+        |  CAST(length(regexp_replace(text, '\b(customer|value|key)\b', '<PII>', 'g'))
+        |    AS BIGINT) AS redacted_len,
+        |  md5(regexp_replace(text, '\b(customer|value|key)\b', '<PII>', 'g'))
+        |    AS redacted_md5
+        |FROM words""".stripMargin),
+
+    "ngram_bigrams" -> withCtes(docWordsSql)(
+      """SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |      FROM words WHERE len(w) >= 2)
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "corpus_mix" -> withCtes(docWordsSql,
+      """cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT) * 4) AS quota
+        |  FROM words GROUP BY source)""".stripMargin,
+      """rk AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM words)""".stripMargin)(
+      """SELECT r.source, r.doc_id, r.rn, CAST(c.quota AS BIGINT) AS quota
+        |FROM rk r JOIN cnt c USING (source)
+        |WHERE r.rn <= c.quota""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words
