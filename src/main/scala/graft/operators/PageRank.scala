@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank: ranks are scaled longs (Scale = 1.0)
+  * and every step is integer arithmetic —
+  *   r'(v) = 0.15·Scale + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+  * — so the result is bit-identical across engines, partitionings, and
+  * cluster sizes, which floating-point PageRank cannot promise. Dangling
+  * mass (nodes without out-edges) is dropped, deterministically.
+  *
+  * Scale posture: each round is one edge ⋈ rank equi-join + one hash-agg,
+  * both keyed consistently (src / node), so consecutive rounds reuse the
+  * shuffle partitioning; the (src, dst, outdeg) frame is materialized once
+  * and lineage is truncated per round (localCheckpoint locally,
+  * checkpoint() on a cluster).
+  */
+object PageRank {
+  val Scale = 1000000L
+
+  /** @param nodes one `node` column, distinct
+    * @param edges  `src`/`dst` columns, distinct directed pairs
+    * @return (node, rank) after `iters` rounds from a uniform start */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val esrc = edges.join(outd, Seq("src")).localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = esrc
+        .join(ranks, esrc("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(Scale * 15 / 100) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

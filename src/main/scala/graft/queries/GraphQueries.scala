@@ -37,7 +37,7 @@ object GraphQueries {
     * round keeps 85% of flowed-in mass + a 15% teleport floor, all in
     * integer arithmetic: r' = 0.15·Scale + (85 · Σ (r div outdeg)) div 100. */
   private val PrIters = 3
-  private val PrScale = 1000000L
+  private val PrScale = graft.operators.PageRank.Scale
 
   /** Exploded io rows: (tx_id, is_input, value, address). */
   private def ioAddresses(s: SparkSession, dir: String): DataFrame =
@@ -106,30 +106,16 @@ object GraphQueries {
     }),
 
     // fixed-point integer PageRank over the address flow graph (the
-    // centrality GraphSense ranks entities by). Deterministic: floor
+    // centrality GraphSense ranks entities by), via the reusable
+    // [[graft.operators.PageRank]] operator. Deterministic: floor
     // division at every step, dangling mass dropped — the exact DuckDB
     // CTE chain reproduces it bit-for-bit.
     "graph_pagerank" -> ((s, dir) => {
       val edges = flowEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
-      val outd = edges.groupBy(col("src"))
-        .agg(count(lit(1)).as("outdeg"))
-      // (src, dst, outdeg) reused every round: materialize once
-      val esrc = edges.join(outd, Seq("src")).localCheckpoint(true)
-      var ranks = nodes.select(col("node"), lit(PrScale).as("rank"))
-      for (_ <- 1 to PrIters) {
-        val contrib = esrc
-          .join(ranks, esrc("src") === ranks("node"))
-          .select(col("dst"), expr("rank div outdeg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(col("node"),
-            (lit(PrScale * 15 / 100) +
-              expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
-          .localCheckpoint(true)
-      }
-      ranks.select(col("node").as("address"), col("rank").as("pagerank"))
+      graft.operators.PageRank.run(nodes, edges, PrIters)
+        .select(col("node").as("address"), col("rank").as("pagerank"))
     }))
 
   // ---- DuckDB oracles ---------------------------------------------------

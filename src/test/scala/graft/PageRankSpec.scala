@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** The fixed-point integer PageRank must match hand-computed floor
+  * arithmetic exactly and be a pure function of the graph (re-run
+  * identical), with teleport-floor ranks for sources and dangling sinks
+  * keeping received mass. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.toDF("src", "dst")
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    PageRank.run(n, e, iters).as[(String, Long)].collect().toMap
+  }
+
+  test("star graph matches hand-computed floor arithmetic") {
+    // a->b, a->c, b->c: outdeg(a)=2, outdeg(b)=1
+    // r1: a=150000, b=150000+85*(1000000/2)/100, c=150000+85*(500000+1000000)/100
+    // r2: contrib(b)=150000/2=75000, contrib(c)=75000+575000=650000
+    val r1 = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c"), 1)
+    assert(r1 === Map("a" -> 150000L, "b" -> 575000L, "c" -> 1425000L))
+    val r2 = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c"), 2)
+    assert(r2 === Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+  }
+
+  test("cycle is a fixpoint of the uniform start") {
+    // 2-cycle, outdeg 1 each: r' = 150000 + 85*1000000/100 = 1000000
+    val r = ranks(Seq("x" -> "y", "y" -> "x"), 3)
+    assert(r === Map("x" -> 1000000L, "y" -> 1000000L))
+  }
+
+  test("deterministic: identical graph gives identical ranks") {
+    val edges = for { a <- 1 to 20; b <- 1 to 20; if a != b && (a + b) % 3 == 0 }
+      yield (s"n$a", s"n$b")
+    assert(ranks(edges, 3) === ranks(edges, 3))
+  }
+
+  test("total mass never exceeds the uniform start (mass only leaks)") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    val r = ranks(edges, 4)
+    assert(r.values.sum <= 4 * PageRank.Scale)
+    assert(r.values.forall(_ >= PageRank.Scale * 15 / 100))
+  }
+}

@@ -25,6 +25,18 @@ class PlanSpec extends SparkSpec {
       "the packing cumsum must run per pack group, never globally")
   }
 
+  test("corpus_mix broadcasts the per-source quota table") {
+    // quotas are one row per source (a tiny dim even at 100 TB); the
+    // corpus side must not shuffle for the quota join — its only
+    // exchange is the per-source rank window
+    assert(executedPlan("corpus_mix").contains("BroadcastHashJoin"))
+  }
+
+  test("ngram_bigrams takes top-k distributed, never a global sort") {
+    val plan = executedPlan("ngram_bigrams")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     // the corpus side must never shuffle its text: the benchmark join is
     // a broadcast, the only corpus exchange is the per-doc overlap agg
