@@ -22,7 +22,26 @@ object PageRank {
   /** @param nodes one `node` column, distinct
     * @param edges  `src`/`dst` columns, distinct directed pairs
     * @return (node, rank) after `iters` rounds from a uniform start */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
+    loop(nodes.localCheckpoint(true), edges.localCheckpoint(true), iters)
+
+  /** PageRank with the node set derived from the edge endpoints — the
+    * usual flow-graph entry point. The edge frame is materialized ONCE
+    * and nodes/out-degrees derive from the materialization, so the
+    * (possibly expensive) upstream edge pipeline runs a single time no
+    * matter how many rounds follow. */
+  def runFromEdges(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    loop(n, e, iters)
+  }
+
+  /** Core rounds over MATERIALIZED nodes/edges (both must already be
+    * checkpointed: every round references both, and an un-materialized
+    * node frame would re-run its whole upstream pipeline per round). */
+  private def loop(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val esrc = edges.join(outd, Seq("src")).localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))

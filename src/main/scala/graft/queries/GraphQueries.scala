@@ -110,13 +110,9 @@ object GraphQueries {
     // [[graft.operators.PageRank]] operator. Deterministic: floor
     // division at every step, dangling mass dropped — the exact DuckDB
     // CTE chain reproduces it bit-for-bit.
-    "graph_pagerank" -> ((s, dir) => {
-      val edges = flowEdges(s, dir)
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
-      graft.operators.PageRank.run(nodes, edges, PrIters)
-        .select(col("node").as("address"), col("rank").as("pagerank"))
-    }))
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.runFromEdges(flowEdges(s, dir), PrIters)
+        .select(col("node").as("address"), col("rank").as("pagerank"))))
 
   // ---- DuckDB oracles ---------------------------------------------------
 

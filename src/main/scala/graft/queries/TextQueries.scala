@@ -224,6 +224,44 @@ object TextQueries {
             .as("shard_id"))
     }),
 
+    // exact-substring duplication signal (the RefinedWeb/CCNet-style
+    // repeated-window detector, complementing the Jaccard near-dup
+    // family): every 8-word window is fingerprinted to a BIGINT
+    // (positional polynomial over md5-derived byte values — identical
+    // integer math in both engines), windows whose fingerprint appears
+    // in ≥2 distinct docs are duplicated, and each doc reports its
+    // duplicated-window mass. Runs on the dup-injected corpus so the
+    // signal has guaranteed positives. The heavy join is on the BIGINT
+    // fingerprint — window TEXT never shuffles (the 100 TB shape).
+    "text_dup_windows" -> ((s, dir) => {
+      val words = graft.ops.TextCorpus.words(
+        graft.ops.TextCorpus.corpus(s, dir))
+      // hash each WORD once (one md5 per word), then fingerprint the
+      // 8-word windows from the precomputed value array — 8 integer
+      // mul-adds per window instead of 8 digest calls
+      val wfp = words.filter(size(col("w")) >= 8)
+        .withColumn("vals", expr(
+          """transform(w, x ->
+            |  CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+            |    + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
+            |    AS BIGINT))""".stripMargin))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(vals) - 8), i ->
+            |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+            |    acc + element_at(vals, i + j + 1)
+            |      * element_at(array(1L, 31L, 961L, 29791L, 923521L,
+            |          28629151L, 887503681L, 27512614111L), j + 1))
+            |  % 1000000007)""".stripMargin)).as("fp"))
+      val gdf = wfp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("gdf"))
+      wfp.join(gdf, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_ratio",
+          col("n_dup_windows").cast("double") / col("n_windows"))
+    }),
+
     // inverted index build (token → posting list): doc_freq over the
     // full corpus plus a TRUNCATED posting segment (first 20 doc ids) —
     // the head segment of the segmented posting tier a search index
@@ -442,6 +480,34 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum
         |  FROM words)""".stripMargin),
+
+    "text_dup_windows" -> withCtes(
+      graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
+      """wv AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x ->
+        |      CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+        |        + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
+        |        AS BIGINT)) AS vals
+        |  FROM words WHERE len(w) >= 8)""".stripMargin,
+      """wfp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(vals) - 7), p ->
+        |      CAST(list_sum(list_transform(generate_series(0, 7), j ->
+        |        vals[p + j]
+        |        * ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+        |            27512614111])[j + 1])) AS BIGINT)
+        |      % 1000000007)) AS fp
+        |  FROM wv)""".stripMargin,
+      """gdf AS (SELECT fp, CAST(count(*) AS BIGINT) AS gdf
+        |        FROM (SELECT DISTINCT doc_id, fp FROM wfp) GROUP BY fp)""".stripMargin)(
+      """SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_ratio
+        |FROM wfp w JOIN gdf g USING (fp)
+        |GROUP BY w.doc_id""".stripMargin),
 
     "inverted_index" -> withCtes(docWordsSql,
       """dtoks AS (
