@@ -62,6 +62,21 @@ object StreamQueries {
       val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       IncrementalIngest.dedupedIngestBounded(s, dir, out, Watermark)
       readBack(s, out)
+    }),
+
+    // stream-STREAM join: views ⋈ purchases on user + 24 h event-time
+    // range, both sides watermarked, landed through the epoch-keyed
+    // sink and aggregated per user from the store — must equal the
+    // batch attribution join (the oracle).
+    "stream_attribution" -> ((s, dir) => {
+      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.StreamJoin.attributionJoin(s, dir, out)
+      graft.streaming.StreamJoin.readPairs(s, out)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          max(col("purchase_ets") - col("view_ets")).as("max_lag_sec"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -89,5 +104,23 @@ object StreamQueries {
       s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
          |  max(tx_id) AS max_tx_id
          |FROM tx WHERE block_id > $Watermark
-         |GROUP BY block_id""".stripMargin))
+         |GROUP BY block_id""".stripMargin),
+
+    "stream_attribution" ->
+      s"""WITH e AS (
+         |  SELECT CAST(event_id AS BIGINT) AS event_id,
+         |    CAST(user_id AS BIGINT) AS user_id, event_type,
+         |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+         |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+         |  FROM events)
+         |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views,
+         |  CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+         |  max(p.ets - v.ets) AS max_lag_sec
+         |FROM (SELECT * FROM e WHERE event_type = 'view') v
+         |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+         |  ON v.user_id = p.user_id
+         | AND v.ets >= p.ets - ${graft.streaming.StreamJoin.AttributionWindowSec}
+         | AND v.ets <= p.ets
+         |GROUP BY v.user_id""".stripMargin)
 }

@@ -153,6 +153,37 @@ class StreamingSpec extends SparkSpec {
       "no hash may land more than twice in this scenario")
   }
 
+  test("stream-stream attribution join equals the batch join and replays clean") {
+    val dir = sf("sf0.001")
+    val out = tmpDir("attr_")
+    graft.streaming.StreamJoin.attributionJoin(spark, dir, out)
+    val w = graft.streaming.StreamJoin.AttributionWindowSec
+    val e = Chain.table(spark, dir, "events").select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("ets"))
+    val batch = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ets").as("view_ets"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ets").as("purchase_ets")),
+        Seq("user_id"))
+      .filter(col("view_ets") >= col("purchase_ets") - w &&
+        col("view_ets") <= col("purchase_ets"))
+      .select("user_id", "view_id", "purchase_id", "view_ets", "purchase_ets")
+    def pairs() = graft.streaming.StreamJoin.readPairs(spark, out)
+      .select("user_id", "view_id", "purchase_id", "view_ets", "purchase_ets")
+    assert(pairs().count() > 0)
+    assert(pairs().exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(pairs()).count() === 0)
+    // full replay (fresh checkpoint, same store): epoch overwrite must
+    // leave the identical pair set, never duplicates
+    graft.streaming.StreamJoin.attributionJoin(spark, dir, out)
+    assert(pairs().exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(pairs()).count() === 0)
+  }
+
   test("resume guard refuses a batch-layout store") {
     val dir = sf("sf0.001")
     val out = tmpDir("mix_")
