@@ -105,6 +105,21 @@ object GraphQueries {
           sum(col("value")).as("total_value"))
     }),
 
+    // degree distribution of the flow graph (the first thing anyone
+    // plots over a transaction graph, and the skew evidence the salting
+    // / AQE knobs are sized from): per direction, how many addresses
+    // have each degree. Two hash-aggs over the distinct edge set.
+    "graph_degree_dist" -> ((s, dir) => {
+      val edges = flowEdges(s, dir)
+      val outd = edges.groupBy(col("src").as("address"))
+        .agg(count(lit(1)).as("degree")).withColumn("direction", lit("out"))
+      val ind = edges.groupBy(col("dst").as("address"))
+        .agg(count(lit(1)).as("degree")).withColumn("direction", lit("in"))
+      outd.unionByName(ind)
+        .groupBy(col("direction"), col("degree"))
+        .agg(count(lit(1)).as("n_addresses"))
+    }),
+
     // fixed-point integer PageRank over the address flow graph (the
     // centrality GraphSense ranks entities by), via the reusable
     // [[graft.operators.PageRank]] operator. Deterministic: floor
@@ -116,14 +131,17 @@ object GraphQueries {
 
   // ---- DuckDB oracles ---------------------------------------------------
 
-  private val edgeCtes: Seq[String] = Seq(
-    ChainSql.io, ChainSql.ioAddr,
+  /** DuckDB mirror of [[flowEdges]]. */
+  private val fedgesCte: String =
     """fedges AS (
       |  SELECT DISTINCT i.address AS src, o.address AS dst
       |  FROM (SELECT DISTINCT tx_id, address FROM ioa WHERE is_input) i
       |  JOIN (SELECT DISTINCT tx_id, address FROM ioa WHERE NOT is_input) o
       |    USING (tx_id)
-      |  WHERE i.address <> o.address)""".stripMargin,
+      |  WHERE i.address <> o.address)""".stripMargin
+
+  private val edgeCtes: Seq[String] = Seq(
+    ChainSql.io, ChainSql.ioAddr, fedgesCte,
     """fnodes AS (SELECT src AS node FROM fedges
       |           UNION SELECT dst FROM fedges)""".stripMargin,
     """outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
@@ -184,6 +202,16 @@ object GraphQueries {
         |  CAST(sum(d.value) AS BIGINT) AS total_value
         |FROM src s JOIN dstf d USING (tx_id)
         |GROUP BY s.src_entity, d.dst_entity""".stripMargin),
+
+    "graph_degree_dist" -> withCtes(ChainSql.io, ChainSql.ioAddr, fedgesCte)(
+      """SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_addresses
+        |FROM (SELECT 'out' AS direction, src AS address,
+        |        CAST(count(*) AS BIGINT) AS degree
+        |      FROM fedges GROUP BY src
+        |      UNION ALL
+        |      SELECT 'in', dst, CAST(count(*) AS BIGINT)
+        |      FROM fedges GROUP BY dst)
+        |GROUP BY direction, degree""".stripMargin),
 
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(prIterCte): _*)(

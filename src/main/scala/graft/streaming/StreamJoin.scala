@@ -46,7 +46,8 @@ object StreamJoin {
     * watermark delay is window + lateness; the purchase side only needs
     * the lateness bound. */
   def attributionJoin(s: SparkSession, dir: String, out: String,
-      windowSec: Long = AttributionWindowSec): Unit = {
+      windowSec: Long = AttributionWindowSec,
+      statePartitions: Int = 8): Unit = {
     val stream = eventStream(s, dir)
     val views = side(stream, "view", "v", s"${windowSec + 3600} seconds")
     val purchases = side(stream, "purchase", "p", "1 hour")
@@ -59,6 +60,15 @@ object StreamJoin {
         unix_timestamp(col("v_ts")).as("view_ets"),
         unix_timestamp(col("p_ts")).as("purchase_ets"))
     val name = s"attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // stream-stream join state fans out as shuffle.partitions × 4 state
+    // stores, each committing per micro-batch — size the state
+    // partitioning to the keyspace (state partitioning is fixed at first
+    // start by the checkpoint, so this is the one knob that must be set
+    // BEFORE .start(); a 100 TB deployment sizes it UP to spread state,
+    // a single-node run sizes it down to cut per-commit overhead), and
+    // restore the session value after.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = joined.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         writePairsEpoch(batch.toDF(), out, epoch)
@@ -66,7 +76,10 @@ object StreamJoin {
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.AvailableNow())
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** (user bucket, epoch)-keyed dynamic overwrite — same additive/
