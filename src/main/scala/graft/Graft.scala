@@ -69,6 +69,11 @@ object Graft {
     streaming.IncrementalIngest.ingestContinuously(s, dir, out, watermark,
       tipMargin = tipMargin)
 
+  /** Maintenance: compact the epoch-keyed transaction store into the
+    * sealed one-file-per-bucket batch layout (atomic staged swap). */
+  def compactStore(s: SparkSession, out: String): Unit =
+    ChainStore.compactTransactions(s, out)
+
   /** The keyspace DDL for a connector deployment's bootstrap step,
     * pinned against the reference schema by SchemaSpec. */
   def keyspaceDdl(keyspace: String = "graphsense"): String =

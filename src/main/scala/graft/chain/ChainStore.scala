@@ -62,6 +62,36 @@ object ChainStore extends ChainSink {
     else df
   }
 
+  /** Maintenance: compact a transaction store into the sealed batch
+    * layout — epoch sub-partitions (and any small-file accumulation from
+    * many micro-batches) collapse to one sorted file per bucket. A long-
+    * running ingest at 100 TB accretes one file per (bucket, epoch);
+    * reads stay correct but degrade with file count, so compaction is
+    * the periodic maintenance step, exactly as Cassandra compacts the
+    * reference keyspace's SSTables. Staged + atomically swapped through
+    * the Hadoop FileSystem API (never an in-place overwrite of a path
+    * being read), so a crash mid-compaction leaves either the old or the
+    * new store, never a mix. The result is the batch layout: "sealed" —
+    * `resumeGuard` refuses further epoch ingest into it by design. */
+  def compactTransactions(s: SparkSession, out: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "transaction")
+    val staged = new org.apache.hadoop.fs.Path(root, "transaction__compacting")
+    val old = new org.apache.hadoop.fs.Path(root, "transaction__old")
+    fs.delete(staged, true); fs.delete(old, true)
+    readTransactions(s, out)
+      .repartition(col("tx_id_group"))
+      .sortWithinPartitions(col("tx_id"))
+      .write.mode("overwrite")
+      .partitionBy("tx_id_group")
+      .parquet(staged.toString)
+    require(fs.rename(live, old), s"compaction: cannot stage out $live")
+    require(fs.rename(staged, live), s"compaction: cannot swap in $staged")
+    fs.delete(old, true)
+    ()
+  }
+
   /** block table: clustering ORDER BY (block_id DESC) of schema.cql:13 →
     * descending sort inside each bucket. */
   def writeBlocks(blocks: DataFrame, out: String): Unit = {

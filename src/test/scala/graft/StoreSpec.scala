@@ -29,6 +29,36 @@ class StoreSpec extends SparkSpec {
       tx.select(sum("tx_id")).as[Long].head())
   }
 
+  test("compaction seals an epoch store: same rows, one file per bucket") {
+    val dir = sf("sf0.001")
+    val cout = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "compact_").toString
+    val tx = Chain.transactions(spark, dir)
+    // two epochs land separately → every bucket holds ≥2 epoch subdirs
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 2 === 0), cout, 0L)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 2 === 1), cout, 1L)
+    val before = ChainStore.readTransactions(spark, cout)
+    assert(before.count() === tx.count())
+    ChainStore.compactTransactions(spark, cout)
+    val after = ChainStore.readTransactions(spark, cout)
+    assert(after.count() === tx.count())
+    assert(after.select(sum("tx_id")).as[Long].head() ===
+      tx.select(sum("tx_id")).as[Long].head())
+    // sealed: batch layout (no epoch key), exactly one parquet per bucket
+    assert(!spark.read.parquet(s"$cout/transaction")
+      .schema.fieldNames.contains("ingest_epoch"))
+    val buckets = new java.io.File(s"$cout/transaction").listFiles()
+      .filter(_.getName.startsWith("tx_id_group="))
+    assert(buckets.nonEmpty)
+    for (b <- buckets)
+      assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"bucket ${b.getName} not compacted to one file")
+    // and a sealed store refuses further epoch ingest
+    intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalIngest.resumeGuard(spark, cout, Long.MaxValue)
+    }
+  }
+
   test("point lookup by tx id prunes to one bucket") {
     val lookup = ChainStore.lookupByTxId(spark, out, 7L)
     assert(lookup.count() === 1)
