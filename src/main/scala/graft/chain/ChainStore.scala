@@ -68,24 +68,48 @@ object ChainStore extends ChainSink {
     * running ingest at 100 TB accretes one file per (bucket, epoch);
     * reads stay correct but degrade with file count, so compaction is
     * the periodic maintenance step, exactly as Cassandra compacts the
-    * reference keyspace's SSTables. Staged + atomically swapped through
-    * the Hadoop FileSystem API (never an in-place overwrite of a path
-    * being read), so a crash mid-compaction leaves either the old or the
-    * new store, never a mix. The result is the batch layout: "sealed" —
-    * `resumeGuard` refuses further epoch ingest into it by design. */
+    * reference keyspace's SSTables. Staged + swapped through the Hadoop
+    * FileSystem API (never an in-place overwrite of a path being read);
+    * a crash anywhere is recoverable: the next call restores the
+    * swapped-out copy if the swap died between renames, and incomplete
+    * staging is always discarded. Requires the ingest QUIESCED — a
+    * changed partition listing between read and swap aborts before any
+    * rename (a concurrent epoch would otherwise be dropped). The result
+    * is the batch layout: "sealed" — `resumeGuard` refuses further
+    * epoch ingest into it by design. */
   def compactTransactions(s: SparkSession, out: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(root, "transaction")
     val staged = new org.apache.hadoop.fs.Path(root, "transaction__compacting")
     val old = new org.apache.hadoop.fs.Path(root, "transaction__old")
+    // crash recovery BEFORE any destructive step: a crash between the
+    // two swap renames leaves live missing and old holding the only
+    // copy — restore it; a leftover staged dir is always incomplete
+    // work and a leftover old dir after a completed swap is garbage.
+    if (!fs.exists(live)) {
+      require(fs.exists(old),
+        s"compaction: no store at $live and no $old to recover from")
+      require(fs.rename(old, live), s"compaction: cannot recover $old")
+    }
     fs.delete(staged, true); fs.delete(old, true)
+    // concurrent-writer guard: the swap would silently drop any epoch
+    // landed between the read and the rename — detect and abort instead
+    // (quiesce the ingest first; the compacted result is sealed anyway).
+    def snapshot(): Set[String] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(live, "*/*"))
+        .map(_.getPath.toString).toSet
+    val seen = snapshot()
     readTransactions(s, out)
       .repartition(col("tx_id_group"))
       .sortWithinPartitions(col("tx_id"))
       .write.mode("overwrite")
       .partitionBy("tx_id_group")
       .parquet(staged.toString)
+    require(snapshot() == seen,
+      s"compaction: store at $live changed while compacting — quiesce " +
+        "the ingest and re-run (nothing was swapped; staged output kept " +
+        s"at $staged until the next run)")
     require(fs.rename(live, old), s"compaction: cannot stage out $live")
     require(fs.rename(staged, live), s"compaction: cannot swap in $staged")
     fs.delete(old, true)

@@ -13,48 +13,57 @@ import org.apache.spark.sql.functions._
   * Scale posture: each round is one edge ⋈ rank equi-join + one hash-agg,
   * both keyed consistently (src / node), so consecutive rounds reuse the
   * shuffle partitioning; the (src, dst, outdeg) frame is materialized once
-  * and lineage is truncated per round (localCheckpoint locally,
-  * checkpoint() on a cluster).
+  * and lineage is truncated per round through the `materialize` hook —
+  * the default `localCheckpoint(true)` fits a single node; a cluster
+  * with executor loss / dynamic allocation passes `_.checkpoint()`
+  * (replicated, survives decommissioned executors).
   */
 object PageRank {
   val Scale = 1000000L
 
+  /** Per-round lineage truncation strategy (see class doc). */
+  type Materializer = DataFrame => DataFrame
+  val LocalMaterializer: Materializer = _.localCheckpoint(true)
+
   /** @param nodes one `node` column, distinct
     * @param edges  `src`/`dst` columns, distinct directed pairs
     * @return (node, rank) after `iters` rounds from a uniform start */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
-    loop(nodes.localCheckpoint(true), edges.localCheckpoint(true), iters)
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+      materialize: Materializer = LocalMaterializer): DataFrame =
+    loop(materialize(nodes), materialize(edges), iters, materialize)
 
   /** PageRank with the node set derived from the edge endpoints — the
     * usual flow-graph entry point. The edge frame is materialized ONCE
     * and nodes/out-degrees derive from the materialization, so the
     * (possibly expensive) upstream edge pipeline runs a single time no
     * matter how many rounds follow. */
-  def runFromEdges(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint(true)
-    val n = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    loop(n, e, iters)
+  def runFromEdges(edges: DataFrame, iters: Int,
+      materialize: Materializer = LocalMaterializer): DataFrame = {
+    val e = materialize(edges)
+    val n = materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    loop(n, e, iters, materialize)
   }
 
   /** Core rounds over MATERIALIZED nodes/edges (both must already be
-    * checkpointed: every round references both, and an un-materialized
+    * materialized: every round references both, and an un-materialized
     * node frame would re-run its whole upstream pipeline per round). */
-  private def loop(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  private def loop(nodes: DataFrame, edges: DataFrame, iters: Int,
+      materialize: Materializer): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val esrc = edges.join(outd, Seq("src")).localCheckpoint(true)
+    val esrc = materialize(edges.join(outd, Seq("src")))
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = esrc
         .join(ranks, esrc("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(Scale * 15 / 100) +
-            expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      ranks = materialize(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(Scale * 15 / 100) +
+              expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
     }
     ranks
   }

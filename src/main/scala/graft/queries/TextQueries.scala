@@ -265,20 +265,26 @@ object TextQueries {
     // inverted index build (token → posting list): doc_freq over the
     // full corpus plus a TRUNCATED posting segment (first 20 doc ids) —
     // the head segment of the segmented posting tier a search index
-    // materializes. At 100 TB the full list for a stopword is the skew
-    // hazard; the truncation bounds every row while doc_freq stays
-    // exact (count, not the collected list).
-    "inverted_index" -> ((s, dir) =>
+    // materializes. Runs through the bounded PostingHeadAgg: a stopword
+    // token's aggregation buffer is pruned to k map-side, so neither
+    // the row NOR the agg state is unbounded (collect_list + slice
+    // would bound only the row).
+    "inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.PostingHeadAgg(20)
       docWords(s, dir)
         .select(col("doc_id"),
           explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
             .as("token"))
         .distinct()
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("doc_freq"),
-          concat_ws(",",
-            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
-              d => d.cast("string"))).as("postings_head"))),
+        .select(col("token"), col("doc_id")).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.toColumn.name("o"))
+        .toDF("token", "o")
+        .select(col("token"), col("o.doc_freq").as("doc_freq"),
+          concat_ws(",", transform(col("o.postings"), d => d.cast("string")))
+            .as("postings_head"))
+    }),
 
     // pattern-based redaction (the PII-scrub pipeline stage): flagged
     // terms are replaced with a placeholder; the doc ships out as an

@@ -60,24 +60,35 @@ object StreamJoin {
         unix_timestamp(col("v_ts")).as("view_ets"),
         unix_timestamp(col("p_ts")).as("purchase_ets"))
     val name = s"attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // each call is a FULL fresh build with its own checkpoint, so epoch
+    // numbering restarts at 0 — stale pairs from a previous run whose
+    // batch boundaries differed would survive the dynamic overwrite and
+    // duplicate. Drop the previous pair store first (the same hazard
+    // IncrementalIngest.resumeGuard blocks for the transaction store; a
+    // resumable deployment keeps ONE long-lived checkpoint instead).
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$out/pairs")
+    pairsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(pairsPath, true)
     // stream-stream join state fans out as shuffle.partitions × 4 state
     // stores, each committing per micro-batch — size the state
     // partitioning to the keyspace (state partitioning is fixed at first
     // start by the checkpoint, so this is the one knob that must be set
     // BEFORE .start(); a 100 TB deployment sizes it UP to spread state,
     // a single-node run sizes it down to cut per-commit overhead), and
-    // restore the session value after.
+    // restore the session value however the job ends — including a
+    // failure in .start() itself.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q = joined.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        writePairsEpoch(batch.toDF(), out, epoch)
-      }
-      .option("checkpointLocation", s"target/tmp/ckpt_$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally {
-      q.stop()
+    try {
+      val q = joined.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+          writePairsEpoch(batch.toDF(), out, epoch)
+        }
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }

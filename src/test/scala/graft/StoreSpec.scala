@@ -59,6 +59,22 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction recovers the store after a crash between swap renames") {
+    val dir = sf("sf0.001")
+    val cout = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "crash_").toString
+    val tx = Chain.transactions(spark, dir)
+    ChainStore.writeTransactionsEpoch(tx, cout, 0L)
+    // simulate dying between rename(live->old) and rename(staged->live):
+    // live is gone, old holds the only copy
+    assert(new java.io.File(s"$cout/transaction")
+      .renameTo(new java.io.File(s"$cout/transaction__old")))
+    ChainStore.compactTransactions(spark, cout)
+    val after = ChainStore.readTransactions(spark, cout)
+    assert(after.count() === tx.count())
+    assert(!new java.io.File(s"$cout/transaction__old").exists())
+  }
+
   test("point lookup by tx id prunes to one bucket") {
     val lookup = ChainStore.lookupByTxId(spark, out, 7L)
     assert(lookup.count() === 1)
