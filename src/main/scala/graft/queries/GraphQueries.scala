@@ -120,6 +120,38 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_addresses"))
     }),
 
+    // triangle counting (motif search) over the windowed co-spend
+    // graph: addresses co-spent in one tx form a clique; a triangle is
+    // the strongest co-ownership evidence short of a shared tx. Two
+    // self-joins on the ORIENTED edge set (a<b<c), so every triangle
+    // is enumerated exactly once; per-corner participation counts out.
+    // The pairwise clique edges are the motif object itself here — the
+    // entity CLUSTERING deliberately uses linear star edges instead
+    // (same components); at 100 TB the pairwise explode is bounded by
+    // capping per-tx input fanout, as GraphSense bounds cliques.
+    "graph_triangles" -> ((s, dir) => {
+      val wtx = transactions(s, dir)
+        .filter(col("block_id") < EntityWindow).select(col("tx_id"))
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address")).distinct()
+        .join(wtx, Seq("tx_id"))
+      val pairs = ia.select(col("tx_id"), col("address").as("a"))
+        .join(ia.select(col("tx_id"), col("address").as("b")), Seq("tx_id"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+        .join(pairs.as("e3"),
+          col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+        .select(col("ta"), col("tb"), col("tc"))
+      tri.select(explode(array(col("ta"), col("tb"), col("tc")))
+          .as("address"))
+        .groupBy(col("address"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // fixed-point integer PageRank over the address flow graph (the
     // centrality GraphSense ranks entities by), via the reusable
     // [[graft.operators.PageRank]] operator. Deterministic: floor
@@ -212,6 +244,24 @@ object GraphQueries {
         |      SELECT 'in', dst, CAST(count(*) AS BIGINT)
         |      FROM fedges GROUP BY dst)
         |GROUP BY direction, degree""".stripMargin),
+
+    "graph_triangles" -> withCtes(
+      ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
+      s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
+      """wia AS (SELECT DISTINCT tx_id, address
+        |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
+      """cpairs AS (SELECT DISTINCT x.address AS a, y.address AS b
+        |           FROM wia x JOIN wia y USING (tx_id)
+        |           WHERE x.address < y.address)""".stripMargin,
+      """tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |        FROM cpairs e1
+        |        JOIN cpairs e2 ON e2.a = e1.b
+        |        JOIN cpairs e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin)(
+      """SELECT address, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT ta AS address FROM tri
+        |      UNION ALL SELECT tb FROM tri
+        |      UNION ALL SELECT tc FROM tri)
+        |GROUP BY address""".stripMargin),
 
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(prIterCte): _*)(

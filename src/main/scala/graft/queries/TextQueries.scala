@@ -224,6 +224,26 @@ object TextQueries {
             .as("shard_id"))
     }),
 
+    // per-stratum percentile thresholding (the quality-cut step of a
+    // data recipe expressed as a DISTRIBUTION cut, not an absolute
+    // one): keep each source's top half by average word length.
+    // percent_rank = (rank−1)/(n−1) on a total order (metric, doc_id)
+    // — one exact division, so the filter boundary is bit-identical in
+    // both engines; the window partitions by source, every stratum
+    // ranks in parallel.
+    "text_quality_filter" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("avg_word_len"), col("doc_id"))
+      docWords(s, dir)
+        .select(col("doc_id"), col("source"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(col("w"))).as("avg_word_len"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.5)
+        .select(col("doc_id"), col("source"), col("avg_word_len"), col("pr"))
+    }),
+
     // exact-substring duplication signal (the RefinedWeb/CCNet-style
     // repeated-window detector, complementing the Jaccard near-dup
     // family): every 8-word window is fingerprinted to a BIGINT
@@ -486,6 +506,17 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum
         |  FROM words)""".stripMargin),
+
+    "text_quality_filter" -> withCtes(docWordsSql)(
+      """SELECT doc_id, source, avg_word_len, pr FROM (
+        |  SELECT doc_id, source,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |      AS avg_word_len,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w),
+        |               doc_id) AS pr
+        |  FROM words)
+        |WHERE pr >= 0.5""".stripMargin),
 
     "text_dup_windows" -> withCtes(
       graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
