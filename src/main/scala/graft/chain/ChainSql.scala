@@ -93,10 +93,17 @@ object ChainSql {
     * [[graft.operators.ConnectedComponents]]. `nodesCte` must expose
     * `node`, `edgesCte` endpoints `a`/`b` (one direction; the walk
     * symmetrizes). Termination: UNION dedups against everything already
-    * reached, so cycles add no new rows. */
+    * reached, so cycles add no new rows.
+    *
+    * esym is DISTINCT over UNION ALL, not `A UNION B`: under a WITH
+    * RECURSIVE header DuckDB gives ANY union-shaped CTE body anchor/step
+    * semantics — even without a self-reference — and stops
+    * deduplicating (harmless for the walk, but a COUNT over such a CTE
+    * silently inflates). */
   def ccWalkCte(nodesCte: String, edgesCte: String): String =
-    s"""esym AS (SELECT a, b FROM $edgesCte
-       |         UNION SELECT b, a FROM $edgesCte),
+    s"""esym AS (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM $edgesCte
+       |  UNION ALL SELECT b, a FROM $edgesCte)),
        |walk(node, comp) AS (
        |  SELECT node, node FROM $nodesCte
        |  UNION

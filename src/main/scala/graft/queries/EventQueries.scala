@@ -40,6 +40,33 @@ object EventQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // ordered funnel analysis (view → click → purchase): each stage's
+    // first hit must be AT/after the previous stage's — the product
+    // analytics every event store runs. Three bounded hash-aggs on
+    // user_id with stage joins ALL on the same key, so a cluster
+    // co-partitions the whole chain; no window over the raw events.
+    "events_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      def stage(tpe: String, prev: DataFrame, prevCol: String,
+          out: String): DataFrame =
+        e.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ets") >= col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ets")).as(out))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ets")).as("t1"))
+      val t2 = stage("click", t1, "t1", "t2")
+      val t3 = stage("purchase", t2, "t2", "t3")
+      e.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L)
+            .as("funnel_stage"))
+    }),
+
     // JSON extraction with an explicit schema (from_json → typed struct;
     // props = {"k": N})
     "events_json" -> ((s, dir) =>
@@ -123,6 +150,30 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(ets) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ets) AS t2
+        |       FROM e JOIN t1 ON t1.user_id = e.user_id AND e.ets >= t1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ets) AS t3
+        |       FROM e JOIN t2 ON t2.user_id = e.user_id AND e.ets >= t2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |            WHEN t2.t2 IS NOT NULL THEN 2
+        |            WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin,
+
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k

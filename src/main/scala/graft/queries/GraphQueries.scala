@@ -57,6 +57,26 @@ object GraphQueries {
       .select(col("src"), col("dst")).distinct()
   }
 
+  /** Per-(tx, output) entity flows over the pinned clustering window:
+    * (tx_id, src_entity, dst_entity, value) — shared by entity_graph /
+    * entity_pagerank (ONE definition, like the oracle's shared CTEs). */
+  private def entityFlows(s: SparkSession, dir: String): DataFrame = {
+    val wtx = transactions(s, dir)
+      .filter(col("block_id") < EntityWindow).select(col("tx_id"))
+    val labels = entityLabels(s, dir, Some(EntityWindow))
+    val ia = ioAddresses(s, dir).filter(col("is_input"))
+      .select(col("tx_id"), col("address")).distinct()
+      .join(wtx, Seq("tx_id"))
+    val srcPerTx = ia.join(labels, Seq("address"))
+      .groupBy(col("tx_id")).agg(min(col("entity")).as("src_entity"))
+    val outFlows = ioAddresses(s, dir).filter(!col("is_input"))
+      .join(wtx, Seq("tx_id"))
+      .join(labels, Seq("address"), "left")
+      .select(col("tx_id"), col("value"),
+        coalesce(col("entity"), col("address")).as("dst_entity"))
+    srcPerTx.join(outFlows, Seq("tx_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-address lifetime statistics — the GraphSense "address" table:
     // tx counts by direction, received/spent totals, balance, first/last
@@ -85,24 +105,23 @@ object GraphQueries {
     // from its (single, by multi-input construction) input entity to the
     // entities of its output addresses; output addresses never seen as
     // inputs are singleton entities labeled by the address itself.
-    "entity_graph" -> ((s, dir) => {
-      val wtx = transactions(s, dir)
-        .filter(col("block_id") < EntityWindow).select(col("tx_id"))
-      val labels = entityLabels(s, dir, Some(EntityWindow))
-      val ia = ioAddresses(s, dir).filter(col("is_input"))
-        .select(col("tx_id"), col("address")).distinct()
-        .join(wtx, Seq("tx_id"))
-      val srcPerTx = ia.join(labels, Seq("address"))
-        .groupBy(col("tx_id")).agg(min(col("entity")).as("src_entity"))
-      val outFlows = ioAddresses(s, dir).filter(!col("is_input"))
-        .join(wtx, Seq("tx_id"))
-        .join(labels, Seq("address"), "left")
-        .select(col("tx_id"), col("value"),
-          coalesce(col("entity"), col("address")).as("dst_entity"))
-      srcPerTx.join(outFlows, Seq("tx_id"))
+    "entity_graph" -> ((s, dir) =>
+      entityFlows(s, dir)
         .groupBy(col("src_entity"), col("dst_entity"))
         .agg(countDistinct(col("tx_id")).as("n_txs"),
-          sum(col("value")).as("total_value"))
+          sum(col("value")).as("total_value"))),
+
+    // PageRank over the ENTITY flow graph — the composed form GraphSense
+    // actually ranks with: clustering tier → entity edges → fixed-point
+    // centrality, every stage the already-verified operator. Proves the
+    // operators COMPOSE (materialized labels feed the iterative rank).
+    "entity_pagerank" -> ((s, dir) => {
+      val edges = entityFlows(s, dir)
+        .filter(col("src_entity") =!= col("dst_entity"))
+        .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
+        .distinct()
+      graft.operators.PageRank.runFromEdges(edges, PrIters)
+        .select(col("node").as("entity"), col("rank").as("pagerank"))
     }),
 
     // degree distribution of the flow graph (the first thing anyone
@@ -181,15 +200,40 @@ object GraphQueries {
     "esrc AS (SELECT e.src, e.dst, o.outdeg FROM fedges e JOIN outd o USING (src))",
     s"r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM fnodes)")
 
-  private def prIterCte(i: Int): String =
-    s"""r$i AS (
+  /** One PageRank round as a CTE: r{i} from {prefix}{i-1} over nodesCte /
+    * esrcCte — exact mirror of [[graft.operators.PageRank]]'s loop. */
+  private def prIterCte(i: Int, nodesCte: String = "fnodes",
+      esrcCte: String = "esrc", prefix: String = "r"): String =
+    s"""$prefix$i AS (
        |  SELECT n.node,
        |    CAST(${PrScale * 15 / 100} + (85 * coalesce(c.contrib, 0)) // 100
        |         AS BIGINT) AS rank
-       |  FROM fnodes n LEFT JOIN (
+       |  FROM $nodesCte n LEFT JOIN (
        |    SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS contrib
-       |    FROM esrc e JOIN r${i - 1} r ON r.node = e.src
+       |    FROM $esrcCte e JOIN $prefix${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
+  /** The entity-flow CTE chain (windowed clustering + per-tx src entity +
+    * per-output dst entity) — shared by entity_graph / entity_pagerank. */
+  private val entityFlowCtes: Seq[String] = Seq(
+    ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
+    s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
+    """wia AS (SELECT DISTINCT tx_id, address
+      |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
+    "tr AS (SELECT tx_id, min(address) AS root FROM wia GROUP BY tx_id)",
+    """cedges AS (SELECT DISTINCT address AS a, root AS b
+      |           FROM wia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
+    "cnodes AS (SELECT DISTINCT address AS node FROM wia)",
+    ChainSql.ccWalkCte("cnodes", "cedges"),
+    """cc AS (SELECT node AS address, min(comp) AS entity
+      |       FROM walk GROUP BY node)""".stripMargin,
+    """src AS (SELECT w.tx_id, min(cc.entity) AS src_entity
+      |        FROM wia w JOIN cc USING (address) GROUP BY w.tx_id)""".stripMargin,
+    """dstf AS (SELECT o.tx_id, o.value,
+      |           coalesce(cc.entity, o.address) AS dst_entity
+      |         FROM (SELECT tx_id, value, address FROM ioa
+      |               JOIN wtx USING (tx_id) WHERE NOT is_input) o
+      |         LEFT JOIN cc ON cc.address = o.address)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "address_stats" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr)(
@@ -210,30 +254,31 @@ object GraphQueries {
         |FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
         |GROUP BY address""".stripMargin),
 
-    "entity_graph" -> ChainSql.withRecursiveCtes(
-      ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
-      s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
-      """wia AS (SELECT DISTINCT tx_id, address
-        |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
-      "tr AS (SELECT tx_id, min(address) AS root FROM wia GROUP BY tx_id)",
-      """cedges AS (SELECT DISTINCT address AS a, root AS b
-        |           FROM wia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
-      "cnodes AS (SELECT DISTINCT address AS node FROM wia)",
-      ChainSql.ccWalkCte("cnodes", "cedges"),
-      """cc AS (SELECT node AS address, min(comp) AS entity
-        |       FROM walk GROUP BY node)""".stripMargin,
-      """src AS (SELECT w.tx_id, min(cc.entity) AS src_entity
-        |        FROM wia w JOIN cc USING (address) GROUP BY w.tx_id)""".stripMargin,
-      """dstf AS (SELECT o.tx_id, o.value,
-        |           coalesce(cc.entity, o.address) AS dst_entity
-        |         FROM (SELECT tx_id, value, address FROM ioa
-        |               JOIN wtx USING (tx_id) WHERE NOT is_input) o
-        |         LEFT JOIN cc ON cc.address = o.address)""".stripMargin)(
+    "entity_graph" -> ChainSql.withRecursiveCtes(entityFlowCtes: _*)(
       """SELECT s.src_entity, d.dst_entity,
         |  CAST(count(DISTINCT d.tx_id) AS BIGINT) AS n_txs,
         |  CAST(sum(d.value) AS BIGINT) AS total_value
         |FROM src s JOIN dstf d USING (tx_id)
         |GROUP BY s.src_entity, d.dst_entity""".stripMargin),
+
+    "entity_pagerank" -> ChainSql.withRecursiveCtes(
+      entityFlowCtes ++ Seq(
+        """eedges AS (SELECT DISTINCT s.src_entity AS src,
+          |             d.dst_entity AS dst
+          |           FROM src s JOIN dstf d USING (tx_id)
+          |           WHERE s.src_entity <> d.dst_entity)""".stripMargin,
+        // NOT `A UNION B`: under a WITH RECURSIVE header DuckDB gives
+        // any union-shaped CTE body anchor/step semantics and stops
+        // deduplicating — DISTINCT over UNION ALL is form-proof
+        """enodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM eedges
+          |  UNION ALL SELECT dst FROM eedges))""".stripMargin,
+        """eoutd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          |          FROM eedges GROUP BY src)""".stripMargin,
+        "eesrc AS (SELECT e.src, e.dst, o.outdeg FROM eedges e JOIN eoutd o USING (src))",
+        s"er0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM enodes)") ++
+      (1 to PrIters).map(i => prIterCte(i, "enodes", "eesrc", "er")): _*)(
+      s"SELECT node AS entity, rank AS pagerank FROM er$PrIters"),
 
     "graph_degree_dist" -> withCtes(ChainSql.io, ChainSql.ioAddr, fedgesCte)(
       """SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_addresses
@@ -264,6 +309,6 @@ object GraphQueries {
         |GROUP BY address""".stripMargin),
 
     "graph_pagerank" -> withCtes(
-      edgeCtes ++ (1 to PrIters).map(prIterCte): _*)(
+      edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
       s"SELECT node AS address, rank AS pagerank FROM r$PrIters"))
 }
