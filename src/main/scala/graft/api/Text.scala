@@ -66,14 +66,21 @@ object Text {
       .withColumn("pred_lang", expr(predLangCase))
       .withColumn("match", col("pred_lang") === col("lang"))
 
+  /** Average word length (one exact-integer division) — ONE definition
+    * for quality() and the percentile filter, with its DuckDB mirror. */
+  val avgWordLen: org.apache.spark.sql.Column =
+    length(regexp_replace(col("text"), " ", "")).cast("double") /
+      size(col("w"))
+  val avgWordLenSql: String =
+    "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)"
+
   /** Quality ratios (all exact-integer divisions). */
   def quality(docWords: DataFrame): DataFrame =
     docWords.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_calc"),
       size(col("w")).cast("long").as("n_words"),
-      (length(regexp_replace(col("text"), " ", "")).cast("double") /
-        size(col("w"))).as("avg_word_len"),
+      avgWordLen.as("avg_word_len"),
       (expr(hits("en")).cast("double") / size(col("w")))
         .as("stopword_ratio"),
       ((length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))

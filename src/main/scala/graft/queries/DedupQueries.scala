@@ -96,15 +96,20 @@ object DedupQueries {
        |    GROUP BY doc_id, b)
        |  GROUP BY doc_id)""".stripMargin
 
+  // DISTINCT over UNION ALL, never `A UNION B`: this CTE is also placed
+  // under WITH RECURSIVE headers (dedup_components / pipeline_corpus),
+  // where DuckDB gives any union-shaped body anchor/step semantics and
+  // stops deduplicating (see ChainSql.ccWalkCte)
   private[queries] val pairsSqlCte: String =
     """pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-      |  UNION
-      |  SELECT a.doc_id, b.doc_id
-      |  FROM bands a JOIN bands b
-      |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM bands a JOIN bands b
+      |      ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.doc_id, b.doc_id
+      |    FROM bands a JOIN bands b
+      |      ON a.band1 = b.band1 AND a.doc_id < b.doc_id))""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content-hash groupBy, canonical = min doc_id.

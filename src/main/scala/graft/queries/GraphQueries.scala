@@ -57,20 +57,29 @@ object GraphQueries {
       .select(col("src"), col("dst")).distinct()
   }
 
+  /** Windowed tx ids (the pinned clustering window). */
+  private def windowTxs(s: SparkSession, dir: String): DataFrame =
+    transactions(s, dir)
+      .filter(col("block_id") < EntityWindow).select(col("tx_id"))
+
+  /** Distinct (tx_id, address) input pairs inside the clustering window —
+    * the co-spend input set shared by entityFlows and graph_triangles
+    * (ONE definition, mirrored by [[wiaCtes]]). */
+  private def windowedInputAddresses(s: SparkSession, dir: String): DataFrame =
+    ioAddresses(s, dir).filter(col("is_input"))
+      .select(col("tx_id"), col("address")).distinct()
+      .join(windowTxs(s, dir), Seq("tx_id"))
+
   /** Per-(tx, output) entity flows over the pinned clustering window:
     * (tx_id, src_entity, dst_entity, value) — shared by entity_graph /
     * entity_pagerank (ONE definition, like the oracle's shared CTEs). */
   private def entityFlows(s: SparkSession, dir: String): DataFrame = {
-    val wtx = transactions(s, dir)
-      .filter(col("block_id") < EntityWindow).select(col("tx_id"))
     val labels = entityLabels(s, dir, Some(EntityWindow))
-    val ia = ioAddresses(s, dir).filter(col("is_input"))
-      .select(col("tx_id"), col("address")).distinct()
-      .join(wtx, Seq("tx_id"))
+    val ia = windowedInputAddresses(s, dir)
     val srcPerTx = ia.join(labels, Seq("address"))
       .groupBy(col("tx_id")).agg(min(col("entity")).as("src_entity"))
     val outFlows = ioAddresses(s, dir).filter(!col("is_input"))
-      .join(wtx, Seq("tx_id"))
+      .join(windowTxs(s, dir), Seq("tx_id"))
       .join(labels, Seq("address"), "left")
       .select(col("tx_id"), col("value"),
         coalesce(col("entity"), col("address")).as("dst_entity"))
@@ -149,11 +158,7 @@ object GraphQueries {
     // (same components); at 100 TB the pairwise explode is bounded by
     // capping per-tx input fanout, as GraphSense bounds cliques.
     "graph_triangles" -> ((s, dir) => {
-      val wtx = transactions(s, dir)
-        .filter(col("block_id") < EntityWindow).select(col("tx_id"))
-      val ia = ioAddresses(s, dir).filter(col("is_input"))
-        .select(col("tx_id"), col("address")).distinct()
-        .join(wtx, Seq("tx_id"))
+      val ia = windowedInputAddresses(s, dir)
       val pairs = ia.select(col("tx_id"), col("address").as("a"))
         .join(ia.select(col("tx_id"), col("address").as("b")), Seq("tx_id"))
         .filter(col("a") < col("b"))
@@ -213,13 +218,17 @@ object GraphQueries {
        |    FROM $esrcCte e JOIN $prefix${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
 
+  /** DuckDB mirror of [[windowedInputAddresses]] (with its wtx input) —
+    * shared by the entity-flow chain and graph_triangles. */
+  private val wiaCtes: Seq[String] = Seq(
+    s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
+    """wia AS (SELECT DISTINCT tx_id, address
+      |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin)
+
   /** The entity-flow CTE chain (windowed clustering + per-tx src entity +
     * per-output dst entity) — shared by entity_graph / entity_pagerank. */
   private val entityFlowCtes: Seq[String] = Seq(
-    ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
-    s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
-    """wia AS (SELECT DISTINCT tx_id, address
-      |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
+    ChainSql.tx, ChainSql.io, ChainSql.ioAddr) ++ wiaCtes ++ Seq(
     "tr AS (SELECT tx_id, min(address) AS root FROM wia GROUP BY tx_id)",
     """cedges AS (SELECT DISTINCT address AS a, root AS b
       |           FROM wia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
@@ -291,17 +300,14 @@ object GraphQueries {
         |GROUP BY direction, degree""".stripMargin),
 
     "graph_triangles" -> withCtes(
-      ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
-      s"wtx AS (SELECT tx_id FROM tx WHERE block_id < $EntityWindow)",
-      """wia AS (SELECT DISTINCT tx_id, address
-        |        FROM ioa JOIN wtx USING (tx_id) WHERE is_input)""".stripMargin,
+      Seq(ChainSql.tx, ChainSql.io, ChainSql.ioAddr) ++ wiaCtes ++ Seq(
       """cpairs AS (SELECT DISTINCT x.address AS a, y.address AS b
         |           FROM wia x JOIN wia y USING (tx_id)
         |           WHERE x.address < y.address)""".stripMargin,
       """tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
         |        FROM cpairs e1
         |        JOIN cpairs e2 ON e2.a = e1.b
-        |        JOIN cpairs e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin)(
+        |        JOIN cpairs e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin): _*)(
       """SELECT address, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT ta AS address FROM tri
         |      UNION ALL SELECT tb FROM tri

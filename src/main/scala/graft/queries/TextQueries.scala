@@ -237,8 +237,7 @@ object TextQueries {
         .orderBy(col("avg_word_len"), col("doc_id"))
       docWords(s, dir)
         .select(col("doc_id"), col("source"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double") /
-            size(col("w"))).as("avg_word_len"))
+          graft.api.Text.avgWordLen.as("avg_word_len"))
         .withColumn("pr", percent_rank().over(w))
         .filter(col("pr") >= 0.5)
         .select(col("doc_id"), col("source"), col("avg_word_len"), col("pr"))
@@ -405,7 +404,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_calc,
          |  CAST(len(w) AS BIGINT) AS n_words,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+         |  ${graft.api.Text.avgWordLenSql} AS avg_word_len,
          |  CAST(${hitsSql("en")} AS DOUBLE) / len(w) AS stopword_ratio,
          |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods
          |FROM words""".stripMargin),
@@ -508,15 +507,13 @@ object TextQueries {
         |  FROM words)""".stripMargin),
 
     "text_quality_filter" -> withCtes(docWordsSql)(
-      """SELECT doc_id, source, avg_word_len, pr FROM (
-        |  SELECT doc_id, source,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-        |      AS avg_word_len,
-        |    percent_rank() OVER (PARTITION BY source
-        |      ORDER BY CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w),
-        |               doc_id) AS pr
-        |  FROM words)
-        |WHERE pr >= 0.5""".stripMargin),
+      s"""SELECT doc_id, source, avg_word_len, pr FROM (
+         |  SELECT doc_id, source,
+         |    ${graft.api.Text.avgWordLenSql} AS avg_word_len,
+         |    percent_rank() OVER (PARTITION BY source
+         |      ORDER BY ${graft.api.Text.avgWordLenSql}, doc_id) AS pr
+         |  FROM words)
+         |WHERE pr >= 0.5""".stripMargin),
 
     "text_dup_windows" -> withCtes(
       graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
