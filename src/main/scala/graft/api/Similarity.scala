@@ -175,6 +175,75 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
   }
 
+  /** Product-quantization subvectors: split each quantized vector into
+    * `m` contiguous subspaces of `subDim` components → (vec_id, m, sq,
+    * sn2). Pure map-side explode of a bounded factor `m`. */
+  def pqSubvectors(e: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame =
+    e.select(col("vec_id"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("m"), col("q"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(q, m * $subDim + 1, $subDim)").as("sq"))
+      .withColumn("sn2", expr("aggregate(sq, 0L, (acc, x) -> acc + x * x)"))
+
+  /** Per-subspace PQ codebooks seeded from the first `k` vectors'
+    * subvectors (the same deterministic seed rule as the IVF seed
+    * centroids) → (cent_id, m, cq, cn2); k·m rows, always broadcast. */
+  def pqCentroids(e: DataFrame, k: Int = 16, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    pqSubvectors(e.filter(col("vec_id") < k), m, subDim)
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sq").as("cq"), col("sn2").as("cn2"))
+
+  /** Exact integer L2 of every subvector to every centroid of its
+    * subspace: dist² = |sq|² + |cq|² − 2·sq·cq (fused-codegen dot). */
+  private def pqDists(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2", col("sn2") + col("cn2") -
+        lit(2L) * VectorFunctions.dot_product_long(col("sq"), col("cq")))
+      .select(col("vec_id"), col("m"), col("cent_id"), col("dist2"))
+
+  /** PQ encode: each vector → its per-subspace nearest-centroid id —
+    * `m` small codes instead of `dim` bigints (the 16× compression that
+    * lets a 100 TB corpus ADC-rank from an in-memory code tier). The
+    * argmin is a map-side-combinable min(struct), same tie-break as
+    * `ORDER BY dist2, cent_id`; the shuffle carries (vec_id, m, code)
+    * triples only. Encode once and park (like the dedup band tier) —
+    * every query then starts from the code scan. */
+  def pqCodes(e: DataFrame, cents: DataFrame, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    pqDists(pqSubvectors(e, m, subDim), cents)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.cent_id").as("code"))
+
+  /** Asymmetric-distance (ADC) top-k: each query's exact distance to
+    * every centroid becomes a broadcast lookup table (|queries|·m·k
+    * rows); a neighbor's approximate dist² is the sum of its codes'
+    * lut entries, so ranking touches codes only — the corpus is never
+    * decompressed. The per-(query, neighbor) sum is map-side combined
+    * (m rows → 1); at 100 TB the candidate set comes from an IVF probe
+    * (ivfCandidates) rather than the full corpus, and the final ranking
+    * shuffle can be bounded with TopKAgg exactly like the brute-force
+    * twin. Returns (query_id, neighbor_id, rank, adist2) — adist2 is
+    * exact integer, so results are engine- and partitioning-independent. */
+  def pqAdcTopK(e: DataFrame, cents: DataFrame, isQuery: Column,
+      k: Int = 3, m: Int = 4, subDim: Int = 16): DataFrame = {
+    val codes = pqCodes(e, cents, m, subDim)
+    val lut = pqDists(pqSubvectors(e.filter(isQuery), m, subDim), cents)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("cent_id").as("code"), col("dist2").as("pdist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdist2")).as("adist2"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist2")
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket + exact cosine above
     * `threshold` (the vector analog of MinHash-LSH + Jaccard verify). */
   def nearDuplicates(s: SparkSession, e: DataFrame,

@@ -52,6 +52,12 @@ object SimilarityQueries {
   /** Recall-tuned LSH width for the fixture corpus (see ann_recall). */
   private val TunedBits = 4
 
+  /** Product-quantization geometry: 4 subspaces × 16 components, 16
+    * centroids per subspace → each 64-dim vector compresses to 4 codes. */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
   /** 8-hyperplane sign buckets over a quantized embedding frame. */
   private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
     graft.api.Similarity.lshBuckets(s, e)
@@ -175,6 +181,19 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // product-quantization ANN: per-subspace codebooks (seeded like the
+    // IVF centroids), each vector encoded as 4 codes, queries ranked by
+    // asymmetric distance (sum of broadcast-LUT entries over the codes)
+    // — the compressed-corpus search shape: ranking never touches raw
+    // vectors, so at 100 TB the scan side is the parked 4-codes tier
+    // (~16× smaller), composed with an IVF probe for the candidate cut.
+    "embed_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = graft.api.Similarity.pqCentroids(e, PqK, PqM, PqSubDim)
+      graft.api.Similarity.pqAdcTopK(
+        e, cents, col("vec_id") % QueryStride === 0, 3, PqM, PqSubDim)
+    }),
+
     // embedding-cosine near-duplicate detection: all same-bucket pairs,
     // exact cosine, keep pairs above threshold (the vector analog of
     // MinHash-LSH + Jaccard verify).
@@ -216,6 +235,7 @@ object SimilarityQueries {
           queries("embed_lsh_ann_tuned")(s, dir)))
         .unionByName(recallOf("multiprobe",
           queries("embed_lsh_multiprobe")(s, dir)))
+        .unionByName(recallOf("pq", queries("embed_pq_ann")(s, dir)))
     }))
 
   private[queries] val embSql: String =
@@ -320,6 +340,47 @@ object SimilarityQueries {
     seed ++ rounds :+ ranked(iters)
   }
 
+  /** PQ CTE chain under a name prefix: subvectors (subspace = (i−1) div
+    * subDim) → per-subspace seed codebooks → exact subspace distances →
+    * codes (argmin) + query LUT → ADC sums. Final CTE `<p>adc` holds
+    * (query_id, neighbor_id, adist2) — the SQL twin of
+    * Similarity.pqCodes/pqAdcTopK. */
+  private def pqCtes(p: String): Seq[String] = Seq(
+    s"""${p}sub AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS BIGINT) AS m, i, v
+       |  FROM ee)""".stripMargin,
+    s"""${p}subn AS (
+       |  SELECT vec_id, m, CAST(sum(v * v) AS BIGINT) AS sn2
+       |  FROM ${p}sub GROUP BY vec_id, m)""".stripMargin,
+    s"${p}cent AS (SELECT vec_id AS cent_id, m, i, v FROM ${p}sub WHERE vec_id < $PqK)",
+    s"""${p}centn AS (
+       |  SELECT cent_id, m, CAST(sum(v * v) AS BIGINT) AS cn2
+       |  FROM ${p}cent GROUP BY cent_id, m)""".stripMargin,
+    s"""${p}dist AS (
+       |  SELECT s.vec_id, c.cent_id, s.m,
+       |         n.sn2 + cn.cn2 - 2 * CAST(sum(s.v * c.v) AS BIGINT) AS dist2
+       |  FROM ${p}sub s
+       |  JOIN ${p}cent c ON c.m = s.m AND c.i = s.i
+       |  JOIN ${p}subn n ON n.vec_id = s.vec_id AND n.m = s.m
+       |  JOIN ${p}centn cn ON cn.cent_id = c.cent_id AND cn.m = c.m
+       |  GROUP BY s.vec_id, c.cent_id, s.m, n.sn2, cn.cn2)""".stripMargin,
+    s"""${p}codes AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist2, cent_id) AS r
+       |    FROM ${p}dist)
+       |  WHERE r = 1)""".stripMargin,
+    s"""${p}lut AS (
+       |  SELECT vec_id AS query_id, m, cent_id, dist2 FROM ${p}dist
+       |  WHERE vec_id % $QueryStride = 0)""".stripMargin,
+    s"""${p}adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(l.dist2) AS BIGINT) AS adist2
+       |  FROM ${p}codes c
+       |  JOIN ${p}lut l ON l.m = c.m AND l.cent_id = c.code
+       |  WHERE c.vec_id != l.query_id
+       |  GROUP BY l.query_id, c.vec_id)""".stripMargin)
+
   /** Single-probe LSH ANN oracle at a given hyperplane width — the SQL
     * twin of [[lshAnn]]. */
   private def lshAnnOracle(bits: Int): String =
@@ -389,6 +450,14 @@ object SimilarityQueries {
 
     "embed_lsh_ann" -> lshAnnOracle(8),
     "embed_lsh_ann_tuned" -> lshAnnOracle(TunedBits),
+
+    "embed_pq_ann" -> withCtes(
+      Seq(embSql, eeSql) ++ pqCtes("pq"): _*)(
+      """SELECT query_id, neighbor_id, rank, adist2 FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist2, neighbor_id) AS BIGINT) AS rank
+        |  FROM pqadc)
+        |WHERE rank <= 3""".stripMargin),
 
     "embed_ivf_kmeans" -> withCtes(Seq(embSql, eeSql, normSql) ++
       kmeansRoundCtes(KmeansIters) ++ Seq(
@@ -571,7 +640,16 @@ object SimilarityQueries {
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
         |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
-      rerankCtes("k", "kcand")): _*)(
+      rerankCtes("k", "kcand") ++
+      // PQ ADC ranking (mirror of embed_pq_ann) — recall vs the COSINE
+      // ground truth measures what the 16× code compression loses
+      pqCtes("pq") :+
+      """pqtopk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist2, neighbor_id) AS rank
+        |    FROM pqadc)
+        |  WHERE rank <= 3)""".stripMargin): _*)(
       """SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
         |       CAST(n_truth AS BIGINT) AS n_truth,
         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
@@ -598,6 +676,11 @@ object SimilarityQueries {
         |  UNION ALL
         |  SELECT 'multiprobe',
         |    (SELECT count(*) FROM gttopk g JOIN mptopk a
+        |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+        |    (SELECT count(*) FROM gttopk)
+        |  UNION ALL
+        |  SELECT 'pq',
+        |    (SELECT count(*) FROM gttopk g JOIN pqtopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk))""".stripMargin),
 

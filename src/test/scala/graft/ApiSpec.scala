@@ -42,6 +42,29 @@ class ApiSpec extends SparkSpec {
     assert(top === Seq(1L)) // the near-parallel vector wins
   }
 
+  test("Similarity PQ codes + ADC ranking match hand-computed distances") {
+    // 4-dim vectors, 2 subspaces × 2 components, codebooks = vectors 0/1
+    val raw = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // near vec 0 → codes (0, 0)
+      (3L, Seq(0.0f, 0.9f, 0.1f, 0.9f)))   // near vec 1 → codes (1, 1)
+      .toDF("vec_id", "embedding")
+    val e = Similarity.quantize(raw)
+    val cents = Similarity.pqCentroids(e, k = 2, m = 2, subDim = 2)
+    val codes = Similarity.pqCodes(e, cents, m = 2, subDim = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(codes === Set((0L, 0, 0L), (0L, 1, 0L), (1L, 0, 1L), (1L, 1, 1L),
+      (2L, 0, 0L), (2L, 1, 0L), (3L, 0, 1L), (3L, 1, 1L)))
+    // query = vec 0: lut m0 = (c0→0, c1→2e6), m1 = (c0→0, c1→1e6);
+    // ADC: vec2 = 0, vec1 = vec3 = 3e6 (tie broken by neighbor_id)
+    val top = Similarity.pqAdcTopK(e, cents, col("vec_id") === 0,
+        k = 3, m = 2, subDim = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top === Seq((0L, 2L, 1L, 0L), (0L, 1L, 2L, 3000000L),
+      (0L, 3L, 3L, 3000000L)))
+  }
+
   test("Text.quality and langId run on user doc frames") {
     val dw = docs.withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))
