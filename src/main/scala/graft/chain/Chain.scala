@@ -70,9 +70,12 @@ object Chain {
   /** Normalized io rows: one per lineitem. Odd line numbers are inputs, even
     * outputs; value = cents(l_extendedprice); address_type cycles all 10
     * reference codes; multisig (6) gets two addresses, null-types get NULL
-    * (reference addr_str dispatch, blocksci_export.py:318-329 → P4). */
-  def io(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem").select(
+    * (reference addr_str dispatch, blocksci_export.py:318-329 → P4).
+    * Projection form shared by the batch reader and the streaming
+    * incremental maintenance (same Catalyst expressions, like
+    * [[txProjection]]). */
+  def ioProjection(lineitem: DataFrame): DataFrame =
+    lineitem.select(
       col("l_orderkey").cast("long").as("tx_id"),
       col("l_linenumber").cast("long").as("idx"),
       (col("l_linenumber") % 2 === 1).as("is_input"),
@@ -85,6 +88,9 @@ object Chain {
           .when(col("address_type").isin(NullAddressTypes.map(_.toLong): _*),
             lit(null).cast("array<string>"))
           .otherwise(array(col("base_addr"))))
+
+  def io(spark: SparkSession, dir: String): DataFrame =
+    ioProjection(table(spark, dir, "lineitem"))
 
   /** block table (schema.cql:6-13, P1+A1): per-block agg over transactions.
     * Shuffles once on block_id; at 100 TB this is the narrow pre-aggregated
