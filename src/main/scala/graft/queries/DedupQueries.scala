@@ -160,6 +160,27 @@ object DedupQueries {
             .as("jaccard"))
     }),
 
+    // edit-distance verify over the SAME candidate tier: character-level
+    // near-dup confirmation on a bounded document head. Levenshtein is
+    // O(len²) per pair, so at corpus scale it must only ever touch
+    // LSH candidates (never all pairs) and only a fixed-width prefix —
+    // both bounds are structural here: pairs come from the materialized
+    // band tier and the 80-char head is cut before the join, so the
+    // shuffle carries 80-char strings, not documents.
+    "dedup_editdist" -> ((s, dir) => {
+      val heads = corpus(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      candidatePairs(s, dir)
+        .join(heads.select(col("doc_id").as("doc_a"),
+          col("head").as("head_a")), Seq("doc_a"))
+        .join(heads.select(col("doc_id").as("doc_b"),
+          col("head").as("head_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long")
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+    }),
+
     // pairs → CLUSTERS: connected components over the LSH candidate
     // pairs (graft.operators.ConnectedComponents, alternating
     // large-star/small-star — O(log n) rounds of pure hash shuffles).
@@ -264,6 +285,17 @@ object DedupQueries {
         |FROM inter i
         |JOIN cnt ca ON ca.doc_id = i.doc_a
         |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
+
+    "dedup_editdist" -> withCtes(
+      sigSqlCtes ++ Seq(pairsSqlCte,
+        "heads AS (SELECT doc_id, substr(text, 1, 80) AS head FROM corpus)")
+        : _*)(
+      """SELECT p.doc_a, p.doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN heads a ON a.doc_id = p.doc_a
+        |JOIN heads b ON b.doc_id = p.doc_b
+        |WHERE levenshtein(a.head, b.head) <= 20""".stripMargin),
 
     "dedup_components" -> withRecursiveCtes(sigSqlCtes ++ Seq(
       pairsSqlCte,

@@ -147,6 +147,36 @@ object EventQueries {
       val ev = events(s, dir).select("user_id", "event_id", "ets")
         .as[StatefulSessionize.Ev]
       StatefulSessionize.sessionize(ev, GapSeconds).toDF()
+    }),
+
+    // time-series densification + forward fill: per-user hourly activity
+    // with every missing hour materialized (count 0) and the value
+    // carried forward (LOCF). The dense grid comes from a per-user
+    // sequence(min_hr, max_hr) explode — its size is bounded by each
+    // user's own activity span, so at cluster scale the explode stays
+    // proportional to the output, and the fill windows are partitioned
+    // by user (no global ordering). One user subset keeps the checked
+    // output bounded; the shape is user-count-parallel regardless.
+    "ts_gapfill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), expr("ets div 3600").as("hr"),
+          col("value"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).as("hr_value"))
+      val grid = hourly
+        .groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val locf = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hr_value"), ignoreNulls = true).over(locf)
+            .cast("double").as("locf_value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -241,7 +271,32 @@ object EventQueries {
         |  FROM s)
         |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ets) AS session_start, max(ets) - min(ets) AS duration
-        |FROM s2 GROUP BY user_id, session_no""".stripMargin)
+        |FROM s2 GROUP BY user_id, session_no""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets,
+        |    value
+        |  FROM events WHERE user_id % 10 = 0),
+        |hourly AS (
+        |  SELECT user_id, CAST(floor(ets / 3600) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS hr_value
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi)) AS hr
+        |  FROM (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+        |        FROM hourly GROUP BY user_id))
+        |SELECT g.user_id, g.hr,
+        |  CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(last_value(h.hr_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS locf_value
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr""".stripMargin)
 
   /** The stateful variant shares the window-based oracle verbatim. */
   val oraclesAll: Map[String, String] =

@@ -193,6 +193,46 @@ object RelQueries {
         .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .agg(count(lit(1)).as("n_without_orders"))
       withOrders.crossJoin(withoutOrders)
+    }),
+
+    // MERGE-style upsert as one declarative plan: apply a change-set
+    // (updates + inserts) to a target via FULL OUTER on the key +
+    // COALESCE — matched rows take the source values, unmatched target
+    // rows pass through, unmatched source rows are the inserts. On a
+    // cluster this is ONE shuffle on the merge key (or zero against a
+    // bucketed target store), with AQE free to broadcast a small
+    // change-set — the standard incremental-snapshot maintenance shape.
+    "merge_upsert" -> ((s, dir) => {
+      val target = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      val updates = target.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("s_status"),
+          (col("price") + lit(BigDecimal("10.00")).cast(DecimalType(12, 2)))
+            .cast(DecimalType(12, 2)).as("s_price"))
+      val inserts = target.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+          lit("I").as("s_status"),
+          lit(BigDecimal("1.00")).cast(DecimalType(12, 2)).as("s_price"))
+      target.join(updates.unionByName(inserts), Seq("o_orderkey"),
+          "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("s_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("s_price"), col("price")).cast("double").as("price"))
+    }),
+
+    // running-frame window: cumulative revenue per customer in order-date
+    // order (ROWS UNBOUNDED PRECEDING). Partitioned by customer — the
+    // frame never crosses partitions, so the sort is per-customer and
+    // the operator scales with customer cardinality, not a global order.
+    "orders_running_total" -> ((s, dir) => {
+      val run = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).over(run)
+            .cast("double").as("running_total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +362,32 @@ object RelQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
-        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders""".stripMargin)
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS s_status,
+        |         CAST(price + CAST(10.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+        |           AS s_price
+        |  FROM target WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I',
+        |         CAST(1.00 AS DECIMAL(12,2))
+        |  FROM target WHERE o_orderkey % 1000 = 0)
+        |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  COALESCE(s.s_status, t.o_orderstatus) AS status,
+        |  CAST(COALESCE(s.s_price, t.price) AS DOUBLE) AS price
+        |FROM target t FULL OUTER JOIN src s USING (o_orderkey)""".stripMargin,
+
+    "orders_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders""".stripMargin)
 }
