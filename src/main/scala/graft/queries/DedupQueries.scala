@@ -45,6 +45,24 @@ object DedupQueries {
     graft.api.Dedup.candidatePairs(
       graft.ops.DedupMaterialize.bandTable(s, dir))
 
+  /** Exact shingle-overlap counts for the candidate pairs: (doc_a,
+    * doc_b, i = |A∩B|, ca = |A|, cb = |B|) — the shared verify core
+    * Jaccard and containment both score from. */
+  private def pairOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ds = graft.ops.DedupMaterialize.shingleTable(s, dir).distinct()
+    val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = candidatePairs(s, dir)
+      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")),
+        Seq("doc_b"))
+  }
+
   /** sig + bands CTEs over whatever `shingles` CTE precedes them —
     * shared with the composite pipeline query, which runs the same
     * MinHash chain over the plain (no injected dups) document set. */
@@ -100,6 +118,17 @@ object DedupQueries {
   // under WITH RECURSIVE headers (dedup_components / pipeline_corpus),
   // where DuckDB gives any union-shaped body anchor/step semantics and
   // stops deduplicating (see ChainSql.ccWalkCte)
+  /** DuckDB mirror of [[pairOverlap]] (candidate shingle-overlap counts). */
+  private val overlapSqlCtes: Seq[String] = Seq(
+    "ds AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
+    "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY doc_id)",
+    """inter AS (
+      |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+      |  FROM pairs p
+      |  JOIN ds x ON x.doc_id = p.doc_a
+      |  JOIN ds y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+      |  GROUP BY p.doc_a, p.doc_b)""".stripMargin)
+
   private[queries] val pairsSqlCte: String =
     """pairs AS (
       |  SELECT DISTINCT doc_a, doc_b FROM (
@@ -141,24 +170,25 @@ object DedupQueries {
     // exact word-trigram Jaccard over the LSH candidates (verify stage);
     // both the pair set and the shingle sets come from the materialized
     // tier — the corpus is exploded exactly once per fixture
-    "dedup_jaccard_verify" -> ((s, dir) => {
-      val ds = graft.ops.DedupMaterialize.shingleTable(s, dir).distinct()
-      val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      val p = candidatePairs(s, dir)
-      val inter = p
-        .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-        .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
-          Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), Seq("doc_b"))
+    "dedup_jaccard_verify" -> ((s, dir) =>
+      pairOverlap(s, dir)
         .select(col("doc_a"), col("doc_b"),
           col("i").as("intersection"),
           (col("ca") + col("cb") - col("i")).as("union_size"),
           (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-            .as("jaccard"))
-    }),
+            .as("jaccard"))),
+
+    // asymmetric containment over the same candidates: i / min(|A|, |B|)
+    // catches doc-inside-doc duplication (a wire story embedded in a
+    // longer page) that symmetric Jaccard under-scores — the standard
+    // second verify metric in web-corpus dedup. Same bounded shape:
+    // only materialized candidates, only shingle-set sizes shuffle.
+    "dedup_containment" -> ((s, dir) =>
+      pairOverlap(s, dir)
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / least(col("ca"), col("cb")))
+            .as("containment"))
+        .filter(col("containment") >= 0.5)),
 
     // edit-distance verify over the SAME candidate tier: character-level
     // near-dup confirmation on a bounded document head. Levenshtein is
@@ -270,21 +300,23 @@ object DedupQueries {
       "SELECT doc_a, doc_b FROM pairs_capped"),
 
     "dedup_jaccard_verify" -> withCtes(
-      sigSqlCtes ++ Seq(pairsSqlCte,
-        "ds AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
-        "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY doc_id)",
-        """inter AS (
-          |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
-          |  FROM pairs p
-          |  JOIN ds x ON x.doc_id = p.doc_a
-          |  JOIN ds y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-          |  GROUP BY p.doc_a, p.doc_b)""".stripMargin): _*)(
+      sigSqlCtes ++ Seq(pairsSqlCte) ++ overlapSqlCtes: _*)(
       """SELECT i.doc_a, i.doc_b, i.i AS intersection,
         |  ca.c + cb.c - i.i AS union_size,
         |  CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
         |FROM inter i
         |JOIN cnt ca ON ca.doc_id = i.doc_a
         |JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin),
+
+    "dedup_containment" -> withCtes(
+      sigSqlCtes ++ Seq(pairsSqlCte) ++ overlapSqlCtes: _*)(
+      """SELECT doc_a, doc_b, containment FROM (
+        |  SELECT i.doc_a, i.doc_b,
+        |    CAST(i.i AS DOUBLE) / least(ca.c, cb.c) AS containment
+        |  FROM inter i
+        |  JOIN cnt ca ON ca.doc_id = i.doc_a
+        |  JOIN cnt cb ON cb.doc_id = i.doc_b)
+        |WHERE containment >= 0.5""".stripMargin),
 
     "dedup_editdist" -> withCtes(
       sigSqlCtes ++ Seq(pairsSqlCte,

@@ -377,6 +377,25 @@ object TextQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 10)
         .select(col("source"), col("doc_id"), col("rn"))
+    }),
+
+    // deterministic train/val/test split: 256 hash buckets of the doc id
+    // → 80/10/10 assignment that is stable under re-runs, appends, and
+    // repartitioning (membership depends only on the id). Purely
+    // map-side until the one summary agg — the split itself costs no
+    // shuffle at any scale, which is why hash-split (never random()) is
+    // the only defensible split at 100 TB.
+    "corpus_split" -> ((s, dir) => {
+      val hx = "instr('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val bucket = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      docWords(s, dir)
+        .withColumn("split",
+          when(bucket < 204, "train")
+            .when(bucket < 230, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -601,6 +620,22 @@ object TextQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM words)
         |WHERE rn <= 10""".stripMargin),
+
+    "corpus_split" -> withCtes(docWordsSql)(
+      """SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT source, text,
+        |    CASE WHEN b < 204 THEN 'train'
+        |         WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT source, text,
+        |      (instr('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + instr('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+        |    FROM words))
+        |GROUP BY source, split""".stripMargin),
 
     "doc_fingerprint" -> withCtes(docWordsSql)(
       """SELECT doc_id,

@@ -109,6 +109,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions._
+    // at cluster scale Spark's InjectRuntimeFilter turns a selective dim
+    // predicate into a bloom filter applied at the fact scan, cutting the
+    // shuffle before the join. The size thresholds that gate it are tuned
+    // for real tables, so pin them down to fixture scale and force the
+    // shuffle join the rule targets — then assert the filter really lands.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dir = sf("sf0.001")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("LSH bucket assignment is shuffle-free (broadcast plane literals)") {
     val e = graft.api.Similarity.quantize(
       spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
