@@ -59,6 +59,9 @@ object Bench {
     val entityEntry = timed("entity_build") {
       graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
     }
+    val graphEntry = timed("graph_build") {
+      graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
+    }
 
     def time(names: Seq[String]): Seq[(String, Double)] =
       names.map { name =>
@@ -72,7 +75,8 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val results = Seq(matEntry, bucketEntry, entityEntry) ++ time(headline)
+    val results = Seq(matEntry, bucketEntry, entityEntry, graphEntry) ++
+      time(headline)
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)
     val allResults = results ++ rest

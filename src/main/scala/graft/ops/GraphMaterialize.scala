@@ -1,0 +1,51 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized address flow-edge set — the graph-analytics analog of
+  * [[DedupMaterialize]]/[[EntityMaterialize]]: the distinct src→dst
+  * money-flow edges (GraphSense's address_relations derivation,
+  * /root/reference/scripts/blocksci_export.py:300-345) feed degree
+  * statistics, PageRank, and any future graph consumer. Deriving them
+  * re-runs an io explode plus an input⋈output self-join per referencing
+  * plan — at 100 TB the edge list is the artifact a pipeline builds once
+  * per chain tip, so it is parked per fixture and every consumer starts
+  * from a pruned two-column parquet scan.
+  *
+  * Cache key = lineitem/orders path + mtime + format version; writes are
+  * idempotent and guarded by a JVM-local lock + _SUCCESS marker, like
+  * the sibling tiers.
+  */
+object GraphMaterialize {
+
+  private val lock = new Object
+
+  /** Bump on any change to the edge derivation. */
+  private val FormatVersion = 1
+
+  private def base(dir: String): String = {
+    val mtime = Seq("lineitem", "orders").map { t =>
+      val f = new File(s"$dir/$t.parquet")
+      if (f.isDirectory)
+        (f.lastModified() +: f.listFiles().map(_.lastModified()).toSeq).max
+      else f.lastModified()
+    }.max
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"target/intermediate/graph_v${FormatVersion}_${key}_$mtime"
+  }
+
+  /** (src, dst) distinct flow edges, computing and parking them on
+    * first access. `build` derives the edge set (injected so the query
+    * module owns the edge semantics). */
+  def edgeTable(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = base(dir)
+    lock.synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
+}

@@ -33,6 +33,12 @@ import graft.queries.RefQueries.{entityLabels, EntityWindow}
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Force the flow-edge tier build (Bench reports it as its own entry
+    * so the graph queries measure consumption, not construction). */
+  def buildGraphTier(s: SparkSession, dir: String): Unit = {
+    flowEdges(s, dir).count(); ()
+  }
+
   /** PageRank iterations / scaling: rank starts at Scale (=1.0), each
     * round keeps 85% of flowed-in mass + a 15% teleport floor, all in
     * integer arithmetic: r' = 0.15·Scale + (85 · Σ (r div outdeg)) div 100. */
@@ -46,16 +52,20 @@ object GraphQueries {
 
   /** Distinct directed flow edges src→dst: input address to output
     * address of the same tx (GraphSense's address_relations edge set).
-    * Self-flows (change back to the same address) are excluded. */
-  private def flowEdges(s: SparkSession, dir: String): DataFrame = {
-    val ia = ioAddresses(s, dir).filter(col("is_input"))
-      .select(col("tx_id"), col("address").as("src")).distinct()
-    val oa = ioAddresses(s, dir).filter(!col("is_input"))
-      .select(col("tx_id"), col("address").as("dst")).distinct()
-    ia.join(oa, Seq("tx_id"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-  }
+    * Self-flows (change back to the same address) are excluded. Parked
+    * once per fixture by [[graft.ops.GraphMaterialize]] — degree stats,
+    * PageRank, and any other graph consumer start from a pruned
+    * two-column scan instead of re-running the io explode + self-join. */
+  private def flowEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphMaterialize.edgeTable(s, dir) {
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val oa = ioAddresses(s, dir).filter(!col("is_input"))
+        .select(col("tx_id"), col("address").as("dst")).distinct()
+      ia.join(oa, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+    }
 
   /** Windowed tx ids (the pinned clustering window). */
   private def windowTxs(s: SparkSession, dir: String): DataFrame =

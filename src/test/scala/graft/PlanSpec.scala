@@ -81,6 +81,14 @@ class PlanSpec extends SparkSpec {
       s"pairs plan still scans the raw corpus:\n$plan")
   }
 
+  test("graph queries read the materialized edge tier, not the io rows") {
+    val plan = executedPlan("graph_degree_dist")
+    assert(plan.contains("target/intermediate"),
+      s"degree dist recomputes the flow-edge derivation:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"degree dist still scans the raw io rows:\n$plan")
+  }
+
   test("segmented rate_asof windows by bucket, never over the facts") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
