@@ -379,6 +379,21 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("rn"))
     }),
 
+    // context-window chunking: each document exploded into fixed 512-char
+    // windows on a 448 stride (64-char overlap so no boundary text is
+    // lost to either side). Purely map-side — the explode is proportional
+    // to output size and nothing shuffles; downstream consumers join
+    // chunks by (doc_id, chunk_start) or dedup on the chunk hash.
+    "doc_chunks" -> ((s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(448)))
+            .as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          length(expr("substring(text, chunk_start, 512)")).cast("long")
+            .as("chunk_len"),
+          md5(expr("substring(text, chunk_start, 512)")).as("chunk_hash"))),
+
     // deterministic train/val/test split: 256 hash buckets of the doc id
     // → 80/10/10 assignment that is stable under re-runs, appends, and
     // repartitioning (membership depends only on the id). Purely
@@ -620,6 +635,15 @@ object TextQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM words)
         |WHERE rn <= 10""".stripMargin),
+
+    "doc_chunks" -> withCtes(docWordsSql)(
+      """SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(chunk_start AS INT), 512)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(chunk_start AS INT), 512)) AS chunk_hash
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text), 448)) AS chunk_start
+        |      FROM words)""".stripMargin),
 
     "corpus_split" -> withCtes(docWordsSql)(
       """SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
