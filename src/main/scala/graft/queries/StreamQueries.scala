@@ -77,6 +77,17 @@ object StreamQueries {
           countDistinct(col("view_id")).as("n_views"),
           countDistinct(col("purchase_id")).as("n_purchases"),
           max(col("purchase_ets") - col("view_ets")).as("max_lag_sec"))
+    }),
+
+    // watermark + tumbling window through the dashboard-sink path
+    // (complete-mode foreachBatch overwrite of a parquet summary
+    // table): AvailableNow's final commit must equal the batch
+    // events_window_agg result — the two share one oracle, so the
+    // batch/stream equivalence is proven by the driver compare.
+    "stream_window_agg" -> ((s, dir) => {
+      val out = s"target/tmp/winagg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      IncrementalIngest.windowedEventAgg(s, dir, out)
+      s.read.parquet(out)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +133,8 @@ object StreamQueries {
          |  ON v.user_id = p.user_id
          | AND v.ets >= p.ets - ${graft.streaming.StreamJoin.AttributionWindowSec}
          | AND v.ets <= p.ets
-         |GROUP BY v.user_id""".stripMargin)
+         |GROUP BY v.user_id""".stripMargin,
+
+    // shares the batch oracle verbatim: stream == batch, proven
+    "stream_window_agg" -> EventQueries.oracles("events_window_agg"))
 }

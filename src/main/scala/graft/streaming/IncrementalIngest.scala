@@ -249,6 +249,40 @@ object IncrementalIngest {
       .start()
   }
 
+  /** The full windowed aggregation (counts + decimal-exact sums) through
+    * the PRODUCTION dashboard-sink path: complete-mode `foreachBatch`
+    * overwriting a parquet summary table per commit — the standard
+    * "continuously maintained aggregate table" deployment, AvailableNow
+    * here so the final overwrite equals the batch answer exactly (it
+    * shares the batch `events_window_agg` oracle). No memory sink, no
+    * driver collect; the summary is |windows|×|types| rows, so the
+    * per-commit overwrite stays tiny at any input scale. */
+  def windowedEventAgg(s: SparkSession, dir: String, out: String): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val agg = stream
+      .withColumn("tsc", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tsc", "1 hour")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", s"$out-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   /** Watermarked tumbling-window aggregation as a stream: hourly event
     * counts with a 1-hour watermark, run synchronously (complete mode so
     * the still-open tail window is emitted too — batch parity). The same
