@@ -1,0 +1,42 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.Chain
+import graft.ops.GraphMaterialize
+
+/** The materialized flow-edge tier must be idempotent and agree with the
+  * declarative io-derivation it replaces (same contract as the dedup and
+  * entity tiers). */
+class GraphMaterializeSpec extends SparkSpec {
+
+  test("edge tier parks once, reuses, and matches the declarative edges") {
+    val dir = sf("sf0.001")
+    graft.queries.GraphQueries.buildGraphTier(spark, dir)
+    // after the build, access must NOT re-run the derivation
+    val edges = GraphMaterialize.edgeTable(spark, dir)(
+      sys.error("tier rebuilt on reuse"))
+    val marker = new File(
+      edges.inputFiles.head.stripPrefix("file:").replaceAll("/[^/]+$", "")
+        + "/_SUCCESS")
+    val mtime = marker.lastModified()
+    GraphMaterialize.edgeTable(spark, dir)(
+      sys.error("tier rebuilt on reuse")).count()
+    assert(marker.lastModified() === mtime, "tier was rewritten on reuse")
+
+    // declarative re-derivation (the semantics flowEdges owns)
+    val ioa = Chain.io(spark, dir).select(col("tx_id"), col("is_input"),
+      explode(col("addresses")).as("address"))
+    val ia = ioa.filter(col("is_input"))
+      .select(col("tx_id"), col("address").as("src")).distinct()
+    val oa = ioa.filter(!col("is_input"))
+      .select(col("tx_id"), col("address").as("dst")).distinct()
+    val dec = ia.join(oa, Seq("tx_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    assert(edges.count() === dec.count())
+    assert(edges.exceptAll(dec).count() === 0)
+  }
+}
