@@ -100,6 +100,29 @@ object Dedup {
     (0 until nBands).map(b => joinOn(s"band$b")).reduce(_ union _).distinct()
   }
 
+  /** Incremental candidates: probe a NEW batch's band keys against an
+    * existing (parked) band tier — (new_id, old_id) pairs without ever
+    * touching old×old. This is how a growing corpus stays deduplicated:
+    * the tier is the index, arriving documents hash map-side and the
+    * only join is new-batch-sized against band buckets. `maxBucket`
+    * caps tier-side bucket occupancy exactly like [[candidatePairs]]. */
+  def probePairs(newBands: DataFrame, tierBands: DataFrame,
+      nBands: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
+    def joinOn(band: String): DataFrame = {
+      val tier = tierBands.select(col("doc_id").as("old_id"),
+        col(band).as("bk"))
+      val pruned = maxBucket.fold(tier) { cap =>
+        val ok = tier.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select("bk")
+        tier.join(ok, Seq("bk"))
+      }
+      newBands.select(col("doc_id").as("new_id"), col(band).as("bk"))
+        .join(pruned, Seq("bk"))
+        .select("new_id", "old_id")
+    }
+    (0 until nBands).map(b => joinOn(s"band$b")).reduce(_ union _).distinct()
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (the verify stage of
     * MinHash-LSH). `shingles` may contain duplicates; they are
     * de-duplicated here. */

@@ -190,6 +190,21 @@ object DedupQueries {
             .as("containment"))
         .filter(col("containment") >= 0.5)),
 
+    // INCREMENTAL dedup: every 97th doc plays the arriving batch; its
+    // band keys compute map-side from the raw text while the rest of
+    // the corpus is only ever touched through the parked band tier.
+    // The only join is new-batch × band-bucket — old×old pairs are
+    // never re-enumerated, which is what keeps a growing 100 TB corpus
+    // deduplicated at ingest cost, not corpus cost.
+    "dedup_incremental" -> ((s, dir) => {
+      val newDocs = corpus(s, dir).filter(col("doc_id") % 97 === 0)
+      val newBands = graft.api.Dedup.lshBands(
+        graft.api.Dedup.minhashSignatures(shingles(words(newDocs))))
+      val tier = graft.ops.DedupMaterialize.bandTable(s, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+      graft.api.Dedup.probePairs(newBands, tier)
+    }),
+
     // edit-distance verify over the SAME candidate tier: character-level
     // near-dup confirmation on a bounded document head. Levenshtein is
     // O(len²) per pair, so at corpus scale it must only ever touch
@@ -317,6 +332,16 @@ object DedupQueries {
         |  JOIN cnt ca ON ca.doc_id = i.doc_a
         |  JOIN cnt cb ON cb.doc_id = i.doc_b)
         |WHERE containment >= 0.5""".stripMargin),
+
+    "dedup_incremental" -> withCtes(sigSqlCtes ++ Seq(
+      "newb AS (SELECT * FROM bands WHERE doc_id % 97 = 0)",
+      "oldb AS (SELECT * FROM bands WHERE doc_id % 97 != 0)"): _*)(
+      """SELECT DISTINCT new_id, old_id FROM (
+        |  SELECT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM newb n JOIN oldb o ON n.band0 = o.band0
+        |  UNION ALL
+        |  SELECT n.doc_id, o.doc_id
+        |  FROM newb n JOIN oldb o ON n.band1 = o.band1)""".stripMargin),
 
     "dedup_editdist" -> withCtes(
       sigSqlCtes ++ Seq(pairsSqlCte,
