@@ -6,6 +6,45 @@ import graft.operators.Skew
 
 /** Salted join/aggregation must be result-identical to the direct forms. */
 class SkewSpec extends SparkSpec {
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // salting (below) is the planned answer to KNOWN skew; AQE's
+    // OptimizeSkewedJoin is the runtime answer to discovered skew. Pin
+    // that it actually fires: 90% of left rows share one key, and with
+    // the skew thresholds at fixture scale the sort-merge join must
+    // read the hot partition as multiple skew-split slices.
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val q = left.join(right, Seq("k")).agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+        s"AQE skew-join split did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
   import spark.implicits._
 
   test("saltedJoin equals plain join") {
