@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Strengthens `levenshtein(a, b) <= k` / `< k` filter predicates with
+  * the implied cheap guard `abs(length(a) - length(b)) <= k` (resp `<`).
+  *
+  * Edit distance is bounded below by the length difference, so the guard
+  * rejects exactly the rows the full predicate would reject anyway —
+  * but in O(1) instead of the O(|a|·|b|) DP. Conjunctions short-circuit
+  * in codegen, so at dedup-verify scale (millions of candidate pairs,
+  * most of them far apart) the quadratic cost is only ever paid for
+  * pairs that at least agree in length to within k.
+  *
+  * Idempotent: a guard that is already present (semantically) is not
+  * added again, so the optimizer's fixed-point loop terminates. Null
+  * semantics are unchanged — if either side is null, both the original
+  * predicate and the guard evaluate to null.
+  *
+  * Registered alongside [[PushLimitThroughAsOfJoin]] via
+  * `spark.experimental.extraOptimizations` (see `AsOfJoin.ensureRegistered`)
+  * and cluster-wide via [[graft.GraftExtensions]].
+  */
+object LevenshteinPrefilter extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  /** Idempotent per-session registration (same mechanism as
+    * [[AsOfJoin.asof]]). */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(LevenshteinPrefilter))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ LevenshteinPrefilter
+
+  private def guardFor(p: Expression): Option[Expression] = p match {
+    case LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
+      Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
+    case LessThan(Levenshtein(a, b, None), k: Literal) =>
+      Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
+    case _ => None
+  }
+
+  private def strengthened(cond: Expression): Option[Expression] = {
+    val parts = splitConjunctivePredicates(cond)
+    val guards = parts.flatMap(guardFor)
+      .filterNot(g => parts.exists(_.semanticEquals(g)))
+    if (guards.isEmpty) None else Some((guards ++ parts).reduce(And))
+  }
+
+  // by the time extra optimizations run, the main batch has usually
+  // pushed the predicate into a join condition — cover both homes
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      strengthened(cond).map(Filter(_, child)).getOrElse(f)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isDefined =>
+      strengthened(j.condition.get)
+        .map(c => j.copy(condition = Some(c))).getOrElse(j)
+  }
+}

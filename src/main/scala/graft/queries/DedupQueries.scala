@@ -213,6 +213,10 @@ object DedupQueries {
     // band tier and the 80-char head is cut before the join, so the
     // shuffle carries 80-char strings, not documents.
     "dedup_editdist" -> ((s, dir) => {
+      // the LevenshteinPrefilter optimizer rule adds the implied
+      // |len(a)-len(b)| <= k guard so the O(len²) DP short-circuits on
+      // length-mismatched pairs (plan-asserted in PlanSpec)
+      graft.plans.LevenshteinPrefilter.ensureRegistered(s)
       val heads = corpus(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
       candidatePairs(s, dir)

