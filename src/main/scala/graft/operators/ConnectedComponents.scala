@@ -63,6 +63,52 @@ object ConnectedComponents {
       edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")), maxIter)
   }
 
+  /** Incremental label maintenance: grow an already-clustered graph by
+    * a batch of new nodes and the edges that TOUCH the batch (new×new
+    * and new×old), producing labels equal to a full re-clustering of
+    * the union — without re-running the fixpoint over the old graph.
+    *
+    * Old components are contracted to their label (valid because labels
+    * are component-min node ids, so contraction preserves both
+    * connectivity and the min), touch-edge endpoints are mapped through
+    * the old labels, and the star fixpoint runs over a graph whose edge
+    * set is BATCH-sized: at a growing 100 TB corpus this turns cluster
+    * maintenance from corpus-cost into ingest-cost, the clustering
+    * analog of [[graft.api.Dedup.probePairs]]. Untouched components ride
+    * along as singletons of the contracted node universe (a map over
+    * the label tier, no iteration).
+    *
+    * Preconditions: `oldLabels` is (node, component) with component =
+    * min node id of the old component (what [[labels]] emits), and new
+    * node ids are disjoint from old ones.
+    */
+  def incrementalLabels(oldLabels: DataFrame, newNodes: DataFrame,
+      touchEdges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val lab = oldLabels.select(col(oldLabels.columns.head).as("node"),
+      col(oldLabels.columns(1)).as("component"))
+    val cols = touchEdges.columns
+    require(cols.length >= 2, "touchEdges needs two endpoint columns")
+    val nn = newNodes.select(col(newNodes.columns.head).as("node"))
+    // endpoints through the old labels; batch nodes map to themselves
+    val contractedEdges = touchEdges
+      .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+      .join(lab.select(col("node").as("a"), col("component").as("ca")),
+        Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("component").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("u"),
+        coalesce(col("cb"), col("b")).as("v"))
+    val contractedNodes = nn
+      .union(lab.select(col("component").as("node"))).distinct()
+    val cc2 = labelsOver(contractedNodes, contractedEdges, maxIter)
+    // expand: old nodes through their (possibly merged) old label, new
+    // nodes directly
+    lab.join(cc2.select(col("node").as("component"),
+        col("component").as("merged")).distinct(), Seq("component"))
+      .select(col("node"), col("merged").as("component"))
+      .unionByName(nn.join(cc2, Seq("node")))
+  }
+
   /** Star fixpoint + label join over an explicit node universe. */
   private def labelsOver(nodes: DataFrame, edges: DataFrame, maxIter: Int)
       : DataFrame = {

@@ -205,6 +205,33 @@ object DedupQueries {
       graft.api.Dedup.probePairs(newBands, tier)
     }),
 
+    // incremental CLUSTER maintenance: the batch's pairs (new×old from
+    // the tier probe, new×new from the batch's own bands) are folded
+    // into the existing clustering by contracting old components to
+    // their labels and running the star fixpoint over a BATCH-sized
+    // graph — cluster upkeep at ingest cost, not corpus cost. Shares
+    // dedup_components' full-re-clustering oracle: the incremental
+    // result must be EXACTLY the from-scratch clustering.
+    "dedup_components_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val newSel = col("doc_id") % 97 === 0
+      val tier = graft.ops.DedupMaterialize.bandTable(s, dir)
+      val oldBands = tier.filter(!newSel)
+      val newBands = graft.api.Dedup.lshBands(
+        graft.api.Dedup.minhashSignatures(shingles(words(c.filter(newSel)))))
+      // parked state stand-in: labels over the corpus as it was before
+      // the batch arrived
+      val base = graft.operators.ConnectedComponents.labels(
+        c.filter(!newSel).select("doc_id"),
+        graft.api.Dedup.candidatePairs(oldBands))
+      val touch = graft.api.Dedup.probePairs(newBands, oldBands)
+        .unionByName(graft.api.Dedup.candidatePairs(newBands)
+          .select(col("doc_a").as("new_id"), col("doc_b").as("old_id")))
+      graft.operators.ConnectedComponents.incrementalLabels(
+          base, c.filter(newSel).select("doc_id"), touch)
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     // edit-distance verify over the SAME candidate tier: character-level
     // near-dup confirmation on a bounded document head. Levenshtein is
     // O(len²) per pair, so at corpus scale it must only ever touch
@@ -289,6 +316,16 @@ object DedupQueries {
         .select("doc_a", "doc_b", "hamming")
     }))
 
+  /** Full-corpus clustering oracle — shared by `dedup_components` and
+    * the incremental-maintenance form (which must equal it exactly). */
+  private val componentsOracle: String = withRecursiveCtes(sigSqlCtes ++ Seq(
+    pairsSqlCte,
+    "nodes AS (SELECT doc_id AS node FROM corpus)",
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+    ccWalkCte("nodes", "edges")): _*)(
+    """SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+      |FROM walk GROUP BY node""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> withCtes(corpusSql)(
       """SELECT md5(text) AS fingerprint,
@@ -358,13 +395,7 @@ object DedupQueries {
         |JOIN heads b ON b.doc_id = p.doc_b
         |WHERE levenshtein(a.head, b.head) <= 20""".stripMargin),
 
-    "dedup_components" -> withRecursiveCtes(sigSqlCtes ++ Seq(
-      pairsSqlCte,
-      "nodes AS (SELECT doc_id AS node FROM corpus)",
-      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
-      ccWalkCte("nodes", "edges")): _*)(
-      """SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
-        |FROM walk GROUP BY node""".stripMargin),
+    "dedup_components" -> componentsOracle,
 
     "dedup_keep_one" -> withRecursiveCtes(sigSqlCtes ++ Seq(
       pairsSqlCte,
@@ -392,5 +423,8 @@ object DedupQueries {
         |  FROM bands a JOIN bands b
         |    ON a.i = b.i AND a.nv = b.nv AND a.doc_id < b.doc_id)""".stripMargin)(
       """SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin))
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin)) +
+    // incremental maintenance must land on EXACTLY the full re-clustering:
+    // sharing the oracle makes the equality part of the correctness gate
+    ("dedup_components_incremental" -> componentsOracle)
 }

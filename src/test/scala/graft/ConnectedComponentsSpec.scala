@@ -87,6 +87,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     check(hub ++ chains)
   }
 
+  test("incremental labels equal a full re-clustering on random growth") {
+    // split random graphs into an "old" graph (nodes < 150) and a batch
+    // (nodes >= 150): incrementalLabels over base labels + touch edges
+    // must equal labels() over the union, including merges of previously
+    // separate old components through a new node, and isolated batch
+    // nodes as singletons
+    val rnd = new scala.util.Random(7)
+    for (m <- Seq(60, 250)) {
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(e => e._1 != e._2)
+      val nodes = (0L until 200L)
+      val isNew = (n: Long) => n >= 150
+      val oldEdges = edges.filter(e => !isNew(e._1) && !isNew(e._2))
+      val touch = edges.filter(e => isNew(e._1) || isNew(e._2))
+      val base = ConnectedComponents.labels(
+        nodes.filter(!isNew(_)).toDF("node"), oldEdges.toDF("u", "v"))
+      val inc = ConnectedComponents.incrementalLabels(
+        base, nodes.filter(isNew).toDF("node"), touch.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      val full = ConnectedComponents.labels(
+        nodes.toDF("node"), edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"incremental != full at m=$m")
+    }
+  }
+
   test("a 512-node path converges within logarithmic rounds") {
     // naive min-propagation needs ~512 rounds here; the star algorithm
     // must finish in far fewer (paper bound O(log n), 40 is generous)
