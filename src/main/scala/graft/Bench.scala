@@ -49,9 +49,11 @@ object Bench {
     }
     val matEntry = timed("dedup_materialize") {
       graft.ops.DedupMaterialize.bandTable(spark, sfDir).count()
-      // the cluster tier too: dedup_components/dedup_keep_one then
-      // measure consumption of the parked fixpoint, not the CC build
-      graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
+      // the cluster tiers too: dedup_components/dedup_keep_one and the
+      // incremental-maintenance query then measure consumption of the
+      // parked fixpoints, not the CC builds
+      graft.ops.DedupMaterialize.componentTable(spark, sfDir).count()
+      graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
     }
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)

@@ -95,4 +95,32 @@ object DedupMaterialize {
     }
     s.read.parquet(s"$root/components")
   }
+
+  /** Modulus selecting the simulated "arriving batch" for the
+    * incremental dedup/clustering queries (doc_id % this == 0). */
+  val IncrementalBatchMod = 97
+
+  /** (node, component) labels over the corpus EXCLUDING the arriving
+    * batch — the parked pre-batch state incremental cluster maintenance
+    * folds new documents into. In a deployed pipeline this IS the label
+    * tier as of the previous ingest; parking it keeps the checked
+    * incremental query measuring ingest-sized work, not a from-scratch
+    * rebuild of state it would already hold. */
+  def componentBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = ensure(s, dir)
+    lock.synchronized {
+      if (!new File(s"$root/components_base/_SUCCESS").exists()) {
+        val batch = functionsCol("doc_id") % IncrementalBatchMod === 0
+        graft.operators.ConnectedComponents.labels(
+            corpus(s, dir).filter(!batch).select("doc_id"),
+            graft.api.Dedup.candidatePairs(
+              s.read.parquet(s"$root/bands").filter(!batch), Bands))
+          .write.mode("overwrite").parquet(s"$root/components_base")
+      }
+    }
+    s.read.parquet(s"$root/components_base")
+  }
+
+  private def functionsCol(name: String) =
+    org.apache.spark.sql.functions.col(name)
 }

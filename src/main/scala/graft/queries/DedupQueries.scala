@@ -26,6 +26,10 @@ object DedupQueries {
     * hash min and identical across engines. */
   private val Seeds = 0 until 8
 
+  /** The incremental queries' simulated arriving batch (lockstep with
+    * the parked pre-batch tier). */
+  private val BatchMod = graft.ops.DedupMaterialize.IncrementalBatchMod
+
   /** Bucket-occupancy cap for the capped candidate query: band buckets
     * above this size are template/boilerplate clusters, not near-dup
     * candidates worth quadratic pair expansion. */
@@ -197,11 +201,13 @@ object DedupQueries {
     // never re-enumerated, which is what keeps a growing 100 TB corpus
     // deduplicated at ingest cost, not corpus cost.
     "dedup_incremental" -> ((s, dir) => {
-      val newDocs = corpus(s, dir).filter(col("doc_id") % 97 === 0)
+      val newDocs = corpus(s, dir).filter(
+        col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod === 0)
       val newBands = graft.api.Dedup.lshBands(
         graft.api.Dedup.minhashSignatures(shingles(words(newDocs))))
       val tier = graft.ops.DedupMaterialize.bandTable(s, dir)
-        .filter(col("doc_id") % 97 =!= 0)
+        .filter(
+          col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod =!= 0)
       graft.api.Dedup.probePairs(newBands, tier)
     }),
 
@@ -214,16 +220,15 @@ object DedupQueries {
     // result must be EXACTLY the from-scratch clustering.
     "dedup_components_incremental" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val newSel = col("doc_id") % 97 === 0
-      val tier = graft.ops.DedupMaterialize.bandTable(s, dir)
-      val oldBands = tier.filter(!newSel)
+      val newSel =
+        col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod === 0
+      val oldBands = graft.ops.DedupMaterialize.bandTable(s, dir)
+        .filter(!newSel)
       val newBands = graft.api.Dedup.lshBands(
         graft.api.Dedup.minhashSignatures(shingles(words(c.filter(newSel)))))
-      // parked state stand-in: labels over the corpus as it was before
-      // the batch arrived
-      val base = graft.operators.ConnectedComponents.labels(
-        c.filter(!newSel).select("doc_id"),
-        graft.api.Dedup.candidatePairs(oldBands))
+      // the parked pre-batch label tier: what a deployed pipeline holds
+      // from its previous ingest
+      val base = graft.ops.DedupMaterialize.componentBaseTable(s, dir)
       val touch = graft.api.Dedup.probePairs(newBands, oldBands)
         .unionByName(graft.api.Dedup.candidatePairs(newBands)
           .select(col("doc_a").as("new_id"), col("doc_b").as("old_id")))
@@ -375,8 +380,8 @@ object DedupQueries {
         |WHERE containment >= 0.5""".stripMargin),
 
     "dedup_incremental" -> withCtes(sigSqlCtes ++ Seq(
-      "newb AS (SELECT * FROM bands WHERE doc_id % 97 = 0)",
-      "oldb AS (SELECT * FROM bands WHERE doc_id % 97 != 0)"): _*)(
+      s"newb AS (SELECT * FROM bands WHERE doc_id % $BatchMod = 0)",
+      s"oldb AS (SELECT * FROM bands WHERE doc_id % $BatchMod != 0)"): _*)(
       """SELECT DISTINCT new_id, old_id FROM (
         |  SELECT n.doc_id AS new_id, o.doc_id AS old_id
         |  FROM newb n JOIN oldb o ON n.band0 = o.band0
