@@ -149,6 +149,22 @@ object EventQueries {
       StatefulSessionize.sessionize(ev, GapSeconds).toDF()
     }),
 
+    // cohort retention: users grouped by first-activity day, then the
+    // classic (cohort_day × age_days → active users) retention triangle.
+    // Two hash-aggs on user_id + one on the (cohort, age) pair — the
+    // cohort dimension is derived, never a driver-side loop, and at any
+    // scale the output is |days|² rows.
+    "events_cohort" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("ets div 86400").as("day"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.distinct().join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("age_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // time-series densification + forward fill: per-user hourly activity
     // with every missing hour materialized (count 0) and the value
     // carried forward (LOCF). The dense grid comes from a per-user
@@ -272,6 +288,19 @@ object EventQueries {
         |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ets) AS session_start, max(ets) - min(ets) AS duration
         |FROM s2 GROUP BY user_id, session_no""".stripMargin,
+
+    "events_cohort" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(floor(CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "ts_gapfill" ->
       """WITH e AS (
