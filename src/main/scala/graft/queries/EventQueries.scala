@@ -165,6 +165,22 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // rolling 7-day active users: each (user, day) activity row lands in
+    // the 7 window-days it is visible from (bounded explode), then one
+    // distinct-count per window day. The explode factor is the window
+    // width — a constant — so the shape is a flat 7× map-side expansion
+    // plus one hash-agg, never a sliding self-join over days.
+    "events_rolling_dau" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("ets div 86400").as("day")).distinct()
+      val maxDay = e.agg(max(col("day")).as("mx"))
+      e.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .join(broadcast(maxDay), col("w_day") <= col("mx"))
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+    }),
+
     // time-series densification + forward fill: per-user hourly activity
     // with every missing hour materialized (count 0) and the value
     // carried forward (LOCF). The dense grid comes from a per-user
@@ -301,6 +317,18 @@ object EventQueries {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
         |FROM e JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_rolling_dau" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(floor(CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) / 86400) AS BIGINT) AS day
+        |  FROM events)
+        |SELECT w_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        |FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS w_day
+        |      FROM e)
+        |WHERE w_day <= (SELECT max(day) FROM e)
+        |GROUP BY w_day""".stripMargin,
 
     "ts_gapfill" ->
       """WITH e AS (
