@@ -3,6 +3,7 @@ package graft.ops
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.TextCorpus._
 
@@ -110,7 +111,7 @@ object DedupMaterialize {
     val root = ensure(s, dir)
     lock.synchronized {
       if (!new File(s"$root/components_base/_SUCCESS").exists()) {
-        val batch = functionsCol("doc_id") % IncrementalBatchMod === 0
+        val batch = col("doc_id") % IncrementalBatchMod === 0
         graft.operators.ConnectedComponents.labels(
             corpus(s, dir).filter(!batch).select("doc_id"),
             graft.api.Dedup.candidatePairs(
@@ -121,6 +122,4 @@ object DedupMaterialize {
     s.read.parquet(s"$root/components_base")
   }
 
-  private def functionsCol(name: String) =
-    org.apache.spark.sql.functions.col(name)
 }

@@ -202,12 +202,12 @@ object DedupQueries {
     // deduplicated at ingest cost, not corpus cost.
     "dedup_incremental" -> ((s, dir) => {
       val newDocs = corpus(s, dir).filter(
-        col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod === 0)
+        col("doc_id") % BatchMod === 0)
       val newBands = graft.api.Dedup.lshBands(
         graft.api.Dedup.minhashSignatures(shingles(words(newDocs))))
       val tier = graft.ops.DedupMaterialize.bandTable(s, dir)
         .filter(
-          col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod =!= 0)
+          col("doc_id") % BatchMod =!= 0)
       graft.api.Dedup.probePairs(newBands, tier)
     }),
 
@@ -220,8 +220,7 @@ object DedupQueries {
     // result must be EXACTLY the from-scratch clustering.
     "dedup_components_incremental" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val newSel =
-        col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod === 0
+      val newSel = col("doc_id") % BatchMod === 0
       val oldBands = graft.ops.DedupMaterialize.bandTable(s, dir)
         .filter(!newSel)
       val newBands = graft.api.Dedup.lshBands(

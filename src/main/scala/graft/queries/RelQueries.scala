@@ -210,8 +210,11 @@ object RelQueries {
         .select(col("o_orderkey"), lit("U").as("s_status"),
           (col("price") + lit(BigDecimal("10.00")).cast(DecimalType(12, 2)))
             .cast(DecimalType(12, 2)).as("s_price"))
+      // insert keys live in the negative key space: structurally
+      // disjoint from real orderkeys at ANY scale factor (a fixed
+      // positive offset collides once keys outgrow it)
       val inserts = target.filter(col("o_orderkey") % 1000 === 0)
-        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+        .select((-col("o_orderkey") - lit(1L)).as("o_orderkey"),
           lit("I").as("s_status"),
           lit(BigDecimal("1.00")).cast(DecimalType(12, 2)).as("s_price"))
       target.join(updates.unionByName(inserts), Seq("o_orderkey"),
@@ -375,7 +378,7 @@ object RelQueries {
         |           AS s_price
         |  FROM target WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 20000000, 'I',
+        |  SELECT -o_orderkey - 1, 'I',
         |         CAST(1.00 AS DECIMAL(12,2))
         |  FROM target WHERE o_orderkey % 1000 = 0)
         |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,

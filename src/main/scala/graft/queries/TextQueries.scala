@@ -386,9 +386,12 @@ object TextQueries {
     // chunks by (doc_id, chunk_start) or dedup on the chunk hash.
     "doc_chunks" -> ((s, dir) =>
       docWords(s, dir)
+        // empty docs chunk to nothing — Spark's sequence(1, 0) throws
+        // rather than returning empty, so guard like TextCorpus.shingles
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")), lit(448)))
-            .as("chunk_start"))
+          explode(when(length(col("text")) >= 1,
+            sequence(lit(1), length(col("text")), lit(448)))
+            .otherwise(array().cast("array<int>"))).as("chunk_start"))
         .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
           length(expr("substring(text, chunk_start, 512)")).cast("long")
             .as("chunk_len"),

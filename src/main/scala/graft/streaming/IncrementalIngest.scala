@@ -249,19 +249,16 @@ object IncrementalIngest {
       .start()
   }
 
-  /** The full windowed aggregation (counts + decimal-exact sums) through
-    * the PRODUCTION dashboard-sink path: complete-mode `foreachBatch`
-    * overwriting a parquet summary table per commit — the standard
-    * "continuously maintained aggregate table" deployment, AvailableNow
-    * here so the final overwrite equals the batch answer exactly (it
-    * shares the batch `events_window_agg` oracle). No memory sink, no
-    * driver collect; the summary is |windows|×|types| rows, so the
-    * per-commit overwrite stays tiny at any input scale. */
-  def windowedEventAgg(s: SparkSession, dir: String, out: String): Unit = {
+  /** ONE definition of the watermarked hourly window aggregation over a
+    * streaming events source — counts + decimal-exact sums, the same
+    * Catalyst expressions as the batch `events_window_agg` query, so the
+    * two sinks below provably aggregate identically (the repo's shared-
+    * projection convention, cf. Chain.txProjection). */
+  private def windowedEventAggFrame(s: SparkSession, dir: String)
+      : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val agg = stream
+    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
       .withColumn("tsc", timestamp_seconds(expr("ts div 1000000000")))
       .withWatermark("tsc", "1 hour")
       .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
@@ -270,7 +267,18 @@ object IncrementalIngest {
           .as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream
+  }
+
+  /** The windowed aggregation through the PRODUCTION dashboard-sink
+    * path: complete-mode `foreachBatch` overwriting a parquet summary
+    * table per commit — the standard "continuously maintained aggregate
+    * table" deployment, AvailableNow here so the final overwrite equals
+    * the batch answer exactly (it shares the batch `events_window_agg`
+    * oracle). No memory sink, no driver collect; the summary is
+    * |windows|×|types| rows, so the per-commit overwrite stays tiny at
+    * any input scale. */
+  def windowedEventAgg(s: SparkSession, dir: String, out: String): Unit = {
+    val q = windowedEventAggFrame(s, dir).writeStream
       .outputMode("complete")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -283,24 +291,15 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
   }
 
-  /** Watermarked tumbling-window aggregation as a stream: hourly event
-    * counts with a 1-hour watermark, run synchronously (complete mode so
-    * the still-open tail window is emitted too — batch parity). The same
-    * query with `outputMode("append")` + a real trigger is the continuous
-    * deployment. */
+  /** The same aggregation run synchronously into a memory sink for
+    * test-side parity checks (complete mode so the still-open tail
+    * window is emitted too). The same query with `outputMode("append")`
+    * + a real trigger is the continuous deployment. */
   def hourlyEventCounts(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val agg = stream
-      .withColumn("tsc",
-        timestamp_seconds(expr("ts div 1000000000")))
-      .withWatermark("tsc", "1 hour")
-      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(unix_timestamp(col("window.start")).as("hour_ts"),
-        col("event_type"), col("n_events"))
     val name = s"win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(name)
+    val q = windowedEventAggFrame(s, dir)
+      .select("hour_ts", "event_type", "n_events")
+      .writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .option("checkpointLocation", s"target/tmp/ckpt_$name")
       .trigger(Trigger.AvailableNow())

@@ -95,18 +95,19 @@ class PropertySpec extends SparkSpec {
     // parked one MUST surface as a (new, old) candidate.
     val dir = sf("sf0.001")
     val corpus = graft.ops.TextCorpus.corpus(spark, dir)
-    val batch = corpus.filter(col("doc_id") % 97 === 0)
+    val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+    val batch = corpus.filter(col("doc_id") % mod === 0)
     val newBands = graft.api.Dedup.lshBands(
       graft.api.Dedup.minhashSignatures(graft.ops.TextCorpus.shingles(
         graft.ops.TextCorpus.words(batch))))
     val tier = graft.ops.DedupMaterialize.bandTable(spark, dir)
-      .filter(col("doc_id") % 97 =!= 0)
+      .filter(col("doc_id") % mod =!= 0)
     val found = graft.api.Dedup.probePairs(newBands, tier)
       .as[(Long, Long)].collect().toSet
-    // doc 0 is in the batch (0 % 97 == 0) and its injected exact copy
-    // (DupOffset) is in the tier (DupOffset % 97 != 0) — fixture-pinned
+    // doc 0 is in the batch (0 % mod == 0) and its injected exact copy
+    // (DupOffset) is in the tier (DupOffset % mod != 0) — fixture-pinned
     val off = graft.ops.TextCorpus.DupOffset
-    assert(off % 97 != 0, "fixture assumption broken: copy not in tier")
+    assert(off % mod != 0, "fixture assumption broken: copy not in tier")
     assert(found.contains((0L, off)),
       s"new doc 0's exact tier duplicate $off not found: $found")
   }
