@@ -224,6 +224,46 @@ object RelQueries {
           coalesce(col("s_price"), col("price")).cast("double").as("price"))
     }),
 
+    // TPC-H Q5-shaped 6-way join: revenue by nation for one region/year.
+    // The join-order stress test: region/nation are broadcast dims,
+    // customer/supplier co-key on nationkey, and Catalyst is free to
+    // reorder — the plan the optimizer picks IS the point at 100 TB.
+    "q5_local_supplier" -> ((s, dir) => {
+      val nat = table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      table(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"))
+    }),
+
+    // month-over-month revenue growth: month totals (decimal-exact) +
+    // lag window + one final double division. The lag window is over
+    // the tiny month dimension, not the fact rows.
+    "orders_mom_growth" -> ((s, dir) => {
+      val w = Window.orderBy(col("month"))
+      table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .as("revenue"))
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .select(unix_timestamp(col("month")).as("month_ts"),
+          col("revenue").cast("double").as("revenue"),
+          (col("revenue").cast("double") / col("prev").cast("double") - 1)
+            .as("mom_growth"))
+    }),
+
     // running-frame window: cumulative revenue per customer in order-date
     // order (ROWS UNBOUNDED PRECEDING). Partitioned by customer — the
     // frame never crosses partitions, so the sort is per-customer and
@@ -385,6 +425,36 @@ object RelQueries {
         |  COALESCE(s.s_status, t.o_orderstatus) AS status,
         |  CAST(COALESCE(s.s_price, t.price) AS DOUBLE) AS price
         |FROM target t FULL OUTER JOIN src s USING (o_orderkey)""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "orders_mom_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |       CAST(month AS TIMESTAMP)) AS BIGINT) AS month_ts,
+        |  CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(revenue AS DOUBLE)
+        |    / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) - 1
+        |    AS mom_growth
+        |FROM m""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_custkey, o_orderkey,
