@@ -286,6 +286,16 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("doc_id"), col("n_members"))),
 
+    // the same keep-one derivation over the INCREMENTALLY maintained
+    // labels — shares dedup_keep_one's oracle, closing the equivalence
+    // chain: incremental labels == full labels (proven above) implies
+    // identical representatives and cluster sizes.
+    "dedup_keep_one_incremental" -> ((s, dir) =>
+      queries("dedup_components_incremental")(s, dir)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("doc_id"), col("n_members"))),
+
     // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
     // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
     "dedup_simhash" -> ((s, dir) =>
@@ -329,6 +339,17 @@ object DedupQueries {
     ccWalkCte("nodes", "edges")): _*)(
     """SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
       |FROM walk GROUP BY node""".stripMargin)
+
+  private val keepOneOracle: String = withRecursiveCtes(sigSqlCtes ++ Seq(
+    pairsSqlCte,
+    "nodes AS (SELECT doc_id AS node FROM corpus)",
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+    ccWalkCte("nodes", "edges"),
+    """cc AS (SELECT node, min(comp) AS component
+      |       FROM walk GROUP BY node)""".stripMargin): _*)(
+    """SELECT CAST(component AS BIGINT) AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_members
+      |FROM cc GROUP BY component""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> withCtes(corpusSql)(
@@ -401,16 +422,9 @@ object DedupQueries {
 
     "dedup_components" -> componentsOracle,
 
-    "dedup_keep_one" -> withRecursiveCtes(sigSqlCtes ++ Seq(
-      pairsSqlCte,
-      "nodes AS (SELECT doc_id AS node FROM corpus)",
-      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
-      ccWalkCte("nodes", "edges"),
-      """cc AS (SELECT node, min(comp) AS component
-        |       FROM walk GROUP BY node)""".stripMargin): _*)(
-      """SELECT CAST(component AS BIGINT) AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_members
-        |FROM cc GROUP BY component""".stripMargin),
+    "dedup_keep_one_incremental" -> keepOneOracle,
+
+    "dedup_keep_one" -> keepOneOracle,
 
     "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte(16))(
       "SELECT doc_id, simhash FROM sh"),

@@ -333,6 +333,30 @@ object TextQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(50)),
 
+    // LM-based quality score (the CCNet-style filter shape, with the
+    // corpus's own top-200 bigram table standing in for the KenLM): a
+    // doc's score is the fraction of its bigrams found in the reference
+    // LM — exact integer counts, one final division. The vocab is a
+    // distributed top-k then broadcast, so the corpus side's only
+    // shuffle is the per-doc agg; at 100 TB the vocab would be the
+    // parked artifact of a previous ngram_bigrams run.
+    "text_lm_score" -> ((s, dir) => {
+      val bi = docWords(s, dir).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+            .stripMargin)).as("bigram"))
+      val vocab = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(200)
+        .select(col("bigram")).withColumn("hit", lit(1L))
+      bi.join(broadcast(vocab), Seq("bigram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_bigrams")).as("lm_score"))
+    }),
+
     // temperature-rebalanced source mixing (the multinomial-mixture
     // resampling step of a pretraining data recipe, α = 1/2): each
     // source's quota ∝ √n_docs, members chosen by hash rank — small
@@ -611,6 +635,22 @@ object TextQueries {
         |      FROM words WHERE len(w) >= 2)
         |GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "text_lm_score" -> withCtes(docWordsSql,
+      """bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM words WHERE len(w) >= 2)""".stripMargin,
+      """vocab AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
+        |    ORDER BY n DESC, bigram LIMIT 200))""".stripMargin)(
+      """SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(v.bigram) AS BIGINT) AS n_hits,
+        |  CAST(count(v.bigram) AS DOUBLE) / count(*) AS lm_score
+        |FROM bi b LEFT JOIN vocab v USING (bigram)
+        |GROUP BY b.doc_id""".stripMargin),
 
     "corpus_mix" -> withCtes(docWordsSql,
       """cnt AS (

@@ -81,6 +81,12 @@ class PlanSpec extends SparkSpec {
       s"pairs plan still scans the raw corpus:\n$plan")
   }
 
+  test("q5 six-way join broadcasts the region/nation dims") {
+    val plan = executedPlan("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims not broadcast in the 6-way join:\n$plan")
+  }
+
   test("levenshtein filter gains the length-difference prefilter") {
     val df = SparkEntry.queries("dedup_editdist")(spark, sf("sf0.001"))
     val opt = df.queryExecution.optimizedPlan.toString
