@@ -482,6 +482,33 @@ object RefQueries {
     // function of the chain — stable across runs and cluster sizes.
     "entity_components" -> ((s, dir) => entityLabels(s, dir)),
 
+    // GraphSense's actual production concern in motion: new blocks
+    // extend the co-spend graph, and the clustering must be MAINTAINED,
+    // not recomputed. The parked pre-window label tier is the state of
+    // the previous run; the post-window txs' star edges are the touch
+    // set (old addresses map through their labels, first-seen addresses
+    // ride as new nodes), and the star fixpoint runs over an
+    // ingest-sized contracted graph. Shares entity_components'
+    // full-chain oracle: maintained == recomputed is part of the gate.
+    "entity_components_incremental" -> ((s, dir) => {
+      val base = entityLabels(s, dir, Some(EntityWindow))
+      val ia = io(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), explode(col("addresses")).as("address"))
+        .distinct()
+        .join(transactions(s, dir)
+          .filter(col("block_id") >= EntityWindow).select(col("tx_id")),
+          Seq("tx_id"))
+      val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
+      val touch = ia.join(root, Seq("tx_id"))
+        .filter(col("address") =!= col("root"))
+        .select(col("address"), col("root"))
+      val newNodes = ia.select(col("address")).distinct()
+        .join(base.select(col("address")), Seq("address"), "left_anti")
+      graft.operators.ConnectedComponents
+        .incrementalLabels(base, newNodes, touch)
+        .select(col("node").as("address"), col("component").as("entity"))
+    }),
+
     // the analytics the clustering exists FOR: per-entity address count
     // and total received value — cluster labels joined back to the
     // output-value flow (one equi-join on address + one hash-agg on the
@@ -630,6 +657,24 @@ object RefQueries {
         serializeSide(col("outputs")).as("outputs_s"),
         col("coinjoin"))))
 
+  /** Full-chain entity clustering oracle — shared by entity_components
+    * and its incremental-maintenance form. */
+  private val entityComponentsOracle: String =
+    ChainSql.withRecursiveCtes(ChainSql.io,
+      """ia AS (SELECT DISTINCT tx_id, address FROM (
+        |  SELECT tx_id,
+        |    unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
+        |                WHEN address_type IN (1, 7, 10) THEN NULL
+        |                ELSE [base_addr] END) AS address
+        |  FROM io WHERE is_input))""".stripMargin,
+      "tr AS (SELECT tx_id, min(address) AS root FROM ia GROUP BY tx_id)",
+      """edges AS (SELECT DISTINCT address AS a, root AS b
+        |          FROM ia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
+      "nodes AS (SELECT DISTINCT address AS node FROM ia)",
+      ChainSql.ccWalkCte("nodes", "edges"))(
+      """SELECT node AS address, min(comp) AS entity
+        |FROM walk GROUP BY node""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "block_table" -> withCtes(ChainSql.tx, ChainSql.blk)(
       "SELECT block_id_group, block_id, block_hash, ts, no_transactions FROM blk"),
@@ -761,20 +806,10 @@ object RefQueries {
         |      FROM io WHERE NOT is_input)
         |GROUP BY address""".stripMargin),
 
-    "entity_components" -> ChainSql.withRecursiveCtes(ChainSql.io,
-      """ia AS (SELECT DISTINCT tx_id, address FROM (
-        |  SELECT tx_id,
-        |    unnest(CASE WHEN address_type = 6 THEN [base_addr, alt_addr]
-        |                WHEN address_type IN (1, 7, 10) THEN NULL
-        |                ELSE [base_addr] END) AS address
-        |  FROM io WHERE is_input))""".stripMargin,
-      "tr AS (SELECT tx_id, min(address) AS root FROM ia GROUP BY tx_id)",
-      """edges AS (SELECT DISTINCT address AS a, root AS b
-        |          FROM ia JOIN tr USING (tx_id) WHERE address <> root)""".stripMargin,
-      "nodes AS (SELECT DISTINCT address AS node FROM ia)",
-      ChainSql.ccWalkCte("nodes", "edges"))(
-      """SELECT node AS address, min(comp) AS entity
-        |FROM walk GROUP BY node""".stripMargin),
+    "entity_components" -> entityComponentsOracle,
+
+    // maintained labels must equal the from-scratch clustering
+    "entity_components_incremental" -> entityComponentsOracle,
 
     "entity_summary" -> ChainSql.withRecursiveCtes(ChainSql.tx, ChainSql.io,
       s"""ia AS (SELECT DISTINCT i.tx_id, address FROM (
