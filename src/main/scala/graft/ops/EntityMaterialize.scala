@@ -24,7 +24,10 @@ object EntityMaterialize {
   /** Bump on any change to the edge derivation or clustering. */
   private val FormatVersion = 1
 
-  private def base(dir: String, window: Option[Long]): String = {
+  private def base(dir: String, window: Option[Long]): String =
+    baseKeyed(dir, window.fold("all")(_.toString))
+
+  private def baseKeyed(dir: String, w: String): String = {
     val mtime = Seq("lineitem", "orders").map { t =>
       val f = new File(s"$dir/$t.parquet")
       if (f.isDirectory)
@@ -32,7 +35,6 @@ object EntityMaterialize {
       else f.lastModified()
     }.max
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val w = window.fold("all")(_.toString)
     s"target/intermediate/entity_v${FormatVersion}_${key}_${mtime}_w$w"
   }
 
@@ -40,8 +42,14 @@ object EntityMaterialize {
     * computing and parking them on first access. `build` derives the
     * labels (injected so the query module owns the edge semantics). */
   def labelTable(s: SparkSession, dir: String, window: Option[Long])(
+      build: => DataFrame): DataFrame =
+    labelTableKeyed(s, dir, window.fold("all")(_.toString))(build)
+
+  /** Same parking under an arbitrary variant key (e.g. a simulated
+    * pre-batch state keyed by the batch selector, not a block window). */
+  def labelTableKeyed(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    val root = base(dir, window)
+    val root = baseKeyed(dir, key)
     lock.synchronized {
       if (!new File(s"$root/_SUCCESS").exists())
         build.write.mode("overwrite").parquet(root)
