@@ -100,11 +100,24 @@ object ConnectedComponents {
         coalesce(col("cb"), col("b")).as("v"))
     val contractedNodes = nn
       .union(lab.select(col("component").as("node"))).distinct()
+    // universe-coverage guard: an endpoint known to neither frame would
+    // silently join the fixpoint, get no output row, and — if it is the
+    // component minimum — become a label no clustered node carries.
+    // The check is one anti-join over the batch-sized touch set.
+    val unknown = touchEdges
+      .select(col(cols(0)).as("node")).union(touchEdges.select(col(cols(1)).as("node")))
+      .distinct()
+      .join(lab.select(col("node")).union(nn).distinct(), Seq("node"),
+        "left_anti")
+    require(unknown.isEmpty,
+      "touch edges reference nodes present in neither oldLabels nor " +
+        s"newNodes: ${unknown.take(5).mkString(", ")}")
     val cc2 = labelsOver(contractedNodes, contractedEdges, maxIter)
     // expand: old nodes through their (possibly merged) old label, new
     // nodes directly
+    // cc2 is one row per contracted node already — no distinct needed
     lab.join(cc2.select(col("node").as("component"),
-        col("component").as("merged")).distinct(), Seq("component"))
+        col("component").as("merged")), Seq("component"))
       .select(col("node"), col("merged").as("component"))
       .unionByName(nn.join(cc2, Seq("node")))
   }

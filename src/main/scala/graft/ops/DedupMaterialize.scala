@@ -110,16 +110,16 @@ object DedupMaterialize {
   def componentBaseTable(s: SparkSession, dir: String): DataFrame = {
     val root = ensure(s, dir)
     lock.synchronized {
-      if (!new File(s"$root/components_base/_SUCCESS").exists()) {
+      if (!new File(s"$root/components_base_m$IncrementalBatchMod/_SUCCESS").exists()) {
         val batch = col("doc_id") % IncrementalBatchMod === 0
         graft.operators.ConnectedComponents.labels(
             corpus(s, dir).filter(!batch).select("doc_id"),
             graft.api.Dedup.candidatePairs(
               s.read.parquet(s"$root/bands").filter(!batch), Bands))
-          .write.mode("overwrite").parquet(s"$root/components_base")
+          .write.mode("overwrite").parquet(s"$root/components_base_m$IncrementalBatchMod")
       }
     }
-    s.read.parquet(s"$root/components_base")
+    s.read.parquet(s"$root/components_base_m$IncrementalBatchMod")
   }
 
 }

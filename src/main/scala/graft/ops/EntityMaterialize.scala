@@ -24,9 +24,6 @@ object EntityMaterialize {
   /** Bump on any change to the edge derivation or clustering. */
   private val FormatVersion = 1
 
-  private def base(dir: String, window: Option[Long]): String =
-    baseKeyed(dir, window.fold("all")(_.toString))
-
   private def baseKeyed(dir: String, w: String): String = {
     val mtime = Seq("lineitem", "orders").map { t =>
       val f = new File(s"$dir/$t.parquet")

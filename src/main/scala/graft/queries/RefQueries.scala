@@ -99,6 +99,18 @@ object RefQueries {
       .filter(if (inBatch) sel else !sel)
   }
 
+  /** Multi-input-heuristic star edges for a (tx_id, address) input set:
+    * each address links to its tx's minimum address — ONE definition for
+    * the full build, the parked base, and the incremental touch set, so
+    * the maintained == recomputed gate can never drift on edge
+    * semantics. */
+  private def starEdges(ia: DataFrame): DataFrame = {
+    val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
+    ia.join(root, Seq("tx_id"))
+      .filter(col("address") =!= col("root"))
+      .select(col("address"), col("root"))
+  }
+
   /** Parked pre-batch entity labels (the previous run's state for the
     * incremental maintenance query) — clustering over all txs EXCEPT
     * the simulated batch, keyed separately from the block windows. */
@@ -106,12 +118,8 @@ object RefQueries {
     graft.ops.EntityMaterialize.labelTableKeyed(s, dir,
       s"pretx$EntityBatchMod") {
       val ia = inputAddressesByBatch(s, dir, inBatch = false)
-      val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
-      val edges = ia.join(root, Seq("tx_id"))
-        .filter(col("address") =!= col("root"))
-        .select(col("address"), col("root"))
       graft.operators.ConnectedComponents.labels(
-          ia.select(col("address")).distinct(), edges)
+          ia.select(col("address")).distinct(), starEdges(ia))
         .select(col("node").as("address"), col("component").as("entity"))
     }
 
@@ -128,12 +136,8 @@ object RefQueries {
     val ia = maxBlock.fold(iaAll)(b => iaAll.join(
       Chain.transactions(s, dir).filter(col("block_id") < b)
         .select(col("tx_id")), Seq("tx_id")))
-    val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
-    val edges = ia.join(root, Seq("tx_id"))
-      .filter(col("address") =!= col("root"))
-      .select(col("address"), col("root"))
     graft.operators.ConnectedComponents.labels(
-        ia.select(col("address")).distinct(), edges)
+        ia.select(col("address")).distinct(), starEdges(ia))
       .select(col("node").as("address"), col("component").as("entity"))
   }
 
@@ -525,10 +529,7 @@ object RefQueries {
     "entity_components_incremental" -> ((s, dir) => {
       val base = entityBaseLabels(s, dir)
       val ia = inputAddressesByBatch(s, dir, inBatch = true)
-      val root = ia.groupBy(col("tx_id")).agg(min(col("address")).as("root"))
-      val touch = ia.join(root, Seq("tx_id"))
-        .filter(col("address") =!= col("root"))
-        .select(col("address"), col("root"))
+      val touch = starEdges(ia)
       val newNodes = ia.select(col("address")).distinct()
         .join(base.select(col("address")), Seq("address"), "left_anti")
       graft.operators.ConnectedComponents

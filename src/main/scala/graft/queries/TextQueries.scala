@@ -74,6 +74,16 @@ object TextQueries {
       |     WHEN fr_hits >= es_hits THEN 'fr'
       |     ELSE 'es' END""".stripMargin
 
+  /** (doc_id, bigram) rows — ONE definition of the consecutive-word-pair
+    * derivation shared by ngram_bigrams and text_lm_score (the SQL side
+    * shares its mirror the same way). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+          .stripMargin)).as("bigram"))
+
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
@@ -325,11 +335,7 @@ object TextQueries {
     // global sort). Total order (n DESC, bigram) makes the cut
     // deterministic.
     "ngram_bigrams" -> ((s, dir) =>
-      docWords(s, dir).filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, size(w) - 2),
-            |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
-            .stripMargin)).as("bigram"))
+      bigrams(docWords(s, dir))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(50)),
 
@@ -341,11 +347,7 @@ object TextQueries {
     // shuffle is the per-doc agg; at 100 TB the vocab would be the
     // parked artifact of a previous ngram_bigrams run.
     "text_lm_score" -> ((s, dir) => {
-      val bi = docWords(s, dir).filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(w) - 2),
-            |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
-            .stripMargin)).as("bigram"))
+      val bi = bigrams(docWords(s, dir))
       val vocab = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(200)
         .select(col("bigram")).withColumn("hit", lit(1L))
