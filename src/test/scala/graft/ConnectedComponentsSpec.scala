@@ -114,6 +114,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental labels reject touch edges outside the known universe") {
+    val base = ConnectedComponents.labels(
+      Seq(1L, 2L).toDF("node"), Seq((1L, 2L)).toDF("u", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.incrementalLabels(
+        base, Seq(10L).toDF("node"),
+        // 99 is in neither the old labels nor the batch
+        Seq((10L, 99L)).toDF("u", "v")).collect()
+    }
+    assert(ex.getMessage.contains("neither oldLabels nor newNodes"))
+  }
+
   test("a 512-node path converges within logarithmic rounds") {
     // naive min-propagation needs ~512 rounds here; the star algorithm
     // must finish in far fewer (paper bound O(log n), 40 is generous)
