@@ -93,6 +93,16 @@ object TextQueries {
     "text_langid_ngram" -> ((s, dir) =>
       graft.api.Text.langIdNgram(docWords(s, dir))),
 
+    // the ann_recall analog for language ID: confusion matrix of
+    // predicted vs fixture-truth language, plus per-truth-class
+    // precision denominator — the metric that justifies the stopword /
+    // n-gram family choice, computed distributively (one hash-agg on
+    // the 2-language pair).
+    "text_langid_confusion" -> ((s, dir) =>
+      graft.api.Text.langId(docWords(s, dir))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
+
     // quality scoring: exact-integer ratios
     "text_quality" -> ((s, dir) => graft.api.Text.quality(docWords(s, dir))),
 
@@ -451,6 +461,15 @@ object TextQueries {
          |        ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
          |        ${hitsSql("fr")} AS fr_hits, ${hitsSql("es")} AS es_hits
          |      FROM words)""".stripMargin),
+
+    "text_langid_confusion" -> withCtes(docWordsSql)(
+      s"""SELECT lang, $predLangCase AS pred_lang,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT doc_id, lang,
+         |        ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+         |        ${hitsSql("fr")} AS fr_hits, ${hitsSql("es")} AS es_hits
+         |      FROM words)
+         |GROUP BY 1, 2""".stripMargin),
 
     "text_langid_ngram" -> withCtes(docWordsSql)({
       def g(lang: String): String = graft.api.Text.gramHits(lang)
