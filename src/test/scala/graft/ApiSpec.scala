@@ -90,6 +90,23 @@ class ApiSpec extends SparkSpec {
       sh.select("doc_id").distinct().count())
   }
 
+  test("probePairs honors the tier-side bucket-occupancy cap") {
+    import spark.implicits._
+    // three tier docs share band key "hot"; cap 2 must drop the bucket
+    // BEFORE the probe join, so the new doc finds nothing there but
+    // still matches the under-cap bucket "cold"
+    val tier = Seq((1L, "hot", "x1"), (2L, "hot", "x2"), (3L, "hot", "x3"),
+      (4L, "y4", "cold")).toDF("doc_id", "band0", "band1")
+    val probe = Seq((100L, "hot", "cold")).toDF("doc_id", "band0", "band1")
+    val capped = graft.api.Dedup.probePairs(probe, tier, maxBucket = Some(2))
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 4L)),
+      s"hot bucket must be dropped, cold kept: $capped")
+    val uncapped = graft.api.Dedup.probePairs(probe, tier)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped === Set((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)))
+  }
+
   test("Graft facade: ingest + keyspace DDL entry points") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "facade_").toString
