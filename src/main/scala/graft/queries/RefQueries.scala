@@ -443,6 +443,45 @@ object RefQueries {
             .as("asof_usd"))
     }),
 
+    // FORWARD as-of (next-quote semantics): each block takes the
+    // earliest rate at-or-after it — the mirror of rate_asof with every
+    // direction flipped (first-ignore-nulls over FOLLOWING frames,
+    // per-bucket EARLIEST rate, carry from the buckets AHEAD). Same
+    // scale posture: bounded bucket partitions, the only global window
+    // runs over the per-bucket summary, carry re-enters via broadcast.
+    "rate_asof_forward" -> ((s, dir) => {
+      val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
+        .select(col("block_id"), col("usdx16"))
+      // blocks sort BEFORE a same-id rate so the current-row-inclusive
+      // FOLLOWING frame sees it (at-or-after is inclusive)
+      val u = pub.select(col("block_id"), col("usdx16"), lit(1).as("ord"))
+        .unionByName(blocks(s, dir)
+          .select(col("block_id"), lit(null).cast("long").as("usdx16"),
+            lit(0).as("ord")))
+        .withColumn("b", floor(col("block_id") / BlockBucketSize))
+      val wIn = Window.partitionBy(col("b"))
+        .orderBy(col("block_id"), col("ord"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val inBucket = u.withColumn("v",
+        first(col("usdx16"), ignoreNulls = true).over(wIn))
+      val perBucket = pub
+        .groupBy(floor(col("block_id") / BlockBucketSize).as("b"))
+        .agg(min(struct(col("block_id"), col("usdx16"))).as("firstr"))
+      val wCarry = Window.orderBy(col("b"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val carry = u.select(col("b")).distinct()
+        .join(perBucket, Seq("b"), "left")
+        .withColumn("carryr",
+          first(col("firstr"), ignoreNulls = true).over(wCarry))
+        .select(col("b"), col("carryr").getField("usdx16").as("carry_usdx16"))
+      inBucket.filter(col("ord") === 0)
+        .join(broadcast(carry), Seq("b"), "left")
+        .select(col("block_id"),
+          coalesce(col("v"), col("carry_usdx16")).as("next_usdx16"),
+          (coalesce(col("v"), col("carry_usdx16")).cast("double") / 16.0)
+            .as("next_usd"))
+    }),
+
     // the same as-of join through the custom operator (graft.plans
     // .AsOfJoin: LogicalPlan + Strategy + range-partitioned merge exec).
     // Shares rate_asof's oracle → the custom node is hash-verified
@@ -800,6 +839,13 @@ object RefQueries {
         |FROM blk b
         |ASOF LEFT JOIN (SELECT block_id, usdx16 FROM rates WHERE usdx16 % 3 = 0) p
         |  ON p.block_id <= b.block_id""".stripMargin),
+
+    "rate_asof_forward" -> withCtes(ChainSql.tx, ChainSql.blk, ChainSql.rates)(
+      """SELECT b.block_id, p.usdx16 AS next_usdx16,
+        |  CAST(p.usdx16 AS DOUBLE) / 16.0 AS next_usd
+        |FROM blk b
+        |ASOF LEFT JOIN (SELECT block_id, usdx16 FROM rates WHERE usdx16 % 3 = 0) p
+        |  ON b.block_id <= p.block_id""".stripMargin),
 
     "rate_asof_custom" -> withCtes(ChainSql.tx, ChainSql.blk, ChainSql.rates)(
       """SELECT b.block_id, p.usdx16 AS asof_usdx16,
