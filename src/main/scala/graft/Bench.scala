@@ -47,14 +47,26 @@ object Bench {
       try body catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val matEntry = timed("dedup_materialize") {
-      graft.ops.DedupMaterialize.bandTable(spark, sfDir).count()
-      // the cluster tiers too: dedup_components/dedup_keep_one and the
+    // each parked tier is its own entry (a single "dedup_materialize"
+    // umbrella aliased round-over-round comparison once it grew from one
+    // tier to three); build order matters — components derive from bands
+    val matEntries = Seq(
+      timed("dedup_materialize_bands") {
+        graft.ops.DedupMaterialize.bandTable(spark, sfDir).count(); ()
+      },
+      // the cluster tiers: dedup_components/dedup_keep_one and the
       // incremental-maintenance query then measure consumption of the
       // parked fixpoints, not the CC builds
-      graft.ops.DedupMaterialize.componentTable(spark, sfDir).count()
-      graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
-    }
+      timed("dedup_materialize_components") {
+        graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
+      },
+      timed("dedup_materialize_base") {
+        graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
+      },
+      // window-fingerprint tier consumed by text_dup_windows
+      timed("text_winfp_build") {
+        graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
+      })
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
     }
@@ -77,7 +89,7 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val results = Seq(matEntry, bucketEntry, entityEntry, graphEntry) ++
+    val results = matEntries ++ Seq(bucketEntry, entityEntry, graphEntry) ++
       time(headline)
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * sf1-equivalent directory under target/, for SCALING measurements
   * only — correctness always runs on the driver's real fixtures.
   *
-  * The text/embedding corpora are NOT amplified (symlink-equivalent
-  * copy): replicating near-identical content multiplies LSH bucket
-  * occupancy quadratically, so an amplified dedup number would measure
-  * the fixture artifact, not the engine. Usage:
+  * Documents amplify with per-replica word mutation (verbatim copies
+  * would multiply LSH bucket occupancy and window-fingerprint frequency
+  * quadratically — the amplified dedup/text numbers would measure the
+  * fixture artifact, not the engine); embeddings are copied as-is
+  * (replicated identical vectors would collapse under distinct-style
+  * candidate keys the same way). Usage:
   *   runMain graft.ScaleUp [srcDir] [outDir] [factor]
   */
 object ScaleUp {
@@ -20,14 +22,26 @@ object ScaleUp {
     * injection offset (1e7): replicas stay below it. */
   val KeyOffset = 1000000L
 
-  /** Replica keys must stay below the BIP30 dup-injection offset (1e7,
-    * RefQueries.DupOffset): the max replica key is
+  /** Up to 10×, replica keys stay below the BIP30 dup-injection offset
+    * (1e7, RefQueries.DupOffset): the max replica key is
     * (factor-1)*KeyOffset + maxBaseKey with maxBaseKey < KeyOffset, so
     * factor*KeyOffset <= 1e7 keeps every replica clear of the injected
-    * range (the documented default factor=10 passes). */
-  def checkFactor(factor: Int): Unit =
-    require(factor >= 1 && factor * KeyOffset <= 10000000L,
-      s"factor $factor pushes replica keys into the dup-injection range")
+    * range. Factors 11-30 are allowed for spill/AQE stress runs with a
+    * warning: replica tx_ids then enter the injected-dup range, so the
+    * bip30_dedup family's numbers are NOT meaningful at those dirs
+    * (every other family is untouched — the injection is internal to
+    * those two queries). */
+  def checkFactor(factor: Int): Unit = {
+    require(factor >= 1 && factor <= 30, s"factor $factor outside [1, 30]")
+    if (factor * KeyOffset > 10000000L)
+      System.err.println(s"[scaleup] WARNING: factor $factor puts replica " +
+        "keys in the BIP30 dup-injection range - exclude bip30_dedup* " +
+        "from measurements at this dir")
+  }
+
+  /** Replica doc_ids must stay below the corpus dup-injection offset
+    * (1e6, TextCorpus.DupOffset); 30 × 10k ids clears it comfortably. */
+  val DocOffset = 10000L
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -52,8 +66,21 @@ object ScaleUp {
     amplify("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * KeyOffset))
         .withColumn("user_id", col("user_id") + lit(i * KeyOffset)))
+    // documents amplify with per-replica WORD mutation (every token of
+    // replica i>0 gets an 'r<i>' suffix): replicas share no words, hence
+    // no shingles, window fingerprints, or minhash bands with the base —
+    // so the dedup/text families scale by real data volume instead of
+    // measuring a replication artifact (a verbatim copy would put every
+    // base doc in a 30-deep LSH bucket and every window fingerprint at
+    // 30× frequency). doc_id offsets stay below the corpus
+    // dup-injection range.
+    amplify("documents", (df, i) =>
+      if (i == 0) df
+      else df.withColumn("doc_id", col("doc_id") + lit(i * DocOffset))
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), x -> concat(x, 'r$i')), ' ')")))
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings"))
+        "embeddings"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     println(s"[scaleup] wrote $out at ${factor}x of $src")

@@ -104,20 +104,31 @@ object Dedup {
     * existing (parked) band tier — (new_id, old_id) pairs without ever
     * touching old×old. This is how a growing corpus stays deduplicated:
     * the tier is the index, arriving documents hash map-side and the
-    * only join is new-batch-sized against band buckets. `maxBucket`
-    * caps tier-side bucket occupancy exactly like [[candidatePairs]]. */
+    * only join is new-batch-sized against band buckets.
+    *
+    * `maxBucket` counts bucket occupancy over the tier ∪ batch UNION,
+    * so a capped incremental run prunes exactly the buckets a capped
+    * [[candidatePairs]] over the unioned corpus would prune — the
+    * incremental result is precisely the new×old subset of the capped
+    * full run (old×old pairs exist in the tier's own history; new×new
+    * pairs surface when the batch joins the tier next ingest). The
+    * union count costs one batch-sized agg on top of the tier-side
+    * one — it cannot be skipped, or a bucket that crosses the cap only
+    * once batch docs are counted would silently diverge between the
+    * capped incremental and capped full forms. */
   def probePairs(newBands: DataFrame, tierBands: DataFrame,
       nBands: Int = 2, maxBucket: Option[Int] = None): DataFrame = {
     def joinOn(band: String): DataFrame = {
       val tier = tierBands.select(col("doc_id").as("old_id"),
         col(band).as("bk"))
+      val nw = newBands.select(col("doc_id").as("new_id"), col(band).as("bk"))
       val pruned = maxBucket.fold(tier) { cap =>
-        val ok = tier.groupBy(col("bk"))
+        val ok = tier.select(col("bk")).union(nw.select(col("bk")))
+          .groupBy(col("bk"))
           .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select("bk")
         tier.join(ok, Seq("bk"))
       }
-      newBands.select(col("doc_id").as("new_id"), col(band).as("bk"))
-        .join(pruned, Seq("bk"))
+      nw.join(pruned, Seq("bk"))
         .select("new_id", "old_id")
     }
     (0 until nBands).map(b => joinOn(s"band$b")).reduce(_ union _).distinct()

@@ -81,9 +81,16 @@ object ConnectedComponents {
     * Preconditions: `oldLabels` is (node, component) with component =
     * min node id of the old component (what [[labels]] emits), and new
     * node ids are disjoint from old ones.
+    *
+    * `validate` runs the universe-coverage guard (below) — one EAGER
+    * batch-sized anti-join at construction time, unlike every other
+    * lazily-composed operator here. Callers on a hot ingest path whose
+    * edge extraction guarantees coverage by construction can pass
+    * `validate = false` to skip the extra blocking job per batch.
     */
   def incrementalLabels(oldLabels: DataFrame, newNodes: DataFrame,
-      touchEdges: DataFrame, maxIter: Int = 40): DataFrame = {
+      touchEdges: DataFrame, maxIter: Int = 40,
+      validate: Boolean = true): DataFrame = {
     val lab = oldLabels.select(col(oldLabels.columns.head).as("node"),
       col(oldLabels.columns(1)).as("component"))
     val cols = touchEdges.columns
@@ -104,14 +111,16 @@ object ConnectedComponents {
     // silently join the fixpoint, get no output row, and — if it is the
     // component minimum — become a label no clustered node carries.
     // The check is one anti-join over the batch-sized touch set.
-    val unknown = touchEdges
-      .select(col(cols(0)).as("node")).union(touchEdges.select(col(cols(1)).as("node")))
-      .distinct()
-      .join(lab.select(col("node")).union(nn).distinct(), Seq("node"),
-        "left_anti")
-    require(unknown.isEmpty,
-      "touch edges reference nodes present in neither oldLabels nor " +
-        s"newNodes: ${unknown.take(5).mkString(", ")}")
+    if (validate) {
+      val unknown = touchEdges
+        .select(col(cols(0)).as("node")).union(touchEdges.select(col(cols(1)).as("node")))
+        .distinct()
+        .join(lab.select(col("node")).union(nn).distinct(), Seq("node"),
+          "left_anti")
+      require(unknown.isEmpty,
+        "touch edges reference nodes present in neither oldLabels nor " +
+          s"newNodes: ${unknown.take(5).mkString(", ")}")
+    }
     val cc2 = labelsOver(contractedNodes, contractedEdges, maxIter)
     // expand: old nodes through their (possibly merged) old label, new
     // nodes directly

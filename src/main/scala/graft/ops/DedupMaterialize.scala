@@ -3,7 +3,7 @@ package graft.ops
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, expr, size, xxhash64}
 
 import graft.ops.TextCorpus._
 
@@ -34,7 +34,7 @@ object DedupMaterialize {
 
   /** Bump on any change to the shingle/signature/band derivation that
     * is not visible in the parameters (hash family, shingle width…). */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   /** Root is under target/ so `sbt clean` clears the tier. The key folds
     * in corpus path, corpus mtime, the minhash parameters, and the code
@@ -55,7 +55,15 @@ object DedupMaterialize {
     lock.synchronized {
       if (!new File(s"$root/bands/_SUCCESS").exists() ||
           !new File(s"$root/shingles/_SUCCESS").exists()) {
+        // sh_hash rides along so the verify-stage overlap joins shuffle
+        // 8-byte bigints instead of trigram text; a 64-bit hash makes a
+        // within-doc collision (the only thing that could skew an
+        // overlap count) ~n²/2^65 — negligible at any corpus size that
+        // fits a cluster, and the raw shingle stays in the tier for
+        // consumers that need the string (column pruning keeps it off
+        // the wire for those that don't)
         val sh = shingles(words(corpus(s, dir)))
+          .withColumn("sh_hash", xxhash64(col("shingle")))
         sh.write.mode("overwrite").parquet(s"$root/shingles")
         // signatures/bands derive from the parked shingles — the
         // explosion is never recomputed
@@ -68,9 +76,50 @@ object DedupMaterialize {
     root
   }
 
-  /** (doc_id, shingle) — may contain duplicate shingles per doc. */
+  /** (doc_id, shingle, sh_hash) — may contain duplicate shingles per
+    * doc; sh_hash = xxhash64(shingle) for bigint-keyed overlap joins. */
   def shingleTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/shingles")
+
+  /** Positional-polynomial multipliers 31^j for the 8-word window
+    * fingerprint (mirrored literally by the DuckDB oracle). */
+  private val WinFpWeights =
+    "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
+
+  /** (doc_id, fp) — every 8-word window of the dup-injected corpus
+    * fingerprinted to a BIGINT (positional polynomial over md5-derived
+    * byte values, mod 1e9+7 — identical integer math in DuckDB).
+    *
+    * Parked for the same reason as the shingle tier: the repeated-window
+    * detector consumes the fingerprints TWICE (once to count global
+    * fingerprint frequency, once to score each doc's windows against
+    * those counts), and declaratively that re-runs the corpus-sized
+    * window explode per reference — the dominant cost of the text family
+    * at 100 TB. Here the explode (and its one-md5-per-word hash) runs
+    * once per corpus; every consumer starts from a two-bigint-column
+    * pruned scan. */
+  def windowFpTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lock.synchronized {
+      if (!new File(s"$root/winfp/_SUCCESS").exists()) {
+        // ONE md5 per word: the leading digest byte via conv(hex, 16, 10)
+        // (0..255, same value as two-nibble extraction), then 8 integer
+        // mul-adds per window from the precomputed value array
+        words(corpus(s, dir))
+          .filter(size(col("w")) >= 8)
+          .withColumn("vals", expr(
+            "transform(w, x -> CAST(conv(substr(md5(x), 1, 2), 16, 10) AS BIGINT))"))
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(0, size(vals) - 8), i ->
+               |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+               |    acc + element_at(vals, i + j + 1)
+               |      * element_at($WinFpWeights, j + 1))
+               |  % 1000000007)""".stripMargin)).as("fp"))
+          .write.mode("overwrite").parquet(s"$root/winfp")
+      }
+    }
+    s.read.parquet(s"$root/winfp")
+  }
 
   /** (doc_id, band0, band1) LSH band keys. */
   def bandTable(s: SparkSession, dir: String): DataFrame =

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.NumericType
 
 /** Strengthens `levenshtein(a, b) <= k` / `< k` filter predicates with
   * the implied cheap guard `abs(length(a) - length(b)) <= k` (resp `<`).
@@ -33,11 +34,43 @@ object LevenshteinPrefilter extends Rule[LogicalPlan]
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ LevenshteinPrefilter
 
+  /** The levenshtein call inside a predicate side, looking through a
+    * numeric cast — `cast(levenshtein(a, b) AS BIGINT) <= 20L` is what
+    * the analyzer produces for a long literal, and whether the main
+    * batch's cast-unwrapping has simplified it first depends on rule
+    * ordering we must not couple to. */
+  private def levOf(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case c @ Cast(Levenshtein(a, b, None), _, _, _)
+          if c.dataType.isInstanceOf[NumericType] => Some((a, b))
+      case _ => None
+    }
+
+  /** |length(a) − length(b)| aligned to the literal's numeric type so
+    * the constructed comparison type-checks post-analysis. */
+  private def lenDiff(a: Expression, b: Expression, k: Literal)
+      : Option[Expression] = {
+    val diff = Abs(Subtract(Length(a), Length(b)))
+    k.dataType match {
+      case n: NumericType if n == diff.dataType => Some(diff)
+      case n: NumericType => Some(Cast(diff, n))
+      case _ => None // non-numeric bound: no sound guard
+    }
+  }
+
   private def guardFor(p: Expression): Option[Expression] = p match {
-    case LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
-      Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
-    case LessThan(Levenshtein(a, b, None), k: Literal) =>
-      Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
+    case LessThanOrEqual(l, k: Literal) =>
+      levOf(l).flatMap(ab =>
+        lenDiff(ab._1, ab._2, k).map(LessThanOrEqual(_, k)))
+    case LessThan(l, k: Literal) =>
+      levOf(l).flatMap(ab => lenDiff(ab._1, ab._2, k).map(LessThan(_, k)))
+    // symmetric spellings: k >= levenshtein(...) / k > levenshtein(...)
+    case GreaterThanOrEqual(k: Literal, l) =>
+      levOf(l).flatMap(ab =>
+        lenDiff(ab._1, ab._2, k).map(GreaterThanOrEqual(k, _)))
+    case GreaterThan(k: Literal, l) =>
+      levOf(l).flatMap(ab => lenDiff(ab._1, ab._2, k).map(GreaterThan(k, _)))
     case _ => None
   }
 

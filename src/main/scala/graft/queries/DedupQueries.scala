@@ -51,14 +51,22 @@ object DedupQueries {
 
   /** Exact shingle-overlap counts for the candidate pairs: (doc_a,
     * doc_b, i = |A∩B|, ca = |A|, cb = |B|) — the shared verify core
-    * Jaccard and containment both score from. */
+    * Jaccard and containment both score from.
+    *
+    * Joins on the tier's xxhash64(shingle) bigint, not the trigram
+    * string: column pruning drops the text at the scan and the overlap
+    * shuffle carries 8-byte keys. Counts are collision-exact for any
+    * realistic corpus (a within-doc 64-bit collision is the only way a
+    * count could differ from the string join — ~n²/2⁶⁵); the DuckDB
+    * oracle intersects the strings and hash-matches. */
   private def pairOverlap(s: SparkSession, dir: String): DataFrame = {
-    val ds = graft.ops.DedupMaterialize.shingleTable(s, dir).distinct()
+    val ds = graft.ops.DedupMaterialize.shingleTable(s, dir)
+      .select(col("doc_id"), col("sh_hash")).distinct()
     val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = candidatePairs(s, dir)
-      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh_hash")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh_hash")),
+        Seq("doc_b", "sh_hash"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")),

@@ -45,6 +45,49 @@ object GraphQueries {
   private val PrIters = 3
   private val PrScale = graft.operators.PageRank.Scale
 
+  /** Per-tx input fanout cap for the triangle motif query: a tx
+    * co-spending more than this many distinct inputs contributes
+    * fanout²/2 clique edges, so ONE 10k-input consolidation tx would
+    * put 50M pair rows on a single key — the cap bounds every tx's
+    * pair contribution at cap²/2 BEFORE the self-join, the same way
+    * GraphSense drops oversized cliques from co-spend motifs. 5 is
+    * deliberately inside the fixture's fanout range (sf0.01 max is 6)
+    * so the oracle proves the cap's semantics, not just its presence. */
+  private[queries] val TriangleMaxFanout = 5
+
+  /** Distinct oriented co-spend pairs (a < b) from distinct
+    * (tx_id, address) rows, dropping txs whose distinct-address fanout
+    * exceeds `maxFanout` before the quadratic self-join — the pair
+    * count per tx is bounded at maxFanout·(maxFanout−1)/2 by
+    * construction. */
+  private[graft] def cospendPairs(ia: DataFrame, maxFanout: Int): DataFrame = {
+    val small = ia.groupBy(col("tx_id"))
+      .agg(countDistinct(col("address")).as("n_addr"))
+      .filter(col("n_addr") <= maxFanout).select("tx_id")
+    val iac = ia.join(small, Seq("tx_id"))
+    iac.select(col("tx_id"), col("address").as("a"))
+      .join(iac.select(col("tx_id"), col("address").as("b")), Seq("tx_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Per-corner triangle participation counts over an oriented (a < b)
+    * distinct edge set: two self-joins enumerate each triangle exactly
+    * once as (ta < tb < tc), then every corner counts. */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+      .join(pairs.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc")))
+        .as("address"))
+      .groupBy(col("address"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Exploded io rows: (tx_id, is_input, value, address). */
   private def ioAddresses(s: SparkSession, dir: String): DataFrame =
     io(s, dir).select(col("tx_id"), col("is_input"), col("value"),
@@ -165,26 +208,12 @@ object GraphQueries {
     // is enumerated exactly once; per-corner participation counts out.
     // The pairwise clique edges are the motif object itself here — the
     // entity CLUSTERING deliberately uses linear star edges instead
-    // (same components); at 100 TB the pairwise explode is bounded by
-    // capping per-tx input fanout, as GraphSense bounds cliques.
-    "graph_triangles" -> ((s, dir) => {
-      val ia = windowedInputAddresses(s, dir)
-      val pairs = ia.select(col("tx_id"), col("address").as("a"))
-        .join(ia.select(col("tx_id"), col("address").as("b")), Seq("tx_id"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      val tri = pairs.as("e1")
-        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
-          col("e2.b").as("tc"))
-        .join(pairs.as("e3"),
-          col("ta") === col("e3.a") && col("tc") === col("e3.b"))
-        .select(col("ta"), col("tb"), col("tc"))
-      tri.select(explode(array(col("ta"), col("tb"), col("tc")))
-          .as("address"))
-        .groupBy(col("address"))
-        .agg(count(lit(1)).as("n_triangles"))
-    }),
+    // (same components); the pairwise explode is bounded by
+    // [[cospendPairs]]' TriangleMaxFanout cap (mirrored in the oracle,
+    // exercised by the fixture), as GraphSense bounds cliques.
+    "graph_triangles" -> ((s, dir) =>
+      triangleCounts(
+        cospendPairs(windowedInputAddresses(s, dir), TriangleMaxFanout))),
 
     // fixed-point integer PageRank over the address flow graph (the
     // centrality GraphSense ranks entities by), via the reusable
@@ -311,8 +340,13 @@ object GraphQueries {
 
     "graph_triangles" -> withCtes(
       Seq(ChainSql.tx, ChainSql.io, ChainSql.ioAddr) ++ wiaCtes ++ Seq(
+      // per-tx fanout cap — exact mirror of cospendPairs(TriangleMaxFanout)
+      s"""wiac AS (SELECT w.tx_id, w.address FROM wia w
+         |         JOIN (SELECT tx_id FROM wia GROUP BY tx_id
+         |               HAVING count(DISTINCT address) <= $TriangleMaxFanout) f
+         |           USING (tx_id))""".stripMargin,
       """cpairs AS (SELECT DISTINCT x.address AS a, y.address AS b
-        |           FROM wia x JOIN wia y USING (tx_id)
+        |           FROM wiac x JOIN wiac y USING (tx_id)
         |           WHERE x.address < y.address)""".stripMargin,
       """tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
         |        FROM cpairs e1

@@ -124,12 +124,19 @@ object RelQueries {
           count(lit(1)).as("n_rows"))),
 
     // HLL sketch distinct (approx_count_distinct): the 100 TB cardinality
-    // path — no oracle (sketch estimates are engine-specific), driver
-    // records the rows-only check.
+    // path. The sketch estimate itself is engine-specific, so the
+    // hashable contract is the HLL's accuracy GUARANTEE: the exact
+    // count plus a within-±5% boolean (default rsd is 5%) — the oracle
+    // computes the exact count and asserts the boolean, so a drifting
+    // sketch breaks the hash instead of hiding behind rows-only.
     "approx_distinct" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("within_tolerance"))),
 
     // scalar string-function breadth (§2.8 beyond the chain derivations):
     // all verified bit-identical across engines
@@ -355,6 +362,14 @@ object RelQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle asserts the HLL accuracy contract: exact count, and
+    // "the estimate landed within ±5%" must be TRUE for every group
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "string_funcs" ->

@@ -30,11 +30,33 @@ object StreamQueries {
       .groupBy(col("block_id"))
       .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"))
 
+  /** Fresh per-invocation sink path under target/tmp. */
+  private def tmp(tag: String): String =
+    s"target/tmp/${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Pin an ephemeral run's (small, aggregated) result in memory, then
+    * remove the run's sink + checkpoint directories — the sinks here
+    * are per-invocation by construction, so without this every
+    * bench/correctness round leaves two more directories in target/tmp.
+    * A real deployment keeps ONE long-lived store + checkpoint and
+    * never takes this path. */
+  private def consumeEphemeral(s: SparkSession, dirs: Seq[String])(
+      read: => DataFrame): DataFrame = {
+    val res = read.localCheckpoint(true)
+    val conf = s.sparkContext.hadoopConfiguration
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    res
+  }
+
   private def ingestAndReadBack(s: SparkSession, dir: String,
       tipMargin: Long): DataFrame = {
-    val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    IncrementalIngest.ingestToStore(s, dir, out, Watermark, tipMargin)
-    readBack(s, out)
+    val out = tmp("store")
+    IncrementalIngest.ingestToStore(s, dir, out, Watermark, tipMargin,
+      checkpoint = Some(s"$out-ckpt"))
+    consumeEphemeral(s, Seq(out, s"$out-ckpt"))(readBack(s, out))
   }
 
   val queries: Map[String, Q] = Map(
@@ -48,9 +70,10 @@ object StreamQueries {
     // dropDuplicates must restore exactly the batch row set (shares
     // stream_incremental's oracle — the driver compare proves it).
     "stream_dedup" -> ((s, dir) => {
-      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      IncrementalIngest.dedupedIngest(s, dir, out, Watermark)
-      readBack(s, out)
+      val out = tmp("store")
+      IncrementalIngest.dedupedIngest(s, dir, out, Watermark,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(readBack(s, out))
     }),
 
     // the BOUNDED-state form of the same dedup (event-time watermark +
@@ -59,9 +82,10 @@ object StreamQueries {
     // identical row set — shares the same oracle, while keeping dedup
     // state evictable (the continuous-deployment requirement).
     "stream_dedup_bounded" -> ((s, dir) => {
-      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      IncrementalIngest.dedupedIngestBounded(s, dir, out, Watermark)
-      readBack(s, out)
+      val out = tmp("store")
+      IncrementalIngest.dedupedIngestBounded(s, dir, out, Watermark,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(readBack(s, out))
     }),
 
     // stream-STREAM join: views ⋈ purchases on user + 24 h event-time
@@ -69,14 +93,16 @@ object StreamQueries {
     // sink and aggregated per user from the store — must equal the
     // batch attribution join (the oracle).
     "stream_attribution" -> ((s, dir) => {
-      val out = s"target/tmp/store_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.StreamJoin.attributionJoin(s, dir, out)
-      graft.streaming.StreamJoin.readPairs(s, out)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("view_id")).as("n_views"),
-          countDistinct(col("purchase_id")).as("n_purchases"),
-          max(col("purchase_ets") - col("view_ets")).as("max_lag_sec"))
+      val out = tmp("store")
+      graft.streaming.StreamJoin.attributionJoin(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        graft.streaming.StreamJoin.readPairs(s, out)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("view_id")).as("n_views"),
+            countDistinct(col("purchase_id")).as("n_purchases"),
+            max(col("purchase_ets") - col("view_ets")).as("max_lag_sec")))
     }),
 
     // watermark + tumbling window through the dashboard-sink path
@@ -85,9 +111,9 @@ object StreamQueries {
     // events_window_agg result — the two share one oracle, so the
     // batch/stream equivalence is proven by the driver compare.
     "stream_window_agg" -> ((s, dir) => {
-      val out = s"target/tmp/winagg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val out = tmp("winagg")
       IncrementalIngest.windowedEventAgg(s, dir, out)
-      s.read.parquet(out)
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(s.read.parquet(out))
     }))
 
   val oracles: Map[String, String] = Map(

@@ -271,26 +271,13 @@ object TextQueries {
     // in ≥2 distinct docs are duplicated, and each doc reports its
     // duplicated-window mass. Runs on the dup-injected corpus so the
     // signal has guaranteed positives. The heavy join is on the BIGINT
-    // fingerprint — window TEXT never shuffles (the 100 TB shape).
+    // fingerprint — window TEXT never shuffles, and the window explode
+    // (with its one-md5-per-word hashing) is PARKED once per corpus by
+    // DedupMaterialize: both the frequency side and the probe side of
+    // the join below read the same two-column parquet tier instead of
+    // each re-exploding every token window (the 100 TB shape).
     "text_dup_windows" -> ((s, dir) => {
-      val words = graft.ops.TextCorpus.words(
-        graft.ops.TextCorpus.corpus(s, dir))
-      // hash each WORD once (one md5 per word), then fingerprint the
-      // 8-word windows from the precomputed value array — 8 integer
-      // mul-adds per window instead of 8 digest calls
-      val wfp = words.filter(size(col("w")) >= 8)
-        .withColumn("vals", expr(
-          """transform(w, x ->
-            |  CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
-            |    + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
-            |    AS BIGINT))""".stripMargin))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(vals) - 8), i ->
-            |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-            |    acc + element_at(vals, i + j + 1)
-            |      * element_at(array(1L, 31L, 961L, 29791L, 923521L,
-            |          28629151L, 887503681L, 27512614111L), j + 1))
-            |  % 1000000007)""".stripMargin)).as("fp"))
+      val wfp = graft.ops.DedupMaterialize.windowFpTable(s, dir)
       val gdf = wfp.select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("gdf"))
       wfp.join(gdf, Seq("fp"))

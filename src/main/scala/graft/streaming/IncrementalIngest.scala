@@ -138,7 +138,8 @@ object IncrementalIngest {
     * catch-up run must bound its epochs or the first one is the backlog. */
   def ingestToStore(s: SparkSession, dir: String, out: String,
       watermark: Long, tipMargin: Long = 0L,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpoint: Option[String] = None): Unit = {
     resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val reader = s.readStream.schema(schema)
@@ -147,6 +148,7 @@ object IncrementalIngest {
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
     val tip = tipFrame(s, dir)
     val name = s"ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
     val q = tx.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         // ST5 inside the epoch: the margin cut is a broadcast join on the
@@ -154,7 +156,7 @@ object IncrementalIngest {
         graft.chain.ChainStore.writeTransactionsEpoch(
           belowTip(batch.toDF(), tip, tipMargin), out, epoch)
       }
-      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -168,19 +170,20 @@ object IncrementalIngest {
     * fine for an AvailableNow catch-up run; a continuously-running
     * deployment uses [[dedupedIngestBounded]]. */
   def dedupedIngest(s: SparkSession, dir: String, out: String,
-      watermark: Long): Unit = {
+      watermark: Long, checkpoint: Option[String] = None): Unit = {
     resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val stream = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
     val replayed = tx.unionByName(tx.filter(col("tx_id") % 97 === 0))
     val name = s"dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
     val q = replayed.dropDuplicates("tx_hash")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         graft.chain.ChainStore.writeTransactionsEpoch(batch.toDF(), out, epoch)
       }
-      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -198,7 +201,8 @@ object IncrementalIngest {
     * StreamingSpec exercises both sides of that boundary. */
   def dedupedIngestBounded(s: SparkSession, dir: String, out: String,
       watermark: Long, delay: String = "1 hour",
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpoint: Option[String] = None): Unit = {
     resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val reader = s.readStream.schema(schema)
@@ -207,6 +211,7 @@ object IncrementalIngest {
     val tx = Chain.txProjection(stream).filter(col("block_id") > watermark)
     val replayed = tx.unionByName(tx.filter(col("tx_id") % 97 === 0))
     val name = s"ddb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
     val q = replayed
       .withColumn("tsc", timestamp_seconds(col("ts")))
       .withWatermark("tsc", delay)
@@ -216,7 +221,7 @@ object IncrementalIngest {
         graft.chain.ChainStore.writeTransactionsEpoch(
           batch.drop("tsc"), out, epoch)
       }
-      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally { q.stop() }

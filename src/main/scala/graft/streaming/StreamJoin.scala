@@ -47,7 +47,8 @@ object StreamJoin {
     * the lateness bound. */
   def attributionJoin(s: SparkSession, dir: String, out: String,
       windowSec: Long = AttributionWindowSec,
-      statePartitions: Int = 8): Unit = {
+      statePartitions: Int = 8,
+      checkpoint: Option[String] = None): Unit = {
     val stream = eventStream(s, dir)
     val views = side(stream, "view", "v", s"${windowSec + 3600} seconds")
     val purchases = side(stream, "purchase", "p", "1 hour")
@@ -84,7 +85,8 @@ object StreamJoin {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
           writePairsEpoch(batch.toDF(), out, epoch)
         }
-        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .option("checkpointLocation",
+          checkpoint.getOrElse(s"target/tmp/ckpt_$name"))
         .trigger(Trigger.AvailableNow())
         .start()
       try { q.processAllAvailable() } finally { q.stop() }

@@ -90,11 +90,11 @@ class ApiSpec extends SparkSpec {
       sh.select("doc_id").distinct().count())
   }
 
-  test("probePairs honors the tier-side bucket-occupancy cap") {
+  test("probePairs caps bucket occupancy over the tier ∪ batch union") {
     import spark.implicits._
     // three tier docs share band key "hot"; cap 2 must drop the bucket
     // BEFORE the probe join, so the new doc finds nothing there but
-    // still matches the under-cap bucket "cold"
+    // still matches the under-cap bucket "cold" (union occupancy 1+1=2)
     val tier = Seq((1L, "hot", "x1"), (2L, "hot", "x2"), (3L, "hot", "x3"),
       (4L, "y4", "cold")).toDF("doc_id", "band0", "band1")
     val probe = Seq((100L, "hot", "cold")).toDF("doc_id", "band0", "band1")
@@ -105,6 +105,16 @@ class ApiSpec extends SparkSpec {
     val uncapped = graft.api.Dedup.probePairs(probe, tier)
       .as[(Long, Long)].collect().toSet
     assert(uncapped === Set((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)))
+    // a bucket that crosses the cap only once BATCH docs are counted
+    // ("cold" = 1 tier + 2 batch = 3 > 2) must be dropped too — that is
+    // what makes capped incremental the exact new×old subset of a
+    // capped candidatePairs over the unioned corpus
+    val probe2 = Seq((100L, "hot", "cold"), (101L, "zz", "cold"))
+      .toDF("doc_id", "band0", "band1")
+    val capped2 = graft.api.Dedup.probePairs(probe2, tier, maxBucket = Some(2))
+      .as[(Long, Long)].collect().toSet
+    assert(capped2 === Set.empty[(Long, Long)],
+      s"batch-inflated cold bucket must be dropped: $capped2")
   }
 
   test("Graft facade: ingest + keyspace DDL entry points") {

@@ -30,6 +30,35 @@ class DedupMaterializeSpec extends SparkSpec {
     val mat = DedupMaterialize.shingleTable(spark, dir)
     val dec = TextCorpus.shingles(TextCorpus.words(TextCorpus.corpus(spark, dir)))
     assert(mat.count() === dec.count())
+    assert(mat.select("doc_id", "shingle").exceptAll(dec).count() === 0)
+    // sh_hash is exactly xxhash64 of the stored shingle
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    assert(mat.filter(col("sh_hash") =!= xxhash64(col("shingle")))
+      .count() === 0)
+  }
+
+  test("window-fingerprint tier matches the declarative explode") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val mat = DedupMaterialize.windowFpTable(spark, dir)
+    // the pre-tier derivation (two-nibble md5 extraction) — the parked
+    // conv() form must be value-identical
+    val dec = TextCorpus.words(TextCorpus.corpus(spark, dir))
+      .filter(size(col("w")) >= 8)
+      .withColumn("vals", expr(
+        """transform(w, x ->
+          |  CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+          |    + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
+          |    AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(vals) - 8), i ->
+          |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc + element_at(vals, i + j + 1)
+          |      * element_at(array(1L, 31L, 961L, 29791L, 923521L,
+          |          28629151L, 887503681L, 27512614111L), j + 1))
+          |  % 1000000007)""".stripMargin)).as("fp"))
+    assert(mat.count() === dec.count())
     assert(mat.exceptAll(dec).count() === 0)
+    assert(mat.count() > 0, "fixture should produce 8-word windows")
   }
 }

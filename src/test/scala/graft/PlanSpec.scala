@@ -97,6 +97,31 @@ class PlanSpec extends SparkSpec {
     df.collect() // must evaluate without error
   }
 
+  test("levenshtein prefilter matches cast-wrapped and reversed forms") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.LevenshteinPrefilter.ensureRegistered(spark)
+    // parquet source so the optimizer can't constant-fold the filter
+    // away before the plan is inspectable
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .selectExpr("text AS x", "substr(text, 3) AS y")
+    // expected count via a PROJECTION (the rule only rewrites
+    // filter/join conditions, so this path is guard-free by design)
+    val expect = df.selectExpr("levenshtein(x, y) AS d")
+      .collect().count(_.getInt(0) <= 2)
+    // forms the bare Levenshtein<=Literal pattern does NOT cover: an
+    // explicit double cast, and the literal on the left
+    val shapes = Seq(
+      df.filter(expr("cast(levenshtein(x, y) as double) <= 2.0")),
+      df.filter(expr("2 >= levenshtein(x, y)")),
+      df.filter(expr("cast(levenshtein(x, y) as bigint) < 3")))
+    shapes.zipWithIndex.foreach { case (q, i) =>
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("abs(") && opt.contains("length("),
+        s"shape $i missing the length guard:\n$opt")
+      assert(q.count() === expect, s"shape $i changed the result")
+    }
+  }
+
   test("graph queries read the materialized edge tier, not the io rows") {
     val plan = executedPlan("graph_degree_dist")
     assert(plan.contains("target/intermediate"),

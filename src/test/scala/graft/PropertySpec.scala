@@ -186,6 +186,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle counts equal brute-force combination counts") {
+    import graft.queries.GraphQueries
+    // random small graphs: ~12 nodes, edge set from random pairs
+    samples(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11))), 8).foreach { raw =>
+      // zero-padded names so string order == numeric order (the edge
+      // orientation and triangleCounts' a<b comparison must agree)
+      val edges = raw.collect { case (a, b) if a != b =>
+        (f"n${math.min(a, b)}%02d", f"n${math.max(a, b)}%02d")
+      }.distinct
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("a", "b")
+        val got = GraphQueries.triangleCounts(pairs)
+          .as[(String, Long)].collect().toMap
+        // brute force: every 3-subset of nodes, all three edges present
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val want = nodes.combinations(3).collect {
+          case Seq(x, y, z) if es((x, y)) && es((y, z)) && es((x, z)) =>
+            Seq(x, y, z)
+        }.toSeq.flatten.groupBy(identity)
+          .map { case (n, occ) => n -> occ.size.toLong }
+        assert(got === want)
+      }
+    }
+  }
+
+  test("cospend fanout cap bounds the pair explosion") {
+    import graft.queries.GraphQueries
+    // one oversized consolidation tx (100 inputs) + one normal tx
+    val big = (0 until 100).map(i => (1L, f"b$i%03d"))
+    val small = Seq((2L, "x"), (2L, "y"), (2L, "z"))
+    val ia = (big ++ small).toDF("tx_id", "address")
+    val capped = GraphQueries.cospendPairs(ia, maxFanout = 5)
+      .as[(String, String)].collect().toSet
+    // the 100-input tx is dropped entirely — only the 3 pairs of tx 2
+    assert(capped === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // uncapped (cap ≥ fanout) keeps the full quadratic set
+    val uncapped = GraphQueries.cospendPairs(ia, maxFanout = 100)
+    assert(uncapped.count() === 100L * 99 / 2 + 3)
+  }
+
   test("last-write-wins dedup keeps max id per key") {
     import org.apache.spark.sql.expressions.Window
     samples(Gen.listOfN(50, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 1000L))),

@@ -21,10 +21,11 @@ class SmokeSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
-  test("scale-up factor guard admits the documented default") {
+  test("scale-up factor guard admits the documented range") {
     ScaleUp.checkFactor(1)
     ScaleUp.checkFactor(10) // the default invocation and SCALE.md's curve
+    ScaleUp.checkFactor(30) // stress ceiling (bip30 family excluded there)
     intercept[IllegalArgumentException] { ScaleUp.checkFactor(0) }
-    intercept[IllegalArgumentException] { ScaleUp.checkFactor(11) }
+    intercept[IllegalArgumentException] { ScaleUp.checkFactor(31) }
   }
 }
