@@ -66,6 +66,12 @@ object Bench {
       // window-fingerprint tier consumed by text_dup_windows
       timed("text_winfp_build") {
         graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
+      },
+      // pre-batch frequency + score tiers consumed by the incremental
+      // dup-window maintenance query
+      timed("text_winfp_base_build") {
+        graft.ops.DedupMaterialize.winfpGdfBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.winfpScoreBaseTable(spark, sfDir).count(); ()
       })
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)

@@ -128,4 +128,48 @@ object Text {
           |          WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)""".stripMargin))
       .groupBy(col("doc_id"))
       .agg((sum(col("term")) % 1000000007L).as("fingerprint"))
+
+  /** Positional-polynomial multipliers 31^j for the 8-word window
+    * fingerprint (mirrored literally by the DuckDB oracle). */
+  private val WinFpWeights =
+    "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
+
+  /** (doc_id, fp) — every 8-word window fingerprinted to a BIGINT
+    * (positional polynomial over md5-derived byte values, mod 1e9+7 —
+    * identical integer math in DuckDB). ONE md5 per word: the leading
+    * digest byte via conv(hex, 16, 10), then 8 integer mul-adds per
+    * window from the precomputed value array. One row per window
+    * INSTANCE (duplicates within a doc are meaningful — they are the
+    * signal). Input contract: (doc_id, w array<string>). */
+  def windowFingerprints(wordsDf: DataFrame): DataFrame =
+    wordsDf
+      .filter(size(col("w")) >= 8)
+      .withColumn("vals", expr(
+        "transform(w, x -> CAST(conv(substr(md5(x), 1, 2), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(vals) - 8), i ->
+           |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+           |    acc + element_at(vals, i + j + 1)
+           |      * element_at($WinFpWeights, j + 1))
+           |  % 1000000007)""".stripMargin)).as("fp"))
+
+  /** Global fingerprint frequency: in how many DISTINCT docs each
+    * window fingerprint appears. */
+  def windowFpFrequency(wfp: DataFrame): DataFrame =
+    wfp.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("gdf"))
+
+  /** Per-doc duplicated-window mass given the global frequency table
+    * (fp, gdf): window count, windows whose fingerprint appears in ≥2
+    * docs, and their ratio — the RefinedWeb/CCNet-style repeated-window
+    * signal. Split from the frequency computation so incremental
+    * maintenance can re-score only touched docs against an updated
+    * frequency tier. */
+  def scoreWindowFps(wfp: DataFrame, gdf: DataFrame): DataFrame =
+    wfp.join(gdf, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows"))
 }

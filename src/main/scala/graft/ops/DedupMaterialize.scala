@@ -3,7 +3,7 @@ package graft.ops
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, explode, expr, size, xxhash64}
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 import graft.ops.TextCorpus._
 
@@ -81,14 +81,8 @@ object DedupMaterialize {
   def shingleTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/shingles")
 
-  /** Positional-polynomial multipliers 31^j for the 8-word window
-    * fingerprint (mirrored literally by the DuckDB oracle). */
-  private val WinFpWeights =
-    "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
-
   /** (doc_id, fp) — every 8-word window of the dup-injected corpus
-    * fingerprinted to a BIGINT (positional polynomial over md5-derived
-    * byte values, mod 1e9+7 — identical integer math in DuckDB).
+    * fingerprinted to a BIGINT by [[graft.api.Text.windowFingerprints]].
     *
     * Parked for the same reason as the shingle tier: the repeated-window
     * detector consumes the fingerprints TWICE (once to count global
@@ -102,23 +96,47 @@ object DedupMaterialize {
     val root = base(dir)
     lock.synchronized {
       if (!new File(s"$root/winfp/_SUCCESS").exists()) {
-        // ONE md5 per word: the leading digest byte via conv(hex, 16, 10)
-        // (0..255, same value as two-nibble extraction), then 8 integer
-        // mul-adds per window from the precomputed value array
-        words(corpus(s, dir))
-          .filter(size(col("w")) >= 8)
-          .withColumn("vals", expr(
-            "transform(w, x -> CAST(conv(substr(md5(x), 1, 2), 16, 10) AS BIGINT))"))
-          .select(col("doc_id"), explode(expr(
-            s"""transform(sequence(0, size(vals) - 8), i ->
-               |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-               |    acc + element_at(vals, i + j + 1)
-               |      * element_at($WinFpWeights, j + 1))
-               |  % 1000000007)""".stripMargin)).as("fp"))
+        graft.api.Text.windowFingerprints(words(corpus(s, dir)))
           .write.mode("overwrite").parquet(s"$root/winfp")
       }
     }
     s.read.parquet(s"$root/winfp")
+  }
+
+  /** (fp, gdf) global fingerprint frequency over the corpus EXCLUDING
+    * the arriving batch — the pre-batch global state incremental
+    * dup-window maintenance updates with the batch's delta counts. */
+  def winfpGdfBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"winfp_gdf_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.api.Text.windowFpFrequency(
+            windowFpTable(s, dir)
+              .filter(col("doc_id") % IncrementalBatchMod =!= 0))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
+  /** Per-doc dup-window scores over the corpus EXCLUDING the arriving
+    * batch — the pre-batch score tier: incremental maintenance keeps
+    * these rows verbatim for every doc no crossing fingerprint touches,
+    * and re-scores only the rest. */
+  def winfpScoreBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"winfp_score_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        val old = windowFpTable(s, dir)
+          .filter(col("doc_id") % IncrementalBatchMod =!= 0)
+        graft.api.Text.scoreWindowFps(
+            old, graft.api.Text.windowFpFrequency(old))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
   }
 
   /** (doc_id, band0, band1) LSH band keys. */

@@ -278,14 +278,50 @@ object TextQueries {
     // each re-exploding every token window (the 100 TB shape).
     "text_dup_windows" -> ((s, dir) => {
       val wfp = graft.ops.DedupMaterialize.windowFpTable(s, dir)
-      val gdf = wfp.select(col("doc_id"), col("fp")).distinct()
-        .groupBy(col("fp")).agg(count(lit(1)).as("gdf"))
-      wfp.join(gdf, Seq("fp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
-        .withColumn("dup_ratio",
-          col("n_dup_windows").cast("double") / col("n_windows"))
+      graft.api.Text.scoreWindowFps(
+        wfp, graft.api.Text.windowFpFrequency(wfp))
+    }),
+
+    // incremental maintenance of the dup-window scores as a batch of
+    // documents arrives (the same simulated batch as the incremental
+    // dedup/clustering queries): the parked pre-batch frequency tier is
+    // updated with the batch's delta counts, and only docs holding a
+    // fingerprint that CROSSED the ≥2 threshold (plus the batch itself)
+    // are re-scored — every other doc's parked score row is provably
+    // unchanged, because a score depends on its fingerprints only
+    // through the gdf≥2 booleans and gdf never decreases. Steady-state
+    // cost is ingest-sized (batch explode + crossing-fp probe), never
+    // corpus-sized; shares text_dup_windows' oracle, so maintained ==
+    // recomputed is part of the correctness gate.
+    "text_dup_windows_incremental" -> ((s, dir) => {
+      import graft.api.Text
+      val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+      val batchSel = col("doc_id") % mod === 0
+      val oldWfp = graft.ops.DedupMaterialize.windowFpTable(s, dir)
+        .filter(!batchSel)
+      // the arriving batch is fingerprinted fresh — ingest-sized explode
+      val batchWfp = Text.windowFingerprints(
+        graft.ops.TextCorpus.words(
+          graft.ops.TextCorpus.corpus(s, dir).filter(batchSel)))
+      val delta = Text.windowFpFrequency(batchWfp)
+        .withColumnRenamed("gdf", "delta")
+      val gdfNew = graft.ops.DedupMaterialize.winfpGdfBaseTable(s, dir)
+        .withColumnRenamed("gdf", "gdf_old")
+        .join(delta, Seq("fp"), "full_outer")
+        .select(col("fp"),
+          coalesce(col("gdf_old"), lit(0L)).as("gdf_old"),
+          (coalesce(col("gdf_old"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+            .as("gdf"))
+      val crossed = gdfNew
+        .filter(col("gdf_old") < 2 && col("gdf") >= 2).select("fp")
+      val touchedOld = oldWfp.join(crossed, Seq("fp"))
+        .select("doc_id").distinct()
+      val rescored = Text.scoreWindowFps(
+        oldWfp.join(touchedOld, Seq("doc_id")).unionByName(batchWfp),
+        gdfNew.select(col("fp"), col("gdf")))
+      graft.ops.DedupMaterialize.winfpScoreBaseTable(s, dir)
+        .join(touchedOld, Seq("doc_id"), "left_anti")
+        .unionByName(rescored)
     }),
 
     // inverted index build (token → posting list): doc_freq over the
@@ -439,6 +475,37 @@ object TextQueries {
           sum(length(col("text")).cast("long")).as("n_chars"))
     }))
 
+  /** DuckDB mirror of the repeated-window detector — shared verbatim by
+    * text_dup_windows and its incremental-maintenance twin, so the
+    * driver compare proves maintained == recomputed. */
+  private val dupWindowsSql: String = withCtes(
+    graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
+    """wv AS (
+      |  SELECT doc_id,
+      |    list_transform(w, x ->
+      |      CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+      |        + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
+      |        AS BIGINT)) AS vals
+      |  FROM words WHERE len(w) >= 8)""".stripMargin,
+    """wfp AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(vals) - 7), p ->
+      |      CAST(list_sum(list_transform(generate_series(0, 7), j ->
+      |        vals[p + j]
+      |        * ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+      |            27512614111])[j + 1])) AS BIGINT)
+      |      % 1000000007)) AS fp
+      |  FROM wv)""".stripMargin,
+    """gdf AS (SELECT fp, CAST(count(*) AS BIGINT) AS gdf
+      |        FROM (SELECT DISTINCT doc_id, fp FROM wfp) GROUP BY fp)""".stripMargin)(
+    """SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_windows,
+      |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS dup_ratio
+      |FROM wfp w JOIN gdf g USING (fp)
+      |GROUP BY w.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> withCtes(docWordsSql)(
       s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
@@ -584,33 +651,10 @@ object TextQueries {
          |  FROM words)
          |WHERE pr >= 0.5""".stripMargin),
 
-    "text_dup_windows" -> withCtes(
-      graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
-      """wv AS (
-        |  SELECT doc_id,
-        |    list_transform(w, x ->
-        |      CAST(((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
-        |        + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1)
-        |        AS BIGINT)) AS vals
-        |  FROM words WHERE len(w) >= 8)""".stripMargin,
-      """wfp AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, len(vals) - 7), p ->
-        |      CAST(list_sum(list_transform(generate_series(0, 7), j ->
-        |        vals[p + j]
-        |        * ([1, 31, 961, 29791, 923521, 28629151, 887503681,
-        |            27512614111])[j + 1])) AS BIGINT)
-        |      % 1000000007)) AS fp
-        |  FROM wv)""".stripMargin,
-      """gdf AS (SELECT fp, CAST(count(*) AS BIGINT) AS gdf
-        |        FROM (SELECT DISTINCT doc_id, fp FROM wfp) GROUP BY fp)""".stripMargin)(
-      """SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-        |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dup_windows,
-        |  CAST(sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*) AS dup_ratio
-        |FROM wfp w JOIN gdf g USING (fp)
-        |GROUP BY w.doc_id""".stripMargin),
+    "text_dup_windows" -> dupWindowsSql,
+
+    // the incremental form must equal a full recompute — ONE oracle
+    "text_dup_windows_incremental" -> dupWindowsSql,
 
     "inverted_index" -> withCtes(docWordsSql,
       """dtoks AS (

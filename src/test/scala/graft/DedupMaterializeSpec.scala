@@ -61,4 +61,14 @@ class DedupMaterializeSpec extends SparkSpec {
     assert(mat.exceptAll(dec).count() === 0)
     assert(mat.count() > 0, "fixture should produce 8-word windows")
   }
+
+  test("incremental dup-window maintenance equals full recompute") {
+    val dir = sf("sf0.001")
+    val full = SparkEntry.queries("text_dup_windows")(spark, dir)
+    val inc = SparkEntry.queries("text_dup_windows_incremental")(spark, dir)
+    assert(full.count() > 0)
+    assert(inc.count() === full.count())
+    assert(inc.exceptAll(full).count() === 0,
+      "maintained scores diverge from recomputed scores")
+  }
 }
