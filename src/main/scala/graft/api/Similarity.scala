@@ -267,4 +267,44 @@ object Similarity {
       .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"),
         col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication: k-means-cluster the corpus,
+    * elect one exemplar per cluster (closest to the trained centroid,
+    * vec_id tie-break), and drop every other member whose cosine to its
+    * cluster's exemplar is ≥ `threshold`. One corpus pass per stage:
+    * assignment is a broadcast-centroid argmin, exemplar election a
+    * map-side-combinable min(struct), and the verify join is
+    * one-exemplar-per-cluster — so at corpus scale the cosine check is
+    * |corpus| pairs, never |cluster|². Returns (vec_id, cent_id,
+    * cos_to_exemplar, dropped); exemplars carry cos 1.0 and are never
+    * dropped. `e` is a quantized frame; centroids come from
+    * [[kmeansCentroids]] (or seeds), so the whole chain is exact-integer
+    * deterministic except the final cosine division. */
+  def semDedup(e: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("dist2", col("n2") + col("cn2") -
+        lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+        col("m.dist2").as("dist2"))
+    val exemplar = assigned
+      .groupBy(col("cent_id"))
+      .agg(min(struct(col("dist2"), col("vec_id"))).as("m"))
+      .select(col("cent_id"), col("m.vec_id").as("ex_id"))
+    val member = e.select(col("vec_id"), col("q").as("mv"), col("n2").as("mn"))
+    val exVec = e.select(col("vec_id").as("ex_id"), col("q").as("xv"),
+      col("n2").as("xn"))
+    assigned.join(exemplar, Seq("cent_id"))
+      .join(member, Seq("vec_id"))
+      .join(exVec, Seq("ex_id"))
+      .withColumn("dot", VectorFunctions.dot_product_long(col("mv"), col("xv")))
+      .withColumn("cos_to_exemplar",
+        col("dot").cast("double") / sqrt((col("mn") * col("xn")).cast("double")))
+      .withColumn("dropped",
+        col("vec_id") =!= col("ex_id") && col("cos_to_exemplar") >= threshold)
+      .select(col("vec_id"), col("cent_id"), col("cos_to_exemplar"),
+        col("dropped"))
+  }
 }

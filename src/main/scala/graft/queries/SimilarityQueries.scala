@@ -117,6 +117,19 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // SemDeDup (semantic dedup): k-means clusters over the dup-injected
+    // corpus, one exemplar per cluster (closest to the trained
+    // centroid), members at cosine ≥ 0.99 to their exemplar dropped.
+    // The verify join is one-exemplar-per-cluster, so the cosine stage
+    // is |corpus| pairs — never |cluster|² — and the k-means chain is
+    // the already-verified exact-integer Lloyd loop.
+    "embed_semdedup" -> ((s, dir) => {
+      val e = embCorpus(s, dir)
+      val cents = graft.api.Similarity.kmeansCentroids(
+        e, k = 16, iters = KmeansIters)
+      graft.api.Similarity.semDedup(e, cents, threshold = 0.99)
+    }),
+
     // multi-probe LSH: each query also probes the 8 buckets at Hamming
     // distance 1 from its own (flip one hyperplane bit) — recovers most
     // of the recall a single-bucket probe loses, still an equi-join.
@@ -248,6 +261,22 @@ object SimilarityQueries {
     """ee AS (
       |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
       |  FROM emb)""".stripMargin
+
+  /** DuckDB mirror of [[embCorpus]] (dup-injected embeddings). */
+  private val embcSql: String =
+    """embc AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id + 1000000 AS BIGINT), embedding
+      |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
+
+  /** `emb` rebound over the dup-injected corpus, so the shared ee/norm
+    * CTEs (and the k-means chain) run over embc. */
+  private val embOverCorpusSql: String =
+    """emb AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      |  FROM embc)""".stripMargin
 
   private[queries] val normSql: String =
     "norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM ee GROUP BY vec_id)"
@@ -684,16 +713,46 @@ object SimilarityQueries {
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk))""".stripMargin),
 
+    "embed_semdedup" -> withCtes(
+      Seq(embcSql, embOverCorpusSql, eeSql, normSql) ++
+      kmeansRoundCtes(KmeansIters) ++ Seq(
+      s"""adist AS (
+         |  SELECT d.vec_id, d.cent_id, n.n2 + c.cn2 - 2 * d.dot AS dist2
+         |  FROM (SELECT e.vec_id, c.cent_id,
+         |          CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+         |        FROM ee e JOIN cent$KmeansIters c ON e.i = c.i
+         |        GROUP BY e.vec_id, c.cent_id) d
+         |  JOIN norm n ON n.vec_id = d.vec_id
+         |  JOIN cnorm$KmeansIters c ON c.cent_id = d.cent_id)""".stripMargin,
+      """sdassign AS (
+        |  SELECT vec_id, cent_id, dist2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, cent_id) AS rn FROM adist)
+        |  WHERE rn = 1)""".stripMargin,
+      """sdex AS (
+        |  SELECT cent_id, vec_id AS ex_id FROM (
+        |    SELECT cent_id, vec_id, row_number() OVER (PARTITION BY cent_id
+        |      ORDER BY dist2, vec_id) AS rn FROM sdassign)
+        |  WHERE rn = 1)""".stripMargin,
+      """sddots AS (
+        |  SELECT a.vec_id, a.cent_id, x.ex_id,
+        |    CAST(sum(me.v * xe.v) AS BIGINT) AS dot
+        |  FROM sdassign a JOIN sdex x USING (cent_id)
+        |  JOIN ee me ON me.vec_id = a.vec_id
+        |  JOIN ee xe ON xe.vec_id = x.ex_id AND xe.i = me.i
+        |  GROUP BY a.vec_id, a.cent_id, x.ex_id)""".stripMargin): _*)(
+      """SELECT vec_id, cent_id, cos_to_exemplar,
+        |  (vec_id != ex_id AND cos_to_exemplar >= 0.99) AS dropped
+        |FROM (
+        |  SELECT m.vec_id, m.cent_id, m.ex_id,
+        |    CAST(m.dot AS DOUBLE) / sqrt(CAST(nm.n2 * nx.n2 AS DOUBLE))
+        |      AS cos_to_exemplar
+        |  FROM sddots m
+        |  JOIN norm nm ON nm.vec_id = m.vec_id
+        |  JOIN norm nx ON nx.vec_id = m.ex_id)""".stripMargin),
+
     "dedup_embedding" -> withCtes(
-      """embc AS (
-        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT CAST(vec_id + 1000000 AS BIGINT), embedding
-        |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin,
-      """emb AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
-        |  FROM embc)""".stripMargin,
+      embcSql, embOverCorpusSql,
       eeSql, normSql,
       """hyper AS (
         |  SELECT j, i,

@@ -456,6 +456,46 @@ object TextQueries {
             .as("chunk_len"),
           md5(expr("substring(text, chunk_start, 512)")).as("chunk_hash"))),
 
+    // segment-level dedup with REASSEMBLY (the CCNet/RefinedWeb
+    // paragraph-dedup stage, on 10-word segments since the fixture docs
+    // are single-line): any segment appearing verbatim in ≥2 distinct
+    // docs is removed from ALL of them, and each doc is stitched back
+    // together from its surviving segments in order. Complements
+    // text_dup_windows (which only SCORES duplication, this one edits
+    // the corpus). The global frequency join runs on a 40-bit
+    // md5-derived bigint (the minhash h1 trick, exactly mirrorable in
+    // DuckDB — a deployment would widen to xxhash64), so the shuffle
+    // carries (bigint, doc_id); segment TEXT only moves inside the
+    // per-doc reassembly agg, whose state is bounded by document
+    // length, and the doc ships out as (counts, length, digest) — the
+    // cleaned text itself never leaves the executor.
+    "text_segment_dedup" -> ((s, dir) => {
+      val segs = graft.ops.TextCorpus.words(
+          graft.ops.TextCorpus.corpus(s, dir))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("w"), explode(
+          expr("sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1)"))
+          .as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
+          expr("array_join(slice(w, i * 10 + 1, 10), ' ')").as("seg"))
+        .withColumn("seg_h",
+          expr("CAST(conv(substr(md5(seg), 1, 10), 16, 10) AS BIGINT)"))
+      val freq = segs.select(col("seg_h"), col("doc_id")).distinct()
+        .groupBy(col("seg_h")).agg(count(lit(1)).as("ndocs"))
+      segs.join(freq, Seq("seg_h"))
+        .withColumn("kept", col("ndocs") < 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          expr("""array_join(transform(array_sort(collect_list(
+                 |  CASE WHEN kept
+                 |       THEN named_struct('seg_idx', seg_idx, 'seg', seg)
+                 |  END)), x -> x.seg), ' ')""".stripMargin).as("clean"))
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
+    }),
+
     // deterministic train/val/test split: 256 hash buckets of the doc id
     // → 80/10/10 assignment that is stable under re-runs, appends, and
     // repartitioning (membership depends only on the id). Purely
@@ -655,6 +695,29 @@ object TextQueries {
 
     // the incremental form must equal a full recompute — ONE oracle
     "text_dup_windows_incremental" -> dupWindowsSql,
+
+    "text_segment_dedup" -> withCtes(
+      graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
+      """segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS seg,
+        |    ('0x' || substr(md5(array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ')), 1, 10))::BIGINT AS seg_h
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS i
+        |        FROM words WHERE len(w) >= 1))""".stripMargin,
+      """freq AS (SELECT seg_h, CAST(count(*) AS BIGINT) AS ndocs
+        |         FROM (SELECT DISTINCT seg_h, doc_id FROM segs)
+        |         GROUP BY seg_h)""".stripMargin,
+      """kseg AS (SELECT s.doc_id, s.seg_idx, s.seg, f.ndocs < 2 AS kept
+        |         FROM segs s JOIN freq f USING (seg_h))""".stripMargin)(
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE kept), '')) AS BIGINT) AS clean_len,
+        |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE kept), '')) AS clean_md5
+        |FROM kseg GROUP BY doc_id""".stripMargin),
 
     "inverted_index" -> withCtes(docWordsSql,
       """dtoks AS (
