@@ -72,6 +72,10 @@ object Bench {
       timed("text_winfp_base_build") {
         graft.ops.DedupMaterialize.winfpGdfBaseTable(spark, sfDir).count()
         graft.ops.DedupMaterialize.winfpScoreBaseTable(spark, sfDir).count(); ()
+      },
+      // segment tier consumed by text_segment_dedup
+      timed("text_segment_build") {
+        graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
       })
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)

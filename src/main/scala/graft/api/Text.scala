@@ -153,6 +153,22 @@ object Text {
            |      * element_at($WinFpWeights, j + 1))
            |  % 1000000007)""".stripMargin)).as("fp"))
 
+  /** Consecutive fixed-width word segments of each doc: (doc_id,
+    * seg_idx, seg, seg_h) with seg_h a 40-bit md5-derived bigint (the
+    * minhash h1 trick, exactly mirrorable in DuckDB — a deployment
+    * would widen to xxhash64) so frequency joins shuffle bigints, not
+    * segment text. Input contract: (doc_id, w array<string>). */
+  def wordSegments(wordsDf: DataFrame, width: Int): DataFrame =
+    wordsDf
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"), explode(
+        expr(s"sequence(0, CAST(ceil(size(w) / $width.0) AS INT) - 1)"))
+        .as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
+        expr(s"array_join(slice(w, i * $width + 1, $width), ' ')").as("seg"))
+      .withColumn("seg_h",
+        expr("CAST(conv(substr(md5(seg), 1, 10), 16, 10) AS BIGINT)"))
+
   /** Global fingerprint frequency: in how many DISTINCT docs each
     * window fingerprint appears. */
   def windowFpFrequency(wfp: DataFrame): DataFrame =

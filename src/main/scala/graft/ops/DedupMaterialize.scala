@@ -103,6 +103,25 @@ object DedupMaterialize {
     s.read.parquet(s"$root/winfp")
   }
 
+  /** Segment width (words) of the parked segment tier. */
+  val SegmentWidth = 10
+
+  /** (doc_id, seg_idx, seg, seg_h) — the corpus split into consecutive
+    * 10-word segments. Parked because segment-level dedup consumes the
+    * explode twice (global frequency + the per-doc probe side); both
+    * consumers read pruned columns of one parquet tier instead of each
+    * re-exploding the corpus. */
+  def segmentTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lock.synchronized {
+      if (!new File(s"$root/segments_w$SegmentWidth/_SUCCESS").exists()) {
+        graft.api.Text.wordSegments(words(corpus(s, dir)), SegmentWidth)
+          .write.mode("overwrite").parquet(s"$root/segments_w$SegmentWidth")
+      }
+    }
+    s.read.parquet(s"$root/segments_w$SegmentWidth")
+  }
+
   /** (fp, gdf) global fingerprint frequency over the corpus EXCLUDING
     * the arriving batch — the pre-batch global state incremental
     * dup-window maintenance updates with the batch's delta counts. */

@@ -470,16 +470,9 @@ object TextQueries {
     // length, and the doc ships out as (counts, length, digest) — the
     // cleaned text itself never leaves the executor.
     "text_segment_dedup" -> ((s, dir) => {
-      val segs = graft.ops.TextCorpus.words(
-          graft.ops.TextCorpus.corpus(s, dir))
-        .filter(size(col("w")) >= 1)
-        .select(col("doc_id"), col("w"), explode(
-          expr("sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1)"))
-          .as("i"))
-        .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
-          expr("array_join(slice(w, i * 10 + 1, 10), ' ')").as("seg"))
-        .withColumn("seg_h",
-          expr("CAST(conv(substr(md5(seg), 1, 10), 16, 10) AS BIGINT)"))
+      // parked tier: the frequency side reads (seg_h, doc_id), the
+      // probe side all four columns — ONE corpus explode per fixture
+      val segs = graft.ops.DedupMaterialize.segmentTable(s, dir)
       val freq = segs.select(col("seg_h"), col("doc_id")).distinct()
         .groupBy(col("seg_h")).agg(count(lit(1)).as("ndocs"))
       segs.join(freq, Seq("seg_h"))

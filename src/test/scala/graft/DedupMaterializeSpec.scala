@@ -62,6 +62,17 @@ class DedupMaterializeSpec extends SparkSpec {
     assert(mat.count() > 0, "fixture should produce 8-word windows")
   }
 
+  test("segment tier matches the declarative segmentation") {
+    val dir = sf("sf0.001")
+    val mat = DedupMaterialize.segmentTable(spark, dir)
+    val dec = graft.api.Text.wordSegments(
+      TextCorpus.words(TextCorpus.corpus(spark, dir)),
+      DedupMaterialize.SegmentWidth)
+    assert(mat.count() === dec.count())
+    assert(mat.exceptAll(dec).count() === 0)
+    assert(mat.count() > 0)
+  }
+
   test("incremental dup-window maintenance equals full recompute") {
     val dir = sf("sf0.001")
     val full = SparkEntry.queries("text_dup_windows")(spark, dir)

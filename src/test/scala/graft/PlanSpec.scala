@@ -122,6 +122,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("segment dedup reads the parked segment tier, not the corpus") {
+    val plan = executedPlan("text_segment_dedup")
+    assert(plan.contains("target/intermediate"),
+      s"segment dedup recomputes the corpus explode:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"segment dedup still scans the raw corpus:\n$plan")
+  }
+
   test("graph queries read the materialized edge tier, not the io rows") {
     val plan = executedPlan("graph_degree_dist")
     assert(plan.contains("target/intermediate"),
