@@ -188,4 +188,40 @@ object Text {
         sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
         col("n_dup_windows").cast("double") / col("n_windows"))
+
+  /** Incremental maintenance of the dup-window scores as a document
+    * batch arrives: the pre-batch frequency state (`gdfBase`) is updated
+    * with the batch's delta counts, and only docs holding a fingerprint
+    * that CROSSED the ≥2 threshold — plus the batch itself — are
+    * re-scored; every other row of `scoreBase` is provably unchanged,
+    * because a score depends on its fingerprints only through the gdf≥2
+    * booleans and gdf never decreases. Steady-state cost is ingest-sized
+    * (batch fingerprinting + crossing-fp probe of the parked window
+    * tier), never corpus-sized; the result equals a full recompute over
+    * the unioned corpus row-for-row.
+    *
+    * Inputs: `oldWfp` (doc_id, fp) for the pre-batch corpus, `batchWfp`
+    * likewise for the arriving docs (disjoint doc_ids), `gdfBase` =
+    * [[windowFpFrequency]] of `oldWfp`, `scoreBase` =
+    * [[scoreWindowFps]] of `oldWfp` against `gdfBase`. */
+  def maintainDupWindows(oldWfp: DataFrame, batchWfp: DataFrame,
+      gdfBase: DataFrame, scoreBase: DataFrame): DataFrame = {
+    val delta = windowFpFrequency(batchWfp).withColumnRenamed("gdf", "delta")
+    val gdfNew = gdfBase
+      .withColumnRenamed("gdf", "gdf_old")
+      .join(delta, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        coalesce(col("gdf_old"), lit(0L)).as("gdf_old"),
+        (coalesce(col("gdf_old"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+          .as("gdf"))
+    val crossed = gdfNew
+      .filter(col("gdf_old") < 2 && col("gdf") >= 2).select("fp")
+    val touchedOld = oldWfp.join(crossed, Seq("fp"))
+      .select("doc_id").distinct()
+    val rescored = scoreWindowFps(
+      oldWfp.join(touchedOld, Seq("doc_id")).unionByName(batchWfp),
+      gdfNew.select(col("fp"), col("gdf")))
+    scoreBase.join(touchedOld, Seq("doc_id"), "left_anti")
+      .unionByName(rescored)
+  }
 }

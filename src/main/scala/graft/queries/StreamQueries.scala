@@ -114,6 +114,20 @@ object StreamQueries {
       val out = tmp("winagg")
       IncrementalIngest.windowedEventAgg(s, dir, out)
       consumeEphemeral(s, Seq(out, s"$out-ckpt"))(s.read.parquet(out))
+    }),
+
+    // LSH dedup AT THE DOOR of a streaming corpus ingest: each arriving
+    // micro-batch is minhash-banded and probed against the parked band
+    // tier; only docs colliding with no tier bucket land. The batch
+    // dedup_incremental operator as a continuous fact — the oracle
+    // enumerates exactly the batch docs sharing no band key with any
+    // pre-batch doc.
+    "stream_corpus_dedup" -> ((s, dir) => {
+      val out = tmp("store")
+      graft.streaming.CorpusIngest.dedupedCorpusIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        graft.streaming.CorpusIngest.readKept(s, out))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +176,18 @@ object StreamQueries {
          |GROUP BY v.user_id""".stripMargin,
 
     // shares the batch oracle verbatim: stream == batch, proven
-    "stream_window_agg" -> EventQueries.oracles("events_window_agg"))
+    "stream_window_agg" -> EventQueries.oracles("events_window_agg"),
+
+    // the stream must land exactly the batch docs with no band
+    // collision against the pre-batch tier
+    "stream_corpus_dedup" -> withCtes(
+      (Seq(graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
+        graft.ops.TextCorpus.shinglesSql) ++ DedupQueries.sigBandCtes): _*)(
+      s"""SELECT c.doc_id FROM corpus c
+         |WHERE c.doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} = 0
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM bands b JOIN bands t
+         |      ON (t.band0 = b.band0 OR t.band1 = b.band1)
+         |    WHERE b.doc_id = c.doc_id
+         |      AND t.doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} != 0)""".stripMargin))
 }

@@ -297,31 +297,15 @@ object TextQueries {
       import graft.api.Text
       val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
       val batchSel = col("doc_id") % mod === 0
-      val oldWfp = graft.ops.DedupMaterialize.windowFpTable(s, dir)
-        .filter(!batchSel)
-      // the arriving batch is fingerprinted fresh — ingest-sized explode
-      val batchWfp = Text.windowFingerprints(
-        graft.ops.TextCorpus.words(
-          graft.ops.TextCorpus.corpus(s, dir).filter(batchSel)))
-      val delta = Text.windowFpFrequency(batchWfp)
-        .withColumnRenamed("gdf", "delta")
-      val gdfNew = graft.ops.DedupMaterialize.winfpGdfBaseTable(s, dir)
-        .withColumnRenamed("gdf", "gdf_old")
-        .join(delta, Seq("fp"), "full_outer")
-        .select(col("fp"),
-          coalesce(col("gdf_old"), lit(0L)).as("gdf_old"),
-          (coalesce(col("gdf_old"), lit(0L)) + coalesce(col("delta"), lit(0L)))
-            .as("gdf"))
-      val crossed = gdfNew
-        .filter(col("gdf_old") < 2 && col("gdf") >= 2).select("fp")
-      val touchedOld = oldWfp.join(crossed, Seq("fp"))
-        .select("doc_id").distinct()
-      val rescored = Text.scoreWindowFps(
-        oldWfp.join(touchedOld, Seq("doc_id")).unionByName(batchWfp),
-        gdfNew.select(col("fp"), col("gdf")))
-      graft.ops.DedupMaterialize.winfpScoreBaseTable(s, dir)
-        .join(touchedOld, Seq("doc_id"), "left_anti")
-        .unionByName(rescored)
+      Text.maintainDupWindows(
+        oldWfp = graft.ops.DedupMaterialize.windowFpTable(s, dir)
+          .filter(!batchSel),
+        // the arriving batch is fingerprinted fresh — ingest-sized explode
+        batchWfp = Text.windowFingerprints(
+          graft.ops.TextCorpus.words(
+            graft.ops.TextCorpus.corpus(s, dir).filter(batchSel))),
+        gdfBase = graft.ops.DedupMaterialize.winfpGdfBaseTable(s, dir),
+        scoreBase = graft.ops.DedupMaterialize.winfpScoreBaseTable(s, dir))
     }),
 
     // inverted index build (token → posting list): doc_freq over the

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.DedupMaterialize
+
+/** Streaming corpus ingest with LSH dedup at the door: arriving
+  * documents are minhash-banded per micro-batch and probed against the
+  * PARKED band tier ([[graft.api.Dedup.probePairs]]); only docs that
+  * collide with no tier bucket land. This is the batch
+  * `dedup_incremental` operator run as a continuous fact — the tier is
+  * the index, each epoch costs batch × bucket work, and the corpus
+  * stays deduplicated as it grows without ever re-touching old×old.
+  *
+  * Same production sink shape as [[IncrementalIngest]]: foreachBatch →
+  * epoch-partitioned dynamic overwrite, so epoch replays are idempotent
+  * and no memory sink or driver collect appears anywhere.
+  */
+object CorpusIngest {
+
+  /** The simulated arriving batch (lockstep with the parked tiers). */
+  private val BatchMod = DedupMaterialize.IncrementalBatchMod
+
+  /** Run the deduped ingest over `dir`'s documents with AvailableNow
+    * (catch-up semantics); kept doc ids land under `out` partitioned by
+    * ingest epoch. */
+  def dedupedCorpusIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // the dup-injected corpus view of the stream (same rows the batch
+    // queries see), restricted to the arriving batch
+    val corpusStream = stream.unionByName(
+      stream.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + graft.ops.TextCorpus.DupOffset)
+          .as("doc_id"), col("text")))
+      .filter(col("doc_id") % BatchMod === 0)
+    // static probe side: the parked band tier EXCLUDING the batch — the
+    // index a deployed pipeline holds from its previous ingests
+    val tierBands = DedupMaterialize.bandTable(s, dir)
+      .filter(col("doc_id") % BatchMod =!= 0)
+    val name = s"cd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = corpusStream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          val b = batch.toDF()
+          val bands = graft.api.Dedup.lshBands(
+            graft.api.Dedup.minhashSignatures(
+              graft.ops.TextCorpus.shingles(
+                graft.ops.TextCorpus.words(b))))
+          val dupIds = graft.api.Dedup.probePairs(bands, tierBands)
+            .select(col("new_id").as("doc_id")).distinct()
+          val kept = b.select(col("doc_id"))
+            .join(dupIds, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_epoch", lit(epoch))
+          val prev = s.conf.getOption(
+            "spark.sql.sources.partitionOverwriteMode")
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try kept.write.mode("overwrite").partitionBy("ingest_epoch")
+            .parquet(out)
+          finally prev match {
+            case Some(v) =>
+              s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => s.conf.unset(
+              "spark.sql.sources.partitionOverwriteMode")
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  /** Kept doc ids from the landed store. */
+  def readKept(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out).select(col("doc_id"))
+}

@@ -90,6 +90,31 @@ class ApiSpec extends SparkSpec {
       sh.select("doc_id").distinct().count())
   }
 
+  test("maintainDupWindows re-scores exactly the threshold-crossing docs") {
+    import spark.implicits._
+    import graft.api.Text
+    // old corpus: doc 1 holds fps {10, 11}, doc 2 holds {11, 12};
+    // fp 11 is already duplicated (gdf 2), fps 10/12 are unique
+    val oldWfp = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("doc_id", "fp")
+    val gdfBase = Text.windowFpFrequency(oldWfp)
+    val scoreBase = Text.scoreWindowFps(oldWfp, gdfBase)
+    // arriving doc 100 re-uses fp 10 → 10 CROSSES 1→2, so doc 1 must be
+    // re-scored; doc 2 holds no crossing fp and must keep its base row
+    val batchWfp = Seq((100L, 10L), (100L, 99L)).toDF("doc_id", "fp")
+    val maintained = Text.maintainDupWindows(
+      oldWfp, batchWfp, gdfBase, scoreBase)
+    val full = Text.scoreWindowFps(oldWfp.unionByName(batchWfp),
+      Text.windowFpFrequency(oldWfp.unionByName(batchWfp)))
+    assert(maintained.count() === full.count())
+    assert(maintained.exceptAll(full).count() === 0)
+    // and the expected content, spelled out: doc 1 now fully duplicated
+    val m = maintained
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m === Set((1L, 2L, 2L), (2L, 2L, 1L), (100L, 2L, 1L)))
+  }
+
   test("probePairs caps bucket occupancy over the tier ∪ batch union") {
     import spark.implicits._
     // three tier docs share band key "hot"; cap 2 must drop the bucket
