@@ -76,6 +76,12 @@ object Bench {
       // segment tier consumed by text_segment_dedup
       timed("text_segment_build") {
         graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
+      },
+      // pre-batch segment frequency + output tiers consumed by the
+      // incremental segment-dedup maintenance query
+      timed("text_segment_base_build") {
+        graft.ops.DedupMaterialize.segFreqBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir).count(); ()
       })
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)

@@ -169,11 +169,37 @@ object Text {
       .withColumn("seg_h",
         expr("CAST(conv(substr(md5(seg), 1, 10), 16, 10) AS BIGINT)"))
 
+  /** Global key frequency: in how many DISTINCT docs each derived key
+    * (window fingerprint, segment hash, …) appears. */
+  def keyFrequency(rows: DataFrame, key: String): DataFrame =
+    rows.select(col("doc_id"), col(key)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as("gdf"))
+
   /** Global fingerprint frequency: in how many DISTINCT docs each
     * window fingerprint appears. */
   def windowFpFrequency(wfp: DataFrame): DataFrame =
-    wfp.select(col("doc_id"), col("fp")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("gdf"))
+    keyFrequency(wfp, "fp")
+
+  /** Per-doc segment-dedup output given the global segment frequency
+    * (seg_h, gdf): segments appearing in ≥2 docs are removed, the doc is
+    * stitched back together from its surviving segments in order, and
+    * only (counts, length, digest) ship out — segment text stays inside
+    * the per-doc reassembly aggregate, whose state is bounded by
+    * document length. Split from the frequency computation for the same
+    * reason as [[scoreWindowFps]]. */
+  def scoreSegments(segs: DataFrame, freq: DataFrame): DataFrame =
+    segs.join(freq, Seq("seg_h"))
+      .withColumn("kept", col("gdf") < 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("""array_join(transform(array_sort(collect_list(
+               |  CASE WHEN kept
+               |       THEN named_struct('seg_idx', seg_idx, 'seg', seg)
+               |  END)), x -> x.seg), ' ')""".stripMargin).as("clean"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
 
   /** Per-doc duplicated-window mass given the global frequency table
     * (fp, gdf): window count, windows whose fingerprint appears in ≥2
@@ -189,39 +215,61 @@ object Text {
       .withColumn("dup_ratio",
         col("n_dup_windows").cast("double") / col("n_windows"))
 
-  /** Incremental maintenance of the dup-window scores as a document
-    * batch arrives: the pre-batch frequency state (`gdfBase`) is updated
-    * with the batch's delta counts, and only docs holding a fingerprint
-    * that CROSSED the ≥2 threshold — plus the batch itself — are
-    * re-scored; every other row of `scoreBase` is provably unchanged,
-    * because a score depends on its fingerprints only through the gdf≥2
-    * booleans and gdf never decreases. Steady-state cost is ingest-sized
-    * (batch fingerprinting + crossing-fp probe of the parked window
+  /** Generic threshold-crossing incremental maintenance: a per-doc
+    * score that depends on each derived key (window fingerprint,
+    * segment hash, …) only through the "appears in ≥2 docs" boolean can
+    * be maintained as a batch arrives by (1) adding the batch's delta
+    * counts to the pre-batch frequency state, (2) finding the keys that
+    * CROSSED the ≥2 threshold (frequencies never decrease, so 1→2 is
+    * the only flip), and (3) re-running `score` for exactly the docs
+    * holding a crossing key plus the batch itself — every other row of
+    * `scoreBase` is provably unchanged. Steady-state cost is
+    * ingest-sized (batch derivation + crossing-key probe of the parked
     * tier), never corpus-sized; the result equals a full recompute over
-    * the unioned corpus row-for-row.
+    * the unioned corpus row-for-row (the checked queries share their
+    * full-recompute oracles).
     *
-    * Inputs: `oldWfp` (doc_id, fp) for the pre-batch corpus, `batchWfp`
-    * likewise for the arriving docs (disjoint doc_ids), `gdfBase` =
-    * [[windowFpFrequency]] of `oldWfp`, `scoreBase` =
-    * [[scoreWindowFps]] of `oldWfp` against `gdfBase`. */
-  def maintainDupWindows(oldWfp: DataFrame, batchWfp: DataFrame,
-      gdfBase: DataFrame, scoreBase: DataFrame): DataFrame = {
-    val delta = windowFpFrequency(batchWfp).withColumnRenamed("gdf", "delta")
-    val gdfNew = gdfBase
+    * Inputs: `oldRows`/`batchRows` are (doc_id, key, …payload) with
+    * disjoint doc_ids; `freqBase` = [[keyFrequency]] of `oldRows`;
+    * `scoreBase` = `score(oldRows, freqBase)`. `score` receives the
+    * rows to re-score and the UPDATED frequency table (key, gdf). */
+  def maintainByKeyThreshold(oldRows: DataFrame, batchRows: DataFrame,
+      freqBase: DataFrame, scoreBase: DataFrame, key: String)(
+      score: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val delta = keyFrequency(batchRows, key).withColumnRenamed("gdf", "delta")
+    val freqNew = freqBase
       .withColumnRenamed("gdf", "gdf_old")
-      .join(delta, Seq("fp"), "full_outer")
-      .select(col("fp"),
+      .join(delta, Seq(key), "full_outer")
+      .select(col(key),
         coalesce(col("gdf_old"), lit(0L)).as("gdf_old"),
         (coalesce(col("gdf_old"), lit(0L)) + coalesce(col("delta"), lit(0L)))
           .as("gdf"))
-    val crossed = gdfNew
-      .filter(col("gdf_old") < 2 && col("gdf") >= 2).select("fp")
-    val touchedOld = oldWfp.join(crossed, Seq("fp"))
+    val crossed = freqNew
+      .filter(col("gdf_old") < 2 && col("gdf") >= 2).select(key)
+    val touchedOld = oldRows.join(crossed, Seq(key))
       .select("doc_id").distinct()
-    val rescored = scoreWindowFps(
-      oldWfp.join(touchedOld, Seq("doc_id")).unionByName(batchWfp),
-      gdfNew.select(col("fp"), col("gdf")))
+    val rescored = score(
+      oldRows.join(touchedOld, Seq("doc_id")).unionByName(batchRows),
+      freqNew.select(col(key), col("gdf")))
     scoreBase.join(touchedOld, Seq("doc_id"), "left_anti")
       .unionByName(rescored)
   }
+
+  /** Incremental maintenance of the dup-window scores — see
+    * [[maintainByKeyThreshold]]; the score is [[scoreWindowFps]], whose
+    * gdf≥2 dependence makes the crossing argument exact. */
+  def maintainDupWindows(oldWfp: DataFrame, batchWfp: DataFrame,
+      gdfBase: DataFrame, scoreBase: DataFrame): DataFrame =
+    maintainByKeyThreshold(oldWfp, batchWfp, gdfBase, scoreBase, "fp")(
+      scoreWindowFps)
+
+  /** Incremental maintenance of the segment-dedup output — see
+    * [[maintainByKeyThreshold]]; the score is [[scoreSegments]], where
+    * `kept = gdf < 2` is the same single-boolean dependence, so only
+    * docs holding a segment that just became duplicated are
+    * re-stitched. */
+  def maintainSegmentDedup(oldSegs: DataFrame, batchSegs: DataFrame,
+      freqBase: DataFrame, scoreBase: DataFrame): DataFrame =
+    maintainByKeyThreshold(oldSegs, batchSegs, freqBase, scoreBase, "seg_h")(
+      scoreSegments)
 }

@@ -122,6 +122,41 @@ object DedupMaterialize {
     s.read.parquet(s"$root/segments_w$SegmentWidth")
   }
 
+  /** (seg_h, gdf) segment frequency over the corpus EXCLUDING the
+    * arriving batch — pre-batch state for incremental segment-dedup
+    * maintenance. */
+  def segFreqBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"seg_freq_base_w${SegmentWidth}_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.api.Text.keyFrequency(
+            segmentTable(s, dir)
+              .filter(col("doc_id") % IncrementalBatchMod =!= 0), "seg_h")
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
+  /** Segment-dedup output over the corpus EXCLUDING the arriving
+    * batch — the pre-batch result tier incremental maintenance keeps
+    * verbatim for untouched docs. */
+  def segScoreBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"seg_score_base_w${SegmentWidth}_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        val old = segmentTable(s, dir)
+          .filter(col("doc_id") % IncrementalBatchMod =!= 0)
+        graft.api.Text.scoreSegments(
+            old, graft.api.Text.keyFrequency(old, "seg_h"))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
   /** (fp, gdf) global fingerprint frequency over the corpus EXCLUDING
     * the arriving batch — the pre-batch global state incremental
     * dup-window maintenance updates with the batch's delta counts. */

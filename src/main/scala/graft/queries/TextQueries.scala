@@ -457,20 +457,30 @@ object TextQueries {
       // parked tier: the frequency side reads (seg_h, doc_id), the
       // probe side all four columns — ONE corpus explode per fixture
       val segs = graft.ops.DedupMaterialize.segmentTable(s, dir)
-      val freq = segs.select(col("seg_h"), col("doc_id")).distinct()
-        .groupBy(col("seg_h")).agg(count(lit(1)).as("ndocs"))
-      segs.join(freq, Seq("seg_h"))
-        .withColumn("kept", col("ndocs") < 2)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          expr("""array_join(transform(array_sort(collect_list(
-                 |  CASE WHEN kept
-                 |       THEN named_struct('seg_idx', seg_idx, 'seg', seg)
-                 |  END)), x -> x.seg), ' ')""".stripMargin).as("clean"))
-        .select(col("doc_id"), col("n_segments"), col("n_kept"),
-          length(col("clean")).cast("long").as("clean_len"),
-          md5(col("clean")).as("clean_md5"))
+      graft.api.Text.scoreSegments(
+        segs, graft.api.Text.keyFrequency(segs, "seg_h"))
+    }),
+
+    // incremental maintenance of the segment-dedup output as a batch
+    // arrives (Text.maintainByKeyThreshold, the same skeleton as the
+    // dup-window scores): only docs holding a segment that just became
+    // duplicated — plus the batch — are re-stitched; everything else
+    // keeps its parked output row. Shares text_segment_dedup's oracle,
+    // so maintained == recomputed is part of the gate.
+    "text_segment_dedup_incremental" -> ((s, dir) => {
+      import graft.api.Text
+      val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+      val batchSel = col("doc_id") % mod === 0
+      Text.maintainSegmentDedup(
+        oldSegs = graft.ops.DedupMaterialize.segmentTable(s, dir)
+          .filter(!batchSel),
+        // arriving batch segmented fresh — ingest-sized explode
+        batchSegs = Text.wordSegments(
+          graft.ops.TextCorpus.words(
+            graft.ops.TextCorpus.corpus(s, dir).filter(batchSel)),
+          graft.ops.DedupMaterialize.SegmentWidth),
+        freqBase = graft.ops.DedupMaterialize.segFreqBaseTable(s, dir),
+        scoreBase = graft.ops.DedupMaterialize.segScoreBaseTable(s, dir))
     }),
 
     // deterministic train/val/test split: 256 hash buckets of the doc id
@@ -491,6 +501,31 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"))
     }))
+
+  /** DuckDB mirror of the segment-level dedup — shared verbatim by
+    * text_segment_dedup and its incremental-maintenance twin. */
+  private val segmentDedupSql: String = withCtes(
+      graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
+      """segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS seg,
+        |    ('0x' || substr(md5(array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ')), 1, 10))::BIGINT AS seg_h
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS i
+        |        FROM words WHERE len(w) >= 1))""".stripMargin,
+      """freq AS (SELECT seg_h, CAST(count(*) AS BIGINT) AS ndocs
+        |         FROM (SELECT DISTINCT seg_h, doc_id FROM segs)
+        |         GROUP BY seg_h)""".stripMargin,
+      """kseg AS (SELECT s.doc_id, s.seg_idx, s.seg, f.ndocs < 2 AS kept
+        |         FROM segs s JOIN freq f USING (seg_h))""".stripMargin)(
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE kept), '')) AS BIGINT) AS clean_len,
+        |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE kept), '')) AS clean_md5
+        |FROM kseg GROUP BY doc_id""".stripMargin)
 
   /** DuckDB mirror of the repeated-window detector — shared verbatim by
     * text_dup_windows and its incremental-maintenance twin, so the
@@ -673,28 +708,10 @@ object TextQueries {
     // the incremental form must equal a full recompute — ONE oracle
     "text_dup_windows_incremental" -> dupWindowsSql,
 
-    "text_segment_dedup" -> withCtes(
-      graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
-      """segs AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
-        |    array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS seg,
-        |    ('0x' || substr(md5(array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ')), 1, 10))::BIGINT AS seg_h
-        |  FROM (SELECT doc_id, w,
-        |          unnest(generate_series(0,
-        |            CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS i
-        |        FROM words WHERE len(w) >= 1))""".stripMargin,
-      """freq AS (SELECT seg_h, CAST(count(*) AS BIGINT) AS ndocs
-        |         FROM (SELECT DISTINCT seg_h, doc_id FROM segs)
-        |         GROUP BY seg_h)""".stripMargin,
-      """kseg AS (SELECT s.doc_id, s.seg_idx, s.seg, f.ndocs < 2 AS kept
-        |         FROM segs s JOIN freq f USING (seg_h))""".stripMargin)(
-      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
-        |    FILTER (WHERE kept), '')) AS BIGINT) AS clean_len,
-        |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
-        |    FILTER (WHERE kept), '')) AS clean_md5
-        |FROM kseg GROUP BY doc_id""".stripMargin),
+    "text_segment_dedup" -> segmentDedupSql,
+
+    // the incremental form must equal a full recompute — ONE oracle
+    "text_segment_dedup_incremental" -> segmentDedupSql,
 
     "inverted_index" -> withCtes(docWordsSql,
       """dtoks AS (

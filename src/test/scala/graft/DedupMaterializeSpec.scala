@@ -82,4 +82,14 @@ class DedupMaterializeSpec extends SparkSpec {
     assert(inc.exceptAll(full).count() === 0,
       "maintained scores diverge from recomputed scores")
   }
+
+  test("incremental segment-dedup maintenance equals full recompute") {
+    val dir = sf("sf0.001")
+    val full = SparkEntry.queries("text_segment_dedup")(spark, dir)
+    val inc = SparkEntry.queries("text_segment_dedup_incremental")(spark, dir)
+    assert(full.count() > 0)
+    assert(inc.count() === full.count())
+    assert(inc.exceptAll(full).count() === 0,
+      "maintained segment-dedup output diverges from recomputed")
+  }
 }
