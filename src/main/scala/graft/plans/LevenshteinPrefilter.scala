@@ -42,8 +42,9 @@ object LevenshteinPrefilter extends Rule[LogicalPlan]
   private def levOf(e: Expression): Option[(Expression, Expression)] =
     e match {
       case Levenshtein(a, b, None) => Some((a, b))
-      case c @ Cast(Levenshtein(a, b, None), _, _, _)
-          if c.dataType.isInstanceOf[NumericType] => Some((a, b))
+      // recurse through any stack of numeric casts (cast(cast(lev)))
+      case c: Cast if c.dataType.isInstanceOf[NumericType] =>
+        levOf(c.child)
       case _ => None
     }
 

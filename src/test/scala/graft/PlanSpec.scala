@@ -120,6 +120,12 @@ class PlanSpec extends SparkSpec {
         s"shape $i missing the length guard:\n$opt")
       assert(q.count() === expect, s"shape $i changed the result")
     }
+    // nested numeric casts are looked through recursively
+    val nested = df.filter(expr(
+      "cast(cast(levenshtein(x, y) as int) as double) <= 2.0"))
+    assert(nested.queryExecution.optimizedPlan.toString.contains("abs("),
+      "nested-cast shape missing the length guard")
+    assert(nested.count() === expect)
   }
 
   test("segment dedup reads the parked segment tier, not the corpus") {
