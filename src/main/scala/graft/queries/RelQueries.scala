@@ -163,6 +163,31 @@ object RelQueries {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"),
           count(lit(1)).as("n_orders"))),
 
+    // sketch quantiles (approx_percentile / KLL-style): the 100 TB
+    // percentile path, checked the same way as approx_distinct — the
+    // estimate itself is engine-specific, so the hashable contract is
+    // the sketch's RANK guarantee: with accuracy 100 (rank error ≤ 1%),
+    // the approximate p50/p90 must lie between the exact p45–p55 /
+    // p85–p95 values; the oracle computes the exact brackets and
+    // asserts the booleans, so a drifting sketch breaks the hash.
+    "approx_quantiles" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, array(0.5, 0.9), 100)")
+            .as("ap"),
+          expr("percentile(o_totalprice, array(0.45, 0.55, 0.85, 0.95))")
+            .as("ep"),
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+        .select(col("o_orderstatus"), col("median_price"), col("p90_price"),
+          (element_at(col("ap"), 1) >= element_at(col("ep"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ep"), 2))
+            .as("p50_within"),
+          (element_at(col("ap"), 2) >= element_at(col("ep"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("ep"), 4))
+            .as("p90_within"))),
+
     // relational set ops: INTERSECT / EXCEPT over the two chains'
     // output-address sets (§2.7 beyond union)
     "set_ops" -> ((s, dir) => {
@@ -387,6 +412,17 @@ object RelQueries {
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the oracle asserts the sketch's rank-error contract: exact
+    // quantiles, and "the estimate landed inside its ±5% rank bracket"
+    // must be TRUE for every group
+    "approx_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  TRUE AS p50_within,
+        |  TRUE AS p90_within
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "set_ops" ->
