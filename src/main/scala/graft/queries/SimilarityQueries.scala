@@ -117,6 +117,44 @@ object SimilarityQueries {
       cosTopK(e, cand, 3)
     }),
 
+    // semantic decontamination (the embedding-level twin of
+    // text_decontaminate): every training vector is LSH-bucketed
+    // against the eval/benchmark set (every 250th base vector), bucket
+    // collisions verified with exact cosine, and any training vector at
+    // cos ≥ 0.99 to an eval vector is flagged as an eval leak. The
+    // train corpus includes the injected duplicates, so the fixture has
+    // guaranteed positives (an injected copy of an eval vector). Bucket
+    // assignment is map-side (broadcast plane literals); the only
+    // joins are the bucket equi-join (eval side is tiny → broadcast)
+    // and the candidates-only verify — never train × eval.
+    "embed_decontaminate" -> ((s, dir) => {
+      val evalBase = col("vec_id") < 1000000L &&
+        col("vec_id") % QueryStride === 0
+      val evalSet = emb(s, dir).filter(col("vec_id") % QueryStride === 0)
+      val train = embCorpus(s, dir).filter(!evalBase)
+      val eb = graft.api.Similarity.lshBuckets(s, evalSet)
+        .select(col("vec_id").as("eval_id"), col("bucket"))
+      val tb = graft.api.Similarity.lshBuckets(s, train)
+        .select(col("vec_id"), col("bucket"))
+      val cand = tb.join(broadcast(eb), Seq("bucket"))
+        .select(col("vec_id"), col("eval_id")).distinct()
+      val tv = train.select(col("vec_id"), col("q").as("tq"),
+        col("n2").as("tn"))
+      val ev = evalSet.select(col("vec_id").as("eval_id"),
+        col("q").as("eq"), col("n2").as("en"))
+      val scored = cand.join(tv, Seq("vec_id")).join(broadcast(ev), Seq("eval_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot_product_long(col("tq"), col("eq"))
+            .cast("double") / sqrt((col("tn") * col("en")).cast("double")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("cos")).as("mc"))
+      train.select(col("vec_id")).join(scored, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("mc"), lit(-1.0)).as("max_cos"),
+          coalesce(col("mc") >= 0.99, lit(false)).as("contaminated"))
+    }),
+
     // SemDeDup (semantic dedup): k-means clusters over the dup-injected
     // corpus, one exemplar per cluster (closest to the trained
     // centroid), members at cosine ≥ 0.99 to their exemplar dropped.
@@ -712,6 +750,57 @@ object SimilarityQueries {
         |    (SELECT count(*) FROM gttopk g JOIN pqtopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk))""".stripMargin),
+
+    "embed_decontaminate" -> withCtes(
+      embcSql,
+      // train corpus: the dup-injected embeddings MINUS the base eval
+      // rows; shared ee/norm CTEs then run over the train side
+      s"""emb AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+         |  FROM embc
+         |  WHERE NOT (vec_id < 1000000 AND vec_id % $QueryStride = 0))""".stripMargin,
+      eeSql, normSql,
+      s"""peval AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id % $QueryStride = 0)""".stripMargin,
+      """pee AS (
+        |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
+        |  FROM peval)""".stripMargin,
+      """pnorm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |          FROM pee GROUP BY vec_id)""".stripMargin,
+      hyperSqlFor(8, "hyper"),
+      bucketsSqlFor("hyper", "tbuck"),
+      """ebuck AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+        |        FROM pee e JOIN hyper h ON e.i = h.i
+        |        GROUP BY e.vec_id, h.j)
+        |  GROUP BY vec_id)""".stripMargin,
+      """dcand AS (SELECT DISTINCT t.vec_id, e.vec_id AS eval_id
+        |          FROM tbuck t JOIN ebuck e USING (bucket))""".stripMargin,
+      """ddots AS (
+        |  SELECT c.vec_id, c.eval_id, CAST(sum(te.v * pe.v) AS BIGINT) AS dot
+        |  FROM dcand c
+        |  JOIN ee te ON te.vec_id = c.vec_id
+        |  JOIN pee pe ON pe.vec_id = c.eval_id AND pe.i = te.i
+        |  GROUP BY 1, 2)""".stripMargin,
+      """dagg AS (
+        |  SELECT d.vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    max(CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 * p.n2 AS DOUBLE)))
+        |      AS max_cos
+        |  FROM ddots d
+        |  JOIN norm n ON n.vec_id = d.vec_id
+        |  JOIN pnorm p ON p.vec_id = d.eval_id
+        |  GROUP BY d.vec_id)""".stripMargin)(
+      """SELECT t.vec_id,
+        |  coalesce(a.n_candidates, 0) AS n_candidates,
+        |  coalesce(a.max_cos, -1.0) AS max_cos,
+        |  coalesce(a.max_cos >= 0.99, FALSE) AS contaminated
+        |FROM (SELECT vec_id FROM emb) t LEFT JOIN dagg a USING (vec_id)""".stripMargin),
 
     "embed_semdedup" -> withCtes(
       Seq(embcSql, embOverCorpusSql, eeSql, normSql) ++
