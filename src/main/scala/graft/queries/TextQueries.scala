@@ -118,6 +118,35 @@ object TextQueries {
           (sum(size(col("w"))).cast("double") / count(lit(1)))
             .as("avg_tokens_per_doc"))),
 
+    // frequent-token discovery via a bounded Misra-Gries summary
+    // (candidates) + exact counts of candidates only (verify): the
+    // 100 TB heavy-hitter shape. The exact `GROUP BY token HAVING`
+    // form shuffles one row per DISTINCT token — vocabulary-sized, the
+    // long tail dominating; here the candidate pass carries ≤ k=40
+    // counters per map task (FreqSketchAgg partial aggregation), the
+    // verify pass re-counts ONLY candidate tokens behind a broadcast
+    // semi-join, and the final filter freq·(k+1) > N runs on exact
+    // integers. MG guarantees every token above N/(k+1) survives the
+    // sketch, so candidates ⊇ heavy hitters and the filtered output is
+    // deterministic (sketch content varies with merge order; the
+    // answer doesn't). Oracle = the plain exact HAVING query.
+    "text_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docWords(s, dir).select(
+        explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+          .as("token"))
+      val agg = new graft.functions.FreqSketchAgg(40)
+      val cand = toks.as[String].groupByKey(_ => true).mapValues(identity)
+        .agg(agg.toColumn.name("m")).toDF("g", "m")
+        .select(explode(map_keys(col("m"))).as("token"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cand), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("freq") * 41 > col("n_total"))
+        .select(col("token"), col("freq"), col("n_total"))
+    }),
+
     // BPE-ish regex tokenization: split on non-alphanumeric runs, drop
     // empties explicitly (the one place both engines' split semantics
     // are forced to agree).
@@ -605,6 +634,20 @@ object TextQueries {
         |    AS approx_bpe_tokens,
         |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
         |FROM words GROUP BY source""".stripMargin),
+
+    // the oracle is the EXACT heavy-hitter query the sketch+verify
+    // pipeline must reproduce: same tokenization, same strict
+    // freq·(k+1) > N threshold on exact integers
+    "text_heavy_hitters" -> withCtes(docWordsSql,
+      """toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |         x -> x != '')) AS token
+        |  FROM words)""".stripMargin,
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)")(
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |  (SELECT n_total FROM tot) AS n_total
+        |FROM toks GROUP BY token
+        |HAVING count(*) * 41 > (SELECT n_total FROM tot)""".stripMargin),
 
     "token_count_regex" -> withCtes(docWordsSql)(
       """SELECT doc_id,

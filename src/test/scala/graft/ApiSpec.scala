@@ -142,6 +142,27 @@ class ApiSpec extends SparkSpec {
       s"batch-inflated cold bucket must be dropped: $capped2")
   }
 
+  test("FreqSketchAgg: heavy hitters survive the bounded summary") {
+    // skewed stream: 'hot' 400×, 'warm' 120×, and a 200-token long tail
+    // (2 each) — with k=8 counters the guarantee threshold is
+    // N/(k+1) = 920/9 ≈ 102, so hot and warm MUST be in the summary no
+    // matter how Spark orders the merges, and the summary never holds
+    // more than k counters.
+    val rows =
+      Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+        (0 until 200).flatMap(i => Seq(s"tail$i", s"tail$i"))
+    val toks = spark.sparkContext.parallelize(rows, 16).toDF("token")
+    val agg = new graft.functions.FreqSketchAgg(8)
+    val summary = toks.as[String].groupByKey(_ => true).mapValues(identity)
+      .agg(agg.toColumn.name("m")).collect().head._2
+    assert(summary.size <= 8, s"summary exceeded k: $summary")
+    assert(summary.contains("hot") && summary.contains("warm"),
+      s"guaranteed heavy hitters missing from $summary")
+    // MG counts are lower bounds within N/(k+1) of truth
+    assert(summary("hot") <= 400 && summary("hot") >= 400 - 920 / 9)
+    assert(summary("warm") <= 120 && summary("warm") >= 120 - 920 / 9)
+  }
+
   test("Graft facade: ingest + keyspace DDL entry points") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "facade_").toString
