@@ -138,6 +138,36 @@ object RelQueries {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.05).as("within_tolerance"))),
 
+    // mergeable-sketch TIER: one Datasketches HLL per group, rolled up
+    // to a global estimate by UNIONING REGISTERS (hll_union_agg) — no
+    // rescan of the data. This is the 100 TB cardinality architecture:
+    // per-day/per-source sketch tiers are parked once (each a few KB),
+    // and any rollup — global, per-week, cross-source — is a
+    // register-wise max over the tier, never a second pass over rows.
+    // Contract check like approx_distinct: the estimate itself is
+    // engine-specific, so the hashable columns are the exact counts
+    // plus a within-±5% boolean at BOTH levels — the union'd sketch
+    // must stay inside the same tolerance as the per-group ones, which
+    // is exactly the mergeability guarantee.
+    "hll_tier_union" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val tier = li.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val per = tier.select(col("l_returnflag"), col("exact_parts"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("within_tolerance"))
+      val globExact = li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      val glob = tier
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(globExact)
+        .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("within_tolerance"))
+      per.unionByName(glob)
+    }),
+
     // scalar string-function breadth (§2.8 beyond the chain derivations):
     // all verified bit-identical across engines
     "string_funcs" -> ((s, dir) =>
@@ -396,6 +426,19 @@ object RelQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  TRUE AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // both tier levels must satisfy the tolerance contract: per-group
+    // sketches AND their register-union rollup
+    "hll_tier_union" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_tolerance
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL' AS l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_tolerance
+        |FROM lineitem""".stripMargin,
 
     "string_funcs" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
