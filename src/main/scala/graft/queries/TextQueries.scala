@@ -84,6 +84,85 @@ object TextQueries {
           |  i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
           .stripMargin)).as("bigram"))
 
+  /** One BPE training round over a symbol-sequence frame
+    * (word, freq, p, sym): count adjacent symbol pairs weighted by word
+    * frequency, pick the top pair with a total-order tie-break, and
+    * apply it leftmost-non-overlapping. Greedy selection inside a run
+    * of consecutive matches is the parity trick: within each island of
+    * consecutive match positions, exactly the even offsets merge —
+    * a window computation, not a sequential scan, so it distributes.
+    * Returns (top-pair single-row frame, next round's sequence frame).
+    */
+  private[graft] def bpeRound(s: SparkSession, seqs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("p"))
+    val pr = seqs.as("a").join(seqs.as("b"),
+        col("a.word") === col("b.word") && col("b.p") === col("a.p") + 1)
+      .select(col("a.word").as("word"), col("a.freq").as("freq"),
+        col("a.p").as("p"), col("a.sym").as("sa"), col("b.sym").as("sb"))
+    val top = pr.groupBy(col("sa"), col("sb"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sa"), col("sb")).limit(1)
+      .localCheckpoint(true)
+    val mt = pr.join(broadcast(top.select(col("sa"), col("sb"))),
+        Seq("sa", "sb"))
+      .select(col("word"), col("p"))
+      .withColumn("idx", row_number().over(wIdx))
+    val sel = mt.withColumn("p0", min(col("p")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("word"), col("p") - col("idx"))))
+      .filter((col("p") - col("p0")) % 2 === 0)
+      .select(col("word"), col("p"))
+    val next = seqs
+      .withColumn("sym_next", lead(col("sym"), 1).over(wIdx))
+      .join(sel.withColumn("is_start", lit(true)), Seq("word", "p"), "left")
+      .join(sel.select(col("word"), (col("p") + 1).as("p"))
+        .withColumn("is_second", lit(true)), Seq("word", "p"), "left")
+      .filter(col("is_second").isNull)
+      .withColumn("sym2", when(col("is_start").isNotNull,
+        concat(col("sym"), col("sym_next"))).otherwise(col("sym")))
+      .select(col("word"), col("freq"),
+        row_number().over(wIdx).cast("long").as("pn"), col("sym2"))
+      .select(col("word"), col("freq"), col("pn").as("p"),
+        col("sym2").as("sym"))
+      .localCheckpoint(true)
+    (top, next)
+  }
+
+  /** DuckDB mirror of [[bpeRound]] r (reads s{r}, defines s{r+1}). */
+  private def bpeRoundCtes(r: Int): Seq[String] = Seq(
+    s"""pr$r AS (
+       |  SELECT a.word, a.freq, a.p, a.sym AS sa, b.sym AS sb
+       |  FROM s$r a JOIN s$r b ON a.word = b.word AND b.p = a.p + 1)""".stripMargin,
+    s"""tp$r AS (
+       |  SELECT sa, sb, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM pr$r GROUP BY sa, sb
+       |  ORDER BY n DESC, sa, sb LIMIT 1)""".stripMargin,
+    s"""mt$r AS (
+       |  SELECT p1.word, p1.p,
+       |    row_number() OVER (PARTITION BY p1.word ORDER BY p1.p) AS idx
+       |  FROM pr$r p1 JOIN tp$r t ON p1.sa = t.sa AND p1.sb = t.sb)""".stripMargin,
+    s"""sel$r AS (
+       |  SELECT word, p FROM (
+       |    SELECT word, p,
+       |      min(p) OVER (PARTITION BY word, p - idx) AS p0
+       |    FROM mt$r)
+       |  WHERE (p - p0) % 2 = 0)""".stripMargin,
+    s"""sx$r AS (
+       |  SELECT s.word, s.freq, s.p, s.sym,
+       |    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.p) AS sym_next,
+       |    (m1.p IS NOT NULL) AS is_start,
+       |    (m2.p IS NOT NULL) AS is_second
+       |  FROM s$r s
+       |  LEFT JOIN sel$r m1 ON m1.word = s.word AND m1.p = s.p
+       |  LEFT JOIN sel$r m2 ON m2.word = s.word AND m2.p = s.p - 1)""".stripMargin,
+    s"""s${r + 1} AS (
+       |  SELECT word, freq,
+       |    CAST(row_number() OVER (PARTITION BY word ORDER BY p) AS BIGINT) AS p,
+       |    CASE WHEN is_start THEN sym || sym_next ELSE sym END AS sym
+       |  FROM sx$r WHERE NOT is_second)""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
@@ -145,6 +224,38 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         .filter(col("freq") * 41 > col("n_total"))
         .select(col("token"), col("freq"), col("n_total"))
+    }),
+
+    // BPE tokenizer training (the merge-table learner): 4 greedy rounds
+    // over the corpus WORD-FREQUENCY DICTIONARY — count adjacent symbol
+    // pairs weighted by word frequency, merge the most frequent pair
+    // leftmost-non-overlapping, repeat. The output is the learned merge
+    // table (round, pair, weighted count), which is what a tokenizer
+    // trainer ships. Shape at scale: exactly one corpus-sized pass (the
+    // word count); every round after that works on the vocabulary —
+    // millions of rows at 100 TB, not trillions — as real BPE trainers
+    // do. Greedy within a run of repeated symbols ("aaaa" → "(aa)(aa)")
+    // is the ISLAND-PARITY window trick in bpeRound, not a sequential
+    // scan, so rounds stay fully distributed; per-round
+    // localCheckpoint keeps the plan O(1) deep like k-means.
+    "bpe_merges" -> ((s, dir) => {
+      val vocab = docWords(s, dir)
+        .select(explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var cur = vocab
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("word"), col("freq"), col("i").cast("long").as("p"),
+          expr("substring(word, i, 1)").as("sym"))
+        .localCheckpoint(true)
+      val tops = (0 until 4).map { r =>
+        val (top, next) = bpeRound(s, cur)
+        cur = next
+        top.select(lit(r.toLong).as("round"), col("sa").as("sym_a"),
+          col("sb").as("sym_b"), col("n").as("n_count"))
+      }
+      tops.reduce(_ unionByName _)
     }),
 
     // cross-corpus overlap via KMV (k-minimum-values) sketches: every
@@ -694,6 +805,23 @@ object TextQueries {
         |    AS approx_bpe_tokens,
         |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
         |FROM words GROUP BY source""".stripMargin),
+
+    // round-unrolled BPE mirror (the kmeansRoundCtes pattern): each
+    // round's pair-count / top-pair / island-parity merge is one CTE
+    // block from bpeRoundCtes; the body unions the 4 learned merges
+    "bpe_merges" -> withCtes((Seq(docWordsSql,
+      """vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(w) AS word FROM words)
+        |  WHERE length(word) >= 1 GROUP BY word)""".stripMargin,
+      """s0 AS (
+        |  SELECT word, freq, CAST(i AS BIGINT) AS p, substr(word, i, 1) AS sym
+        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        |        FROM vocab))""".stripMargin) ++
+      (0 until 4).flatMap(bpeRoundCtes)): _*)(
+      (0 until 4).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, sa AS sym_a, sb AS sym_b, n AS n_count FROM tp$r")
+        .mkString("\nUNION ALL\n")),
 
     // full KMV mirror: same 60-bit md5-derived hashes, same bottom-64
     // sketches (window form — the oracle need not be scale-shaped),

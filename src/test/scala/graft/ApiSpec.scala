@@ -163,6 +163,29 @@ class ApiSpec extends SparkSpec {
     assert(summary("warm") <= 120 && summary("warm") >= 120 - 920 / 9)
   }
 
+  test("bpeRound: leftmost-non-overlapping merge on repeated symbols") {
+    // "aaaa" must merge to (aa)(aa) — greedy leftmost, never a(aa)a.
+    // The island-parity window trick is the only thing standing between
+    // this and an off-by-one: positions 1,2,3 all match pair (a,a),
+    // and only the even offsets within the island (1 and 3) may merge.
+    val seqs = Seq(
+      (1L, "a", "a"), (2L, "a", "a"), (3L, "a", "a"), (4L, "a", "a"))
+      .map { case (p, sym, _) => ("aaaa", 2L, p, sym) }
+      .toDF("word", "freq", "p", "sym")
+    val (top, next) = graft.queries.TextQueries.bpeRound(spark, seqs)
+    val t = top.as[(String, String, Long)].collect().head
+    assert(t === (("a", "a", 6L)), s"pair (a,a) at freq-weighted count 6: $t")
+    val syms = next.orderBy("p").as[(String, Long, Long, String)]
+      .collect().map(_._4).toSeq
+    assert(syms === Seq("aa", "aa"), s"aaaa -> (aa)(aa), got $syms")
+    // second round merges the two merged symbols
+    val (top2, next2) = graft.queries.TextQueries.bpeRound(spark, next)
+    assert(top2.as[(String, String, Long)].collect().head ===
+      (("aa", "aa", 2L)))
+    assert(next2.orderBy("p").as[(String, Long, Long, String)]
+      .collect().map(_._4).toSeq === Seq("aaaa"))
+  }
+
   test("Graft facade: ingest + keyspace DDL entry points") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "facade_").toString
