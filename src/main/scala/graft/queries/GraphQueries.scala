@@ -39,6 +39,9 @@ object GraphQueries {
     flowEdges(s, dir).count(); ()
   }
 
+  /** Synchronous label-propagation rounds for graph_labelprop. */
+  private val LpIters = 3
+
   /** PageRank iterations / scaling: rank starts at Scale (=1.0), each
     * round keeps 85% of flowed-in mass + a 15% teleport floor, all in
     * integer arithmetic: r' = 0.15·Scale + (85 · Σ (r div outdeg)) div 100. */
@@ -222,7 +225,41 @@ object GraphQueries {
     // CTE chain reproduces it bit-for-bit.
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.runFromEdges(flowEdges(s, dir), PrIters)
-        .select(col("node").as("address"), col("rank").as("pagerank"))))
+        .select(col("node").as("address"), col("rank").as("pagerank"))),
+
+    // community detection via SYNCHRONOUS label propagation (3 rounds)
+    // over the symmetrized flow graph: each node adopts the most
+    // frequent label among its neighbors, ties to the lexicographic
+    // minimum. Synchronous rounds + a total-order tie-break make LPA —
+    // normally notorious for nondeterminism — bit-reproducible across
+    // engines and partitionings, so it hash-matches an unrolled DuckDB
+    // mirror. Shape at scale: each round is ONE edge ⋈ label equi-join
+    // on src + ONE (node, lbl) hash-agg, the same co-partitionable
+    // join key every round (like PageRank); lineage truncated per
+    // round. Communities differ from connected components: a bridge
+    // node joins the side with the heavier label vote, splitting
+    // weakly-joined clusters that CC would merge.
+    "graph_labelprop" -> ((s, dir) => {
+      val e = flowEdges(s, dir)
+      val sed = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      var lbl = sed.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to LpIters) {
+        val nb = sed
+          .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        val ct = nb.groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        lbl = ct.groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
+            .as("m"))
+          .select(col("node"), col("m.lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl.select(col("node").as("address"), col("lbl").as("community"))
+    }))
 
   // ---- DuckDB oracles ---------------------------------------------------
 
@@ -360,5 +397,29 @@ object GraphQueries {
 
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
-      s"SELECT node AS address, rank AS pagerank FROM r$PrIters"))
+      s"SELECT node AS address, rank AS pagerank FROM r$PrIters"),
+
+    // unrolled synchronous LPA: same neighbor-vote count and
+    // (count DESC, label ASC) tie-break per round as the Spark loop
+    "graph_labelprop" -> withCtes(
+      Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
+        """sedges AS (SELECT src, dst FROM fedges
+          |           UNION SELECT dst, src FROM fedges)""".stripMargin,
+        """lp0 AS (SELECT node, node AS lbl
+          |        FROM (SELECT DISTINCT src AS node FROM sedges))""".stripMargin) ++
+      (0 until LpIters).flatMap(lpIterCtes): _*)(
+      s"SELECT node AS address, lbl AS community FROM lp$LpIters"))
+
+  /** One LPA round's CTE block (reads lp{r}, defines lp{r+1}). */
+  private def lpIterCtes(r: Int): Seq[String] = Seq(
+    s"""nb$r AS (SELECT e.dst AS node, l.lbl AS lbl
+       |         FROM sedges e JOIN lp$r l ON l.node = e.src)""".stripMargin,
+    s"""ct$r AS (SELECT node, lbl, CAST(count(*) AS BIGINT) AS c
+       |         FROM nb$r GROUP BY node, lbl)""".stripMargin,
+    s"""lp${r + 1} AS (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl,
+       |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |    FROM ct$r)
+       |  WHERE rn = 1)""".stripMargin)
 }
