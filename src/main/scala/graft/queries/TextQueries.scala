@@ -163,6 +163,70 @@ object TextQueries {
        |    CASE WHEN is_start THEN sym || sym_next ELSE sym END AS sym
        |  FROM sx$r WHERE NOT is_second)""".stripMargin)
 
+  /** Distinct (source, 60-bit shingle hash) rows over a docWords-shaped
+    * frame — the universe both the KMV sketches and the exact-Jaccard
+    * side draw from. */
+  private def kmvHashes(dw: DataFrame): DataFrame =
+    dw.select(col("source"), col("w"),
+      explode(when(size(col("w")) >= 3, sequence(lit(1), size(col("w")) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("source"),
+        expr("concat(w[i-1], ' ', w[i], ' ', w[i+1])").as("shingle"))
+      .select(col("source"),
+        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+          .as("h")).distinct()
+
+  private def kmvShingleHashes(s: SparkSession, dir: String): DataFrame =
+    kmvHashes(docWords(s, dir))
+
+  /** Per-source bottom-64 KMV sketch (source, sk: ascending Seq[Long])
+    * via the map-side-bounded BottomKAgg. */
+  private def kmvSketch(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BottomKAgg(64)
+    d.select(col("source"), col("h")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sk")).toDF("source", "sk")
+  }
+
+  /** Pairwise overlap output from a sketch frame + the exact distinct
+    * sets: estimates from the k-vectors alone (array ops), exact
+    * Jaccard from the sets — shared by the full and incremental KMV
+    * queries so both hit one oracle. */
+  private def kmvOverlap(s: SparkSession, sk: DataFrame,
+      d: DataFrame): DataFrame = {
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, 64))
+      .withColumn("n_sketch", size(col("u")).cast("long"))
+      .withColumn("n_both",
+        size(array_intersect(array_intersect(col("u"), col("sa")),
+          col("sb"))).cast("long"))
+      .withColumn("v", element_at(col("u"), -1))
+    val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = d.as("x").join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(cnt.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(cnt.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_sketch"), col("n_both"),
+        (col("n_both").cast("double") / col("n_sketch")).as("j_est"),
+        (col("n_sketch").minus(1).cast("double")
+          * lit(1152921504606846976L).cast("double")
+          / col("v").cast("double")).as("union_est"),
+        (col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
+          .as("j_exact"))
+  }
+
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
@@ -273,49 +337,31 @@ object TextQueries {
     // emitted alongside (affordable at fixture scale) so the sketch's
     // accuracy is part of the visible result.
     "corpus_overlap_kmv" -> ((s, dir) => {
-      import s.implicits._
+      val d = kmvShingleHashes(s, dir)
+      kmvOverlap(s, kmvSketch(s, d), d)
+    }),
+
+    // incremental maintenance of the KMV sketches: bottom-k is a
+    // semilattice morphism — bottomK(old ∪ batch) ==
+    // bottomK(bottomK(old) ∪ batch) — so when a batch of documents
+    // arrives, each source's parked k-vector (a few hundred bytes)
+    // absorbs the batch's hashes WITHOUT revisiting the old corpus.
+    // Here the pre-batch sketch is rebuilt inline (at 100 TB it is a
+    // parked tier like the minhash bands); the query SHARES
+    // corpus_overlap_kmv's oracle, so maintained == recomputed is part
+    // of the correctness gate, the same proof pattern as the
+    // incremental dedup/entity clusterings.
+    "corpus_overlap_kmv_incremental" -> ((s, dir) => {
+      val d = kmvShingleHashes(s, dir)
+      val batchSel = col("doc_id") % graft.ops.DedupMaterialize.IncrementalBatchMod === 0
       val dw = docWords(s, dir)
-      val sh = dw.select(col("source"), col("w"),
-        explode(when(size(col("w")) >= 3, sequence(lit(1), size(col("w")) - 2))
-          .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("source"),
-          expr("concat(w[i-1], ' ', w[i], ' ', w[i+1])").as("shingle"))
-      val d = sh.select(col("source"),
-        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
-          .as("h")).distinct()
-      val agg = new graft.functions.BottomKAgg(64)
-      val sk = d.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
-        .agg(agg.toColumn.name("sk")).toDF("source", "sk")
-      val pairs = sk.as("a").join(sk.as("b"),
-          col("a.source") < col("b.source"))
-        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-          col("a.sk").as("sa"), col("b.sk").as("sb"))
-        .withColumn("u",
-          slice(array_sort(array_union(col("sa"), col("sb"))), 1, 64))
-        .withColumn("n_sketch", size(col("u")).cast("long"))
-        .withColumn("n_both",
-          size(array_intersect(array_intersect(col("u"), col("sa")),
-            col("sb"))).cast("long"))
-        .withColumn("v", element_at(col("u"), -1))
-      val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = d.as("x").join(d.as("y"),
-          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      pairs
-        .join(broadcast(cnt.select(col("source").as("src_a"),
-          col("n").as("n_a"))), Seq("src_a"))
-        .join(broadcast(cnt.select(col("source").as("src_b"),
-          col("n").as("n_b"))), Seq("src_b"))
-        .join(inter, Seq("src_a", "src_b"), "left")
-        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
-        .select(col("src_a"), col("src_b"), col("n_sketch"), col("n_both"),
-          (col("n_both").cast("double") / col("n_sketch")).as("j_est"),
-          (col("n_sketch").minus(1).cast("double")
-            * lit(1152921504606846976L).cast("double")
-            / col("v").cast("double")).as("union_est"),
-          (col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
-            .as("j_exact"))
+      val dOld = kmvHashes(dw.filter(!batchSel))
+      val dBatch = kmvHashes(dw.filter(batchSel))
+      val oldSk = kmvSketch(s, dOld)
+      val merged = kmvSketch(s,
+        oldSk.select(col("source"), explode(col("sk")).as("h"))
+          .unionByName(dBatch))
+      kmvOverlap(s, merged, d)
     }),
 
     // BPE-ish regex tokenization: split on non-alphanumeric runs, drop
@@ -758,6 +804,50 @@ object TextQueries {
       |FROM wfp w JOIN gdf g USING (fp)
       |GROUP BY w.doc_id""".stripMargin)
 
+  /** Full KMV mirror: same 60-bit md5-derived hashes, same bottom-64
+    * sketches (window form — the oracle need not be scale-shaped), same
+    * array arithmetic; 2^60 is a power of two so the union_est constant
+    * is exact in both engines' doubles. Shared by corpus_overlap_kmv
+    * and its incremental sketch-merge twin. */
+  private val kmvOracleSql: String = withCtes(docWordsSql,
+    """sh AS (
+      |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT source, w,
+      |          unnest(range(1, greatest(len(w) - 1, 1))) AS i
+      |        FROM words))""".stripMargin,
+    """dh AS (SELECT DISTINCT source,
+      |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh)""".stripMargin,
+    """skt AS (SELECT source, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh)""".stripMargin,
+    """sk AS (SELECT source, list(h ORDER BY h) AS sk
+      |       FROM skt WHERE rn <= 64 GROUP BY source)""".stripMargin,
+    """pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS sa, b.sk AS sb,
+      |         (list_sort(list_distinct(a.sk || b.sk)))[1:64] AS u
+      |  FROM sk a JOIN sk b ON a.source < b.source)""".stripMargin,
+    """est AS (
+      |  SELECT src_a, src_b, CAST(len(u) AS BIGINT) AS n_sketch,
+      |    CAST(len(list_intersect(list_intersect(u, sa), sb)) AS BIGINT)
+      |      AS n_both,
+      |    u[-1] AS v
+      |  FROM pr)""".stripMargin,
+    "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dh GROUP BY source)",
+    """intr AS (
+      |  SELECT x.source AS src_a, y.source AS src_b,
+      |         CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM dh x JOIN dh y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY 1, 2)""".stripMargin)(
+    """SELECT e.src_a, e.src_b, e.n_sketch, e.n_both,
+      |  CAST(e.n_both AS DOUBLE) / e.n_sketch AS j_est,
+      |  CAST(e.n_sketch - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |    / CAST(e.v AS DOUBLE) AS union_est,
+      |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) AS j_exact
+      |FROM est e
+      |JOIN cnt ca ON ca.source = e.src_a
+      |JOIN cnt cb ON cb.source = e.src_b
+      |LEFT JOIN intr i ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> withCtes(docWordsSql)(
       s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
@@ -827,44 +917,11 @@ object TextQueries {
     // sketches (window form — the oracle need not be scale-shaped),
     // same array arithmetic; 2^60 is a power of two so the union_est
     // constant is exact in both engines' doubles
-    "corpus_overlap_kmv" -> withCtes(docWordsSql,
-      """sh AS (
-        |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM (SELECT source, w,
-        |          unnest(range(1, greatest(len(w) - 1, 1))) AS i
-        |        FROM words))""".stripMargin,
-      """dh AS (SELECT DISTINCT source,
-        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh)""".stripMargin,
-      """skt AS (SELECT source, h,
-        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh)""".stripMargin,
-      """sk AS (SELECT source, list(h ORDER BY h) AS sk
-        |       FROM skt WHERE rn <= 64 GROUP BY source)""".stripMargin,
-      """pr AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS sa, b.sk AS sb,
-        |         (list_sort(list_distinct(a.sk || b.sk)))[1:64] AS u
-        |  FROM sk a JOIN sk b ON a.source < b.source)""".stripMargin,
-      """est AS (
-        |  SELECT src_a, src_b, CAST(len(u) AS BIGINT) AS n_sketch,
-        |    CAST(len(list_intersect(list_intersect(u, sa), sb)) AS BIGINT)
-        |      AS n_both,
-        |    u[-1] AS v
-        |  FROM pr)""".stripMargin,
-      "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dh GROUP BY source)",
-      """intr AS (
-        |  SELECT x.source AS src_a, y.source AS src_b,
-        |         CAST(count(*) AS BIGINT) AS n_inter
-        |  FROM dh x JOIN dh y ON x.h = y.h AND x.source < y.source
-        |  GROUP BY 1, 2)""".stripMargin)(
-      """SELECT e.src_a, e.src_b, e.n_sketch, e.n_both,
-        |  CAST(e.n_both AS DOUBLE) / e.n_sketch AS j_est,
-        |  CAST(e.n_sketch - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-        |    / CAST(e.v AS DOUBLE) AS union_est,
-        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-        |    / (ca.n + cb.n - coalesce(i.n_inter, 0)) AS j_exact
-        |FROM est e
-        |JOIN cnt ca ON ca.source = e.src_a
-        |JOIN cnt cb ON cb.source = e.src_b
-        |LEFT JOIN intr i ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin),
+    "corpus_overlap_kmv" -> kmvOracleSql,
+
+    // the incremental sketch-merge must equal the full recompute —
+    // one oracle for both
+    "corpus_overlap_kmv_incremental" -> kmvOracleSql,
 
     // the oracle is the EXACT heavy-hitter query the sketch+verify
     // pipeline must reproduce: same tokenization, same strict
