@@ -216,7 +216,7 @@ object TextQueries {
         col("n").as("n_a"))), Seq("src_a"))
       .join(broadcast(cnt.select(col("source").as("src_b"),
         col("n").as("n_b"))), Seq("src_b"))
-      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
       .select(col("src_a"), col("src_b"), col("n_sketch"), col("n_both"),
         (col("n_both").cast("double") / col("n_sketch")).as("j_est"),
