@@ -322,6 +322,37 @@ object TextQueries {
       tops.reduce(_ unionByName _)
     }),
 
+    // tokenizer APPLICATION (the other half of the BPE story): encode
+    // the corpus with the learned merge table. Encoding a corpus never
+    // touches documents symbol-by-symbol — the VOCABULARY is encoded
+    // once (the same merge rounds training already materializes, so the
+    // final sequence state IS the encoded dictionary), and documents
+    // just join their words against the per-word symbol counts. Output:
+    // per-doc whitespace-token, BPE-symbol, and char counts — the
+    // compression a 4-merge vocabulary buys.
+    "bpe_encode" -> ((s, dir) => {
+      val dw = docWords(s, dir)
+      val vocab = dw.select(explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var cur = vocab
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("word"), col("freq"), col("i").cast("long").as("p"),
+          expr("substring(word, i, 1)").as("sym"))
+        .localCheckpoint(true)
+      for (_ <- 0 until 4) cur = bpeRound(s, cur)._2
+      val encLen = cur.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_sym"))
+      dw.select(col("doc_id"), explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .join(encLen, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_symbols"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
+    }),
+
     // cross-corpus overlap via KMV (k-minimum-values) sketches: every
     // source keeps only its k=64 SMALLEST 60-bit shingle hashes (a
     // coordinated min-wise sample — BottomKAgg, map-side bounded), and
@@ -917,6 +948,28 @@ object TextQueries {
     // sketches (window form — the oracle need not be scale-shaped),
     // same array arithmetic; 2^60 is a power of two so the union_est
     // constant is exact in both engines' doubles
+    // encoded-dictionary mirror: the same unrolled merge rounds, then
+    // per-word symbol counts joined back to the document words
+    "bpe_encode" -> withCtes((Seq(docWordsSql,
+      """vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(w) AS word FROM words)
+        |  WHERE length(word) >= 1 GROUP BY word)""".stripMargin,
+      """s0 AS (
+        |  SELECT word, freq, CAST(i AS BIGINT) AS p, substr(word, i, 1) AS sym
+        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        |        FROM vocab))""".stripMargin) ++
+      (0 until 4).flatMap(bpeRoundCtes) ++ Seq(
+      """enclen AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+        |           FROM s4 GROUP BY word)""".stripMargin,
+      """dwx AS (SELECT doc_id, unnest(w) AS word FROM words)""")): _*)(
+      """SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(e.n_sym) AS BIGINT) AS n_symbols,
+        |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+        |FROM dwx d JOIN enclen e USING (word)
+        |WHERE length(d.word) >= 1
+        |GROUP BY d.doc_id""".stripMargin),
+
     "corpus_overlap_kmv" -> kmvOracleSql,
 
     // the incremental sketch-merge must equal the full recompute —
