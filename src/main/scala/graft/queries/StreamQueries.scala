@@ -128,6 +128,21 @@ object StreamQueries {
         checkpoint = Some(s"$out-ckpt"))
       consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
         graft.streaming.CorpusIngest.readKept(s, out))
+    }),
+
+    // streaming twin of text_heavy_hitters (shared oracle): per-batch
+    // MG candidate sets land through the idempotent epoch sink; the
+    // mediant inequality makes their union a superset of the global
+    // heavy hitters, so the final exact re-count of landed candidates
+    // equals the one-pass batch answer.
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val out = tmp("hh")
+      graft.streaming.CorpusIngest.heavyHitterIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        graft.queries.TextQueries.exactHeavyHitters(
+          graft.queries.TextQueries.docTokens(s, dir),
+          s.read.parquet(out)))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +204,9 @@ object StreamQueries {
          |    SELECT 1 FROM bands b JOIN bands t
          |      ON (t.band0 = b.band0 OR t.band1 = b.band1)
          |    WHERE b.doc_id = c.doc_id
-         |      AND t.doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} != 0)""".stripMargin))
+         |      AND t.doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} != 0)""".stripMargin),
+
+    // the streamed candidate union + exact re-count must equal the
+    // one-pass batch heavy-hitter query — one oracle for both
+    "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"))
 }

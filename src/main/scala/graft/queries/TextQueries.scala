@@ -163,6 +163,43 @@ object TextQueries {
        |    CASE WHEN is_start THEN sym || sym_next ELSE sym END AS sym
        |  FROM sx$r WHERE NOT is_second)""".stripMargin)
 
+  /** Heavy-hitter threshold: with k=40 MG counters the guarantee covers
+    * every token above N/(k+1) = N/41. */
+  private[graft] val HhK = 40
+
+  /** Regex-token stream over plain documents (the text_heavy_hitters
+    * universe). */
+  private[graft] def docTokens(s: SparkSession, dir: String): DataFrame =
+    docWords(s, dir).select(
+      explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+        .as("token"))
+
+  /** Candidate tokens from one bounded Misra-Gries pass over `toks` —
+    * a guaranteed superset of the tokens above N/(HhK+1). */
+  private[graft] def mgCandidates(s: SparkSession,
+      toks: DataFrame): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.FreqSketchAgg(HhK)
+    toks.select(col("token")).as[String]
+      .groupByKey(_ => true).mapValues(identity)
+      .agg(agg.toColumn.name("m")).toDF("g", "m")
+      .select(explode(map_keys(col("m"))).as("token"))
+  }
+
+  /** Exact verify pass: re-count ONLY candidate tokens behind a
+    * broadcast semi-join and keep those with freq·(HhK+1) > N — any
+    * candidate SUPERSET yields the same deterministic output. */
+  private[graft] def exactHeavyHitters(toks: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand.select(col("token")).distinct()),
+        Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq") * (HhK + 1) > col("n_total"))
+      .select(col("token"), col("freq"), col("n_total"))
+  }
+
   /** Distinct (source, 60-bit shingle hash) rows over a docWords-shaped
     * frame — the universe both the KMV sketches and the exact-Jaccard
     * side draw from. */
@@ -274,20 +311,8 @@ object TextQueries {
     // deterministic (sketch content varies with merge order; the
     // answer doesn't). Oracle = the plain exact HAVING query.
     "text_heavy_hitters" -> ((s, dir) => {
-      import s.implicits._
-      val toks = docWords(s, dir).select(
-        explode(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
-          .as("token"))
-      val agg = new graft.functions.FreqSketchAgg(40)
-      val cand = toks.as[String].groupByKey(_ => true).mapValues(identity)
-        .agg(agg.toColumn.name("m")).toDF("g", "m")
-        .select(explode(map_keys(col("m"))).as("token"))
-      val tot = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(broadcast(cand), Seq("token"), "left_semi")
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        .crossJoin(broadcast(tot))
-        .filter(col("freq") * 41 > col("n_total"))
-        .select(col("token"), col("freq"), col("n_total"))
+      val toks = docTokens(s, dir)
+      exactHeavyHitters(toks, mgCandidates(s, toks))
     }),
 
     // BPE tokenizer training (the merge-table learner): 4 greedy rounds

@@ -80,4 +80,52 @@ object CorpusIngest {
   /** Kept doc ids from the landed store. */
   def readKept(s: SparkSession, out: String): DataFrame =
     s.read.parquet(out).select(col("doc_id"))
+
+  /** Streaming heavy-hitter candidate ingest: each micro-batch lands
+    * its own bounded Misra-Gries candidate set (≤ k tokens per epoch,
+    * via [[graft.queries.TextQueries.mgCandidates]]) under an
+    * epoch-partitioned dynamic overwrite — idempotent on replay, no
+    * memory sink. The union over epochs is a guaranteed superset of
+    * the GLOBAL heavy hitters: a token with overall frequency above
+    * N/(k+1) must exceed the threshold in at least one batch (the
+    * mediant inequality — Σf_b/ΣN_b > t implies some f_b/N_b > t), so
+    * it survives that batch's summary. A final exact re-count of the
+    * landed candidates (batch side) then yields the same deterministic
+    * answer as the one-pass batch query — which is why
+    * stream_heavy_hitters shares text_heavy_hitters' oracle. */
+  def heavyHitterIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+      .select(col("text"))
+    val name = s"hh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          val toks = batch.toDF().select(
+            explode(expr(
+              "filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+              .as("token"))
+          val cand = graft.queries.TextQueries.mgCandidates(s, toks)
+            .withColumn("ingest_epoch", lit(epoch))
+          val prev = s.conf.getOption(
+            "spark.sql.sources.partitionOverwriteMode")
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try cand.write.mode("overwrite").partitionBy("ingest_epoch")
+            .parquet(out)
+          finally prev match {
+            case Some(v) =>
+              s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => s.conf.unset(
+              "spark.sql.sources.partitionOverwriteMode")
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
 }
