@@ -243,4 +243,49 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("bpeRound merge application equals sequential greedy reference") {
+    // reference: classic sequential leftmost-non-overlapping merge
+    def greedy(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (x + y) :: greedy(rest, a, b)
+        case x :: rest => x :: greedy(rest, a, b)
+        case Nil => Nil
+      }
+    val wordGen = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ab".toSeq)).map(_.mkString))
+    samples(Gen.listOfN(12, wordGen), 6).foreach { ws0 =>
+      val words = ws0.distinct
+      val seqs = words.flatMap { w =>
+        w.zipWithIndex.map { case (c, i) =>
+          (w, 1L, (i + 1).toLong, c.toString)
+        }
+      }.toDF("word", "freq", "p", "sym")
+      val (top, next) = graft.queries.TextQueries.bpeRound(spark, seqs)
+      val (sa, sb, _) = top.as[(String, String, Long)].collect().head
+      val got = next.as[(String, Long, Long, String)].collect()
+        .groupBy(_._1)
+        .map { case (w, rows) => w -> rows.sortBy(_._3).map(_._4).toList }
+      val want = words
+        .map(w => w -> greedy(w.map(_.toString).toList, sa, sb)).toMap
+      assert(got === want, s"pair=($sa,$sb) words=$words")
+    }
+  }
+
+  test("KMV merge identity: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ B)") {
+    val setGen = Gen.listOfN(40, Gen.choose(0L, 200L))
+    samples(Gen.zip(setGen, setGen), 8).foreach { case (a, b) =>
+      val k = 8
+      def bottomK(xs: Seq[Long]): Seq[Long] = {
+        val agg = new graft.functions.BottomKAgg(k)
+        xs.toDF("h").as[Long].groupByKey(_ => true).mapValues(identity)
+          .agg(agg.toColumn.name("sk")).collect().head._2
+      }
+      assert(bottomK(a ++ b) === bottomK(bottomK(a) ++ b))
+      assert(bottomK(a ++ b) ===
+        (a ++ b).distinct.sorted.take(k),
+        "sketch is exactly the k smallest distinct values")
+    }
+  }
 }
