@@ -239,27 +239,36 @@ object GraphQueries {
     // round. Communities differ from connected components: a bridge
     // node joins the side with the heavier label vote, splitting
     // weakly-joined clusters that CC would merge.
-    "graph_labelprop" -> ((s, dir) => {
-      val e = flowEdges(s, dir)
-      val sed = e.select(col("src"), col("dst"))
-        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint(true)
-      var lbl = sed.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      for (_ <- 1 to LpIters) {
-        val nb = sed
-          .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), col("lbl"))
-        val ct = nb.groupBy(col("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-        lbl = ct.groupBy(col("node"))
-          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
-            .as("m"))
-          .select(col("node"), col("m.lbl").as("lbl"))
-          .localCheckpoint(true)
-      }
-      lbl.select(col("node").as("address"), col("lbl").as("community"))
-    }))
+    "graph_labelprop" -> ((s, dir) =>
+      labelPropagate(flowEdges(s, dir), LpIters)
+        .select(col("node").as("address"), col("lbl").as("community"))))
+
+  /** Synchronous LPA over a (src, dst) edge frame (symmetrized here):
+    * `iters` rounds of most-frequent-neighbor-label with a
+    * (count desc, label asc) tie-break. Factored out of the query so
+    * PropertySpec can drive it against a brute-force reference on
+    * random graphs. */
+  private[graft] def labelPropagate(edges: DataFrame,
+      iters: Int): DataFrame = {
+    val sed = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var lbl = sed.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val nb = sed
+        .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      val ct = nb.groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = ct.groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
+          .as("m"))
+        .select(col("node"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
 
   // ---- DuckDB oracles ---------------------------------------------------
 

@@ -273,6 +273,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate equals brute-force synchronous LPA on random graphs") {
+    def reference(edges: Seq[(String, String)], iters: Int)
+        : Map[String, String] = {
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lbl = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+          // (count desc, label asc) — the query's total-order tie-break
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))
+      .map(_.collect { case (a, b) if a != b => (s"n$a", s"n$b") })
+    samples(edgeGen, 6).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val gotMap = graft.queries.GraphQueries.labelPropagate(df, 3)
+        .as[(String, String)].collect().toMap
+      assert(gotMap === reference(edges, 3), s"edges=$edges")
+    }
+  }
+
   test("KMV merge identity: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ B)") {
     val setGen = Gen.listOfN(40, Gen.choose(0L, 200L))
     samples(Gen.zip(setGen, setGen), 8).foreach { case (a, b) =>
