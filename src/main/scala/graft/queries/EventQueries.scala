@@ -119,6 +119,32 @@ object EventQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // binned range join — the 100 TB twin of range_join_intervals
+    // (SHARED oracle): the broadcast+inequality form above becomes a
+    // nested-loop the moment the interval side outgrows a broadcast;
+    // here each interval explodes into the hour buckets it covers
+    // (constant fanout = interval length / bucket width), events derive
+    // their bucket map-side, and the join is a plain EQUI-join on the
+    // bucket — hash-joinable, co-partitionable, AQE-skew-splittable —
+    // with the exact range predicate applied after. Equivalence to the
+    // inequality-join form is part of the correctness gate.
+    "range_join_binned" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev
+        .select((floor(col("ets") / 3600) * 3600).as("w_start")).distinct()
+        .filter(floor(col("w_start") / 3600) % 24 === 0)
+        .withColumn("w_end", col("w_start") + 7200L)
+        .withColumn("bucket", explode(sequence(
+          floor(col("w_start") / 3600),
+          floor((col("w_end") - 1) / 3600))))
+      ev.withColumn("bucket", floor(col("ets") / 3600))
+        .join(intervals, Seq("bucket"))
+        .filter(col("ets") >= col("w_start") && col("ets") < col("w_end"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // gap-based sessionization (lag → new-session flag → running sum):
     // the classic two-window pattern; partitioned by user so it scales
     // with user cardinality, no global ordering anywhere.
@@ -211,6 +237,23 @@ object EventQueries {
             .cast("double").as("locf_value"))
     }))
 
+  /** Shared by the inequality-join and binned-equi-join range queries. */
+  private val rangeJoinOracleSql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS BIGINT) AS user_id,
+      |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+      |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+      |  FROM events),
+      |iv AS (
+      |  SELECT w_start, w_start + 7200 AS w_end FROM (
+      |    SELECT DISTINCT CAST(floor(ets / 3600) AS BIGINT) * 3600 AS w_start
+      |    FROM e)
+      |  WHERE CAST(floor(w_start / 3600) AS BIGINT) % 24 = 0)
+      |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM e JOIN iv ON e.ets >= iv.w_start AND e.ets < iv.w_end
+      |GROUP BY w_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "events_funnel" ->
       """WITH e AS (
@@ -266,21 +309,11 @@ object EventQueries {
         |      SELECT hstart - 3600, event_type, value FROM h)
         |GROUP BY win_start, event_type""".stripMargin,
 
-    "range_join_intervals" ->
-      """WITH e AS (
-        |  SELECT CAST(user_id AS BIGINT) AS user_id,
-        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
-        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
-        |  FROM events),
-        |iv AS (
-        |  SELECT w_start, w_start + 7200 AS w_end FROM (
-        |    SELECT DISTINCT CAST(floor(ets / 3600) AS BIGINT) * 3600 AS w_start
-        |    FROM e)
-        |  WHERE CAST(floor(w_start / 3600) AS BIGINT) % 24 = 0)
-        |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM e JOIN iv ON e.ets >= iv.w_start AND e.ets < iv.w_end
-        |GROUP BY w_start""".stripMargin,
+    "range_join_intervals" -> rangeJoinOracleSql,
+
+    // the binned equi-join rewrite must produce the identical result —
+    // one oracle proves the equivalence
+    "range_join_binned" -> rangeJoinOracleSql,
 
     "events_sessionize" ->
       """WITH e AS (
