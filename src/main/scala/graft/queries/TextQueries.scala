@@ -702,6 +702,45 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("rn"), col("quota"))
     }),
 
+    // weight-proportional deterministic sampling via PRIORITY SAMPLING
+    // (Duffield/Lund/Thorup): each doc gets priority w/u with u the
+    // md5-uniform in (0,1] (computed as w·2⁶⁰/h on exact integers — one
+    // multiply, one divide, bit-identical in both engines), each source
+    // keeps its k=10 highest priorities through the map-side-bounded
+    // TopKAgg (≤k+1 rows per mapper reach the shuffle — no per-stratum
+    // sort of all docs), and the (k+1)-th priority is the threshold τ
+    // that makes the sample ESTIMATE subset sums: ŵ = max(w, τ) for
+    // included docs is unbiased. The length-weighted doc sample a
+    // token-budgeted corpus audit draws.
+    "sample_weighted_priority" -> ((s, dir) => {
+      import s.implicits._
+      val M = 1152921504606846976L // 2^60, exact in doubles
+      val docs = docWords(s, dir).select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("w"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .withColumn("priority",
+          col("w").cast("double") * lit(M).cast("double")
+            / col("h").cast("double"))
+      val agg = new graft.functions.TopKAgg(11)
+      val top = docs
+        .select(col("source"), col("priority"), col("doc_id"))
+        .map(r => (r.getString(0),
+          graft.functions.TopKAgg.ScoredId(r.getDouble(1), r.getLong(2))))
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.toColumn.name("top")).toDF("source", "top")
+      top.select(col("source"),
+          when(size(col("top")) > 10,
+            element_at(col("top"), 11).getField("cos"))
+            .otherwise(lit(0.0)).as("tau"),
+          explode(slice(col("top"), 1, 10)).as("sel"))
+        .select(col("source"), col("sel.id").as("doc_id"),
+          col("sel.cos").as("priority"), col("tau"))
+        .join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("w"), col("priority"),
+          greatest(col("w").cast("double"), col("tau")).as("est_weight"))
+    }),
+
     // deterministic ~25% uniform sample: hash-bucket the key, keep 2 of 8
     // nibble values. Reproducible across runs/engines/cluster sizes —
     // the property `df.sample()` cannot give a training pipeline.
@@ -1183,6 +1222,30 @@ object TextQueries {
       """SELECT r.source, r.doc_id, r.rn, CAST(c.quota AS BIGINT) AS quota
         |FROM rk r JOIN cnt c USING (source)
         |WHERE r.rn <= c.quota""".stripMargin),
+
+    // full priority-sampling mirror: identical w·2⁶⁰/h priorities
+    // (2^60 exact in doubles), same (priority desc, doc_id) order, same
+    // (k+1)-th-priority threshold and max(w, τ) estimator
+    "sample_weighted_priority" -> withCtes(docWordsSql,
+      """pdocs AS (
+        |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM words)""".stripMargin,
+      """ppri AS (
+        |  SELECT *, CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST(h AS DOUBLE) AS priority
+        |  FROM pdocs)""".stripMargin,
+      """prk AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        |  FROM ppri)""".stripMargin,
+      """ptau AS (
+        |  SELECT source,
+        |    coalesce(max(CASE WHEN rn = 11 THEN priority END), 0.0) AS tau
+        |  FROM prk GROUP BY source)""".stripMargin)(
+      """SELECT r.source, r.doc_id, r.w, r.priority,
+        |  greatest(CAST(r.w AS DOUBLE), t.tau) AS est_weight
+        |FROM prk r JOIN ptau t USING (source) WHERE r.rn <= 10""".stripMargin),
 
     "sample_uniform" -> withCtes(docWordsSql)(
       """SELECT doc_id, lang, source FROM words
