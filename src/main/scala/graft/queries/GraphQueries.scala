@@ -42,6 +42,14 @@ object GraphQueries {
   /** Synchronous label-propagation rounds for graph_labelprop. */
   private val LpIters = 3
 
+  /** k-core peeling parameters: keep nodes with ≥ KCoreK surviving
+    * neighbors, peel for KCoreRounds synchronous rounds. Peeling is
+    * monotone (removals never resurrect), so round R's survivor set is
+    * a subset of round R−1's and set equality reduces to a count
+    * compare — the `converged` witness both engines emit. */
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
   /** PageRank iterations / scaling: rank starts at Scale (=1.0), each
     * round keeps 85% of flowed-in mass + a 15% teleport floor, all in
     * integer arithmetic: r' = 0.15·Scale + (85 · Σ (r div outdeg)) div 100. */
@@ -241,7 +249,65 @@ object GraphQueries {
     // weakly-joined clusters that CC would merge.
     "graph_labelprop" -> ((s, dir) =>
       labelPropagate(flowEdges(s, dir), LpIters)
-        .select(col("node").as("address"), col("lbl").as("community"))))
+        .select(col("node").as("address"), col("lbl").as("community"))),
+
+    // k-core decomposition (iterative degree peeling) over the flow
+    // graph: the densest-subgraph screen — addresses surviving the
+    // 2-core peel sit in cycles/dense pockets of the money flow, the
+    // set GraphSense's relation tables get queried hardest for. Every
+    // peel round drops nodes whose degree AMONG SURVIVORS is < k;
+    // monotone shrink makes the fixed-round unroll deterministic and
+    // the convergence witness a count compare, so the DuckDB mirror is
+    // bit-exact whether or not the peel has reached fixpoint.
+    "graph_kcore" -> ((s, dir) =>
+      kCorePeel(flowEdges(s, dir), KCoreK, KCoreRounds)
+        .select(col("node").as("address"), col("core_degree"),
+          col("converged"))))
+
+  /** Distinct symmetrized (src, dst) edge set — both directions of
+    * every undirected edge, so per-src counts are full degrees. */
+  private[graft] def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Degree of each surviving node counted over edges whose BOTH
+    * endpoints survive: two equi-joins against the survivor set (the
+    * same key each round, so a cluster co-partitions them) + one
+    * hash-agg. */
+  private def coreDegrees(sed: DataFrame, surv: DataFrame): DataFrame =
+    sed.join(surv.withColumnRenamed("node", "src"), Seq("src"))
+      .join(surv.select(col("node").as("dst")), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+  /** `rounds` synchronous peeling rounds toward the k-core: each round
+    * drops every node whose degree among SURVIVORS is < k. Returns the
+    * surviving nodes with their in-core degree plus a `converged`
+    * witness (round R's survivor count == round R−1's — valid because
+    * peeling shrinks monotonically). Shape at scale: per round, two
+    * co-partitionable equi-joins on the node key + one hash-agg; only
+    * (node) and (src, dst) tuples ever shuffle; lineage truncated per
+    * round. Factored out so PropertySpec can drive it against a
+    * brute-force peel on random graphs. */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val sed = symmetrized(edges).localCheckpoint(true)
+    var surv = sed.select(col("src").as("node")).distinct()
+    var prev = surv
+    for (_ <- 1 to rounds) {
+      prev = surv
+      surv = coreDegrees(sed, surv)
+        .filter(col("deg") >= k).select("node")
+        .localCheckpoint(true)
+    }
+    coreDegrees(sed, surv)
+      .withColumnRenamed("deg", "core_degree")
+      .crossJoin(broadcast(prev.agg(count(lit(1)).as("n_prev"))))
+      .crossJoin(broadcast(surv.agg(count(lit(1)).as("n_cur"))))
+      .withColumn("converged", col("n_prev") === col("n_cur"))
+      .select(col("node"), col("core_degree"), col("converged"))
+  }
 
   /** Synchronous LPA over a (src, dst) edge frame (symmetrized here):
     * `iters` rounds of most-frequent-neighbor-label with a
@@ -250,9 +316,7 @@ object GraphQueries {
     * random graphs. */
   private[graft] def labelPropagate(edges: DataFrame,
       iters: Int): DataFrame = {
-    val sed = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val sed = symmetrized(edges).localCheckpoint(true)
     var lbl = sed.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -417,7 +481,35 @@ object GraphQueries {
         """lp0 AS (SELECT node, node AS lbl
           |        FROM (SELECT DISTINCT src AS node FROM sedges))""".stripMargin) ++
       (0 until LpIters).flatMap(lpIterCtes): _*)(
-      s"SELECT node AS address, lbl AS community FROM lp$LpIters"))
+      s"SELECT node AS address, lbl AS community FROM lp$LpIters"),
+
+    // unrolled peeling: same two survivor joins + degree filter per
+    // round as the Spark loop; converged = count compare (monotone)
+    "graph_kcore" -> withCtes(
+      Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
+        """sedges AS (SELECT src, dst FROM fedges
+          |           UNION SELECT dst, src FROM fedges)""".stripMargin,
+        "ks0 AS (SELECT DISTINCT src AS node FROM sedges)") ++
+      (1 to KCoreRounds).flatMap(kcIterCtes) ++ Seq(
+        s"""kdf AS (SELECT e.src AS node,
+           |          CAST(count(*) AS BIGINT) AS core_degree
+           |        FROM sedges e
+           |        JOIN ks$KCoreRounds a ON a.node = e.src
+           |        JOIN ks$KCoreRounds b ON b.node = e.dst
+           |        GROUP BY e.src)""".stripMargin): _*)(
+      s"""SELECT node AS address, core_degree,
+         |  (SELECT count(*) FROM ks$KCoreRounds) =
+         |  (SELECT count(*) FROM ks${KCoreRounds - 1}) AS converged
+         |FROM kdf""".stripMargin))
+
+  /** One peel round's CTE block (reads ks{r-1}, defines ks{r}). */
+  private def kcIterCtes(r: Int): Seq[String] = Seq(
+    s"""kd$r AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+       |         FROM sedges e
+       |         JOIN ks${r - 1} a ON a.node = e.src
+       |         JOIN ks${r - 1} b ON b.node = e.dst
+       |         GROUP BY e.src)""".stripMargin,
+    s"ks$r AS (SELECT node FROM kd$r WHERE deg >= $KCoreK)")
 
   /** One LPA round's CTE block (reads lp{r}, defines lp{r+1}). */
   private def lpIterCtes(r: Int): Seq[String] = Seq(

@@ -338,9 +338,78 @@ object RelQueries {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(DecimalType(12, 2))).over(run)
             .cast("double").as("running_total"))
+    }),
+
+    // Z-ORDER data layout (multi-dimensional clustering): the 100 TB
+    // file-layout decision made measurable. Each row's two cluster
+    // keys are equal-width-binned (32 bins from data min/max), the bin
+    // bits are interleaved into a z-value, and the z-curve is cut into
+    // 32 fixed shards; the query emits every shard's (min, max) zone
+    // map in BOTH dimensions — the ranges a scan's file-skipping
+    // prunes on. The linear layout (range partition on x alone) is the
+    // control: its shards bound x tightly but span all of y, so a
+    // predicate on y can never skip a shard. All fixed-point integer
+    // arithmetic from the data's min/max — no global sort, no sampled
+    // range boundaries, fully distributed and bit-reproducible.
+    "layout_zorder" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+      val st = li.agg(min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+      val binned = li.crossJoin(broadcast(st))
+        .withColumn("bx", expr("((x - xmin) * 32) div (xmax - xmin + 1)"))
+        .withColumn("bv", expr("((y - ymin) * 32) div (ymax - ymin + 1)"))
+      val z = (0 until 5).map(i =>
+          shiftleft(shiftright(col("bx"), i).bitwiseAND(1), 2 * i + 1) +
+            shiftleft(shiftright(col("bv"), i).bitwiseAND(1), 2 * i))
+        .reduce(_ + _)
+      def shardStats(in: DataFrame, layout: String): DataFrame = in
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .select(lit(layout).as("layout"), col("shard"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      shardStats(binned.withColumn("z", z)
+          .withColumn("shard", expr("z div 32")), "zorder")
+        .unionByName(
+          shardStats(binned.withColumn("shard", col("bx")), "linear"))
     }))
 
+  /** The z-value bit-interleave as DuckDB arithmetic — term-for-term
+    * the Spark shiftleft/shiftright fold in layout_zorder. */
+  private val zTermsSql: String = (0 until 5).map(i =>
+    s"((bx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+      s"((bv // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH st AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin,
+         |         CAST(max(l_partkey) AS BIGINT) AS xmax,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ymin,
+         |         CAST(max(l_suppkey) AS BIGINT) AS ymax
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS x,
+         |         CAST(l_suppkey AS BIGINT) AS y,
+         |         ((CAST(l_partkey AS BIGINT) - xmin) * 32)
+         |           // (xmax - xmin + 1) AS bx,
+         |         ((CAST(l_suppkey AS BIGINT) - ymin) * 32)
+         |           // (ymax - ymin + 1) AS bv
+         |  FROM lineitem, st),
+         |z AS (SELECT x, y, bx, ($zTermsSql) AS zv FROM b)
+         |SELECT 'zorder' AS layout, CAST(zv // 32 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY zv // 32
+         |UNION ALL
+         |SELECT 'linear', CAST(bx AS BIGINT), CAST(count(*) AS BIGINT),
+         |  min(x), max(x), min(y), max(y)
+         |FROM b GROUP BY bx""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

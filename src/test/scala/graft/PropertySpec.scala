@@ -299,6 +299,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kCorePeel equals brute-force synchronous peeling on random graphs") {
+    def reference(edges: Seq[(String, String)], k: Int, rounds: Int)
+        : (Map[String, Long], Boolean) = {
+      val sed = (edges ++ edges.map(_.swap)).distinct
+      def degrees(surv: Set[String]): Map[String, Long] =
+        sed.filter(e => surv(e._1) && surv(e._2))
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var surv = sed.map(_._1).toSet
+      var prev = surv
+      for (_ <- 1 to rounds) {
+        prev = surv
+        surv = degrees(surv).filter(_._2 >= k).keySet
+      }
+      (degrees(surv), surv.size == prev.size)
+    }
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))
+      .map(_.collect { case (a, b) if a != b => (s"n$a", s"n$b") })
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val rows = graft.queries.GraphQueries.kCorePeel(df, 2, 3)
+        .as[(String, Long, Boolean)].collect()
+      val (wantDeg, wantConv) = reference(edges, 2, 3)
+      assert(rows.map(r => r._1 -> r._2).toMap === wantDeg,
+        s"edges=$edges")
+      assert(rows.forall(_._3 == wantConv), s"edges=$edges")
+    }
+  }
+
   test("KMV merge identity: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ B)") {
     val setGen = Gen.listOfN(40, Gen.choose(0L, 200L))
     samples(Gen.zip(setGen, setGen), 8).foreach { case (a, b) =>
