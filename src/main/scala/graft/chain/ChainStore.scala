@@ -62,6 +62,19 @@ object ChainStore extends ChainSink {
     else df
   }
 
+  /** Time-travel read of the epoch-keyed store: the table as it stood
+    * after batch `epoch` landed. `ingest_epoch` is a PARTITION column,
+    * so the as-of predicate prunes whole epoch directories at file
+    * listing — a snapshot read costs the snapshot's size, never the
+    * store's full history, and no data is ever rewritten to serve it
+    * (the epoch layout IS the version log, the way a log-structured
+    * table format keeps snapshots). */
+  def readTransactionsAsOf(s: SparkSession, out: String,
+      epoch: Long): DataFrame =
+    s.read.parquet(s"$out/transaction")
+      .filter(col("ingest_epoch") <= epoch)
+      .drop("ingest_epoch")
+
   /** Maintenance: compact a transaction store into the sealed batch
     * layout — epoch sub-partitions (and any small-file accumulation from
     * many micro-batches) collapse to one sorted file per bucket. A long-

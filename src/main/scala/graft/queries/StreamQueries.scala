@@ -130,6 +130,29 @@ object StreamQueries {
         graft.streaming.CorpusIngest.readKept(s, out))
     }),
 
+    // TIME TRAVEL over the epoch-keyed store: land three block-range
+    // batches as epochs 0/1/2, then read the table AS OF epoch 1 —
+    // the snapshot must equal the plain batch derivation over the
+    // first two ranges (the oracle). ingest_epoch is a partition
+    // column, so the as-of filter prunes whole epoch directories at
+    // file listing: a snapshot read costs the snapshot, not the
+    // history, with no copy-on-write — the epoch layout IS the
+    // version log.
+    "store_time_travel" -> ((s, dir) => {
+      val out = tmp("store")
+      val tx = graft.chain.Chain.transactions(s, dir)
+      val bounds = Seq(0L, 800L, 1600L, Long.MaxValue)
+      (0 until 3).foreach { e =>
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          tx.filter(col("block_id") >= bounds(e) &&
+            col("block_id") < bounds(e + 1)), out, e.toLong)
+      }
+      consumeEphemeral(s, Seq(out))(
+        graft.chain.ChainStore.readTransactionsAsOf(s, out, 1L)
+          .groupBy(col("block_id"))
+          .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id")))
+    }),
+
     // streaming twin of text_heavy_hitters (shared oracle): per-batch
     // MG candidate sets land through the idempotent epoch sink; the
     // mediant inequality makes their union a superset of the global
@@ -208,5 +231,12 @@ object StreamQueries {
 
     // the streamed candidate union + exact re-count must equal the
     // one-pass batch heavy-hitter query — one oracle for both
-    "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"))
+    "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"),
+
+    // the as-of-epoch-1 snapshot is exactly the first two block ranges
+    "store_time_travel" -> withCtes(ChainSql.tx)(
+      """SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+        |  max(tx_id) AS max_tx_id
+        |FROM tx WHERE block_id < 1600
+        |GROUP BY block_id""".stripMargin))
 }

@@ -75,6 +75,31 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$cout/transaction__old").exists())
   }
 
+  test("as-of read returns each epoch's snapshot and prunes partitions") {
+    val dir = sf("sf0.001")
+    val tout = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "asof_").toString
+    val tx = Chain.transactions(spark, dir)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 0), tout, 0L)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 1), tout, 1L)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 2), tout, 2L)
+    // as-of each epoch == the prefix of batches replayed directly
+    assert(ChainStore.readTransactionsAsOf(spark, tout, 0L).count() ===
+      tx.filter(col("tx_id") % 3 === 0).count())
+    assert(ChainStore.readTransactionsAsOf(spark, tout, 1L).count() ===
+      tx.filter(col("tx_id") % 3 < 2).count())
+    // as-of the newest epoch == the plain full read
+    assert(ChainStore.readTransactionsAsOf(spark, tout, 2L).count() ===
+      ChainStore.readTransactions(spark, tout).count())
+    // the as-of predicate must reach the file listing as a partition
+    // filter — a snapshot read costs the snapshot, not the history
+    val plan = ChainStore.readTransactionsAsOf(spark, tout, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ingest_epoch.*"),
+      s"as-of filter not pushed to partition pruning:\n$plan")
+  }
+
   test("point lookup by tx id prunes to one bucket") {
     val lookup = ChainStore.lookupByTxId(spark, out, 7L)
     assert(lookup.count() === 1)
