@@ -235,6 +235,27 @@ object EventQueries {
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           last(col("hr_value"), ignoreNulls = true).over(locf)
             .cast("double").as("locf_value"))
+    }),
+
+    // freshness-weighted activity score (the feature-store "recency"
+    // signal): each event contributes 2^20, halved once per day of age
+    // — EXACT integer shift arithmetic (half-life = one day), so the
+    // score is bit-identical across engines where a float exp() decay
+    // would drift with accumulation order. Reference time is the corpus
+    // max timestamp (data-derived, sf-independent); ages cap at 40 days
+    // (the weight is 0 long before that; a shift past 62 is undefined).
+    // One broadcast 1-row reference + one hash-agg on user_id.
+    "events_decay_score" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ref = e.agg(max(col("ets")).as("ref_ets"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age_days", expr("(ref_ets - ets) div 86400"))
+        .withColumn("w",
+          expr("shiftright(1048576L, cast(least(age_days, 40) as int))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w")).as("decay_score"),
+          min(col("age_days")).as("last_seen_days"))
     }))
 
   /** Shared by the inequality-join and binned-equi-join range queries. */
@@ -308,6 +329,21 @@ object EventQueries {
         |      UNION ALL
         |      SELECT hstart - 3600, event_type, value FROM h)
         |GROUP BY win_start, event_type""".stripMargin,
+
+    "events_decay_score" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |r AS (SELECT max(ets) AS ref_ets FROM e),
+        |a AS (SELECT user_id, (ref_ets - ets) // 86400 AS age_days
+        |      FROM e, r)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(1048576 >> CAST(least(age_days, 40) AS INT)) AS BIGINT)
+        |    AS decay_score,
+        |  min(age_days) AS last_seen_days
+        |FROM a GROUP BY user_id""".stripMargin,
 
     "range_join_intervals" -> rangeJoinOracleSql,
 

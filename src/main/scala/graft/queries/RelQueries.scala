@@ -375,6 +375,51 @@ object RelQueries {
           .withColumn("shard", expr("z div 32")), "zorder")
         .unionByName(
           shardStats(binned.withColumn("shard", col("bx")), "linear"))
+    }),
+
+    // record linkage ACROSS relations (entity resolution): customers
+    // and suppliers are different tables with no shared key, linked by
+    // name similarity. The two-stage shape every 100 TB linkage uses:
+    // BLOCK on selective derived keys (two digit-substring probes,
+    // OR'd — each an EQUI-join, so candidates ∝ true matches, never
+    // |A|×|B|), then VERIFY candidates only with trigram Jaccard over
+    // the normalized name. The dedup family's LSH band+verify pattern,
+    // applied to a two-relation join.
+    "record_linkage" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cust_id"),
+        regexp_replace(col("c_name"), "[^0-9]", "").as("cd"))
+      val supp = table(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("supp_id"),
+        regexp_replace(col("s_name"), "[^0-9]", "").as("sd"))
+      val cb = cust.select(col("cust_id"),
+          explode(array(substring(col("cd"), 6, 4),
+            substring(col("cd"), 3, 4))).as("bkey")).distinct()
+      val sb = supp.select(col("supp_id"),
+          explode(array(substring(col("sd"), 6, 4),
+            substring(col("sd"), 3, 4))).as("bkey")).distinct()
+      val cand = cb.join(sb, Seq("bkey"))
+        .select("cust_id", "supp_id").distinct()
+      val ctr = cust
+        .select(col("cust_id"),
+          explode(sequence(lit(1), lit(7))).as("i"), col("cd"))
+        .select(col("cust_id"), expr("substring(cd, i, 3)").as("tri"))
+        .distinct()
+      val str = supp
+        .select(col("supp_id"),
+          explode(sequence(lit(1), lit(7))).as("i"), col("sd"))
+        .select(col("supp_id"), expr("substring(sd, i, 3)").as("tri"))
+        .distinct()
+      val cn = ctr.groupBy(col("cust_id")).agg(count(lit(1)).as("na"))
+      val sn = str.groupBy(col("supp_id")).agg(count(lit(1)).as("nb"))
+      cand.join(ctr, Seq("cust_id")).join(str, Seq("supp_id", "tri"))
+        .groupBy(col("cust_id"), col("supp_id"))
+        .agg(count(lit(1)).as("nc"))
+        .join(cn, Seq("cust_id")).join(sn, Seq("supp_id"))
+        .withColumn("j_trigram", col("nc").cast("double") /
+          (col("na") + col("nb") - col("nc")))
+        .filter(col("j_trigram") >= 0.8)
+        .select(col("cust_id"), col("supp_id"), col("j_trigram"))
     }))
 
   /** The z-value bit-interleave as DuckDB arithmetic — term-for-term
@@ -409,6 +454,38 @@ object RelQueries {
          |SELECT 'linear', CAST(bx AS BIGINT), CAST(count(*) AS BIGINT),
          |  min(x), max(x), min(y), max(y)
          |FROM b GROUP BY bx""".stripMargin,
+
+    "record_linkage" ->
+      """WITH cd AS (SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+        |        regexp_replace(c_name, '[^0-9]', '', 'g') AS d
+        |      FROM customer),
+        |sd AS (SELECT CAST(s_suppkey AS BIGINT) AS supp_id,
+        |        regexp_replace(s_name, '[^0-9]', '', 'g') AS d
+        |      FROM supplier),
+        |cb AS (SELECT DISTINCT cust_id, k FROM (
+        |        SELECT cust_id, substr(d, 6, 4) AS k FROM cd
+        |        UNION ALL SELECT cust_id, substr(d, 3, 4) FROM cd)),
+        |sb AS (SELECT DISTINCT supp_id, k FROM (
+        |        SELECT supp_id, substr(d, 6, 4) AS k FROM sd
+        |        UNION ALL SELECT supp_id, substr(d, 3, 4) FROM sd)),
+        |cand AS (SELECT DISTINCT cust_id, supp_id FROM cb JOIN sb USING (k)),
+        |ctr AS (SELECT DISTINCT cust_id, substr(d, CAST(i AS INT), 3) AS tri
+        |        FROM cd, range(1, 8) AS t(i)),
+        |str AS (SELECT DISTINCT supp_id, substr(d, CAST(i AS INT), 3) AS tri
+        |        FROM sd, range(1, 8) AS t(i)),
+        |cn AS (SELECT cust_id, CAST(count(*) AS BIGINT) AS na
+        |       FROM ctr GROUP BY cust_id),
+        |sn AS (SELECT supp_id, CAST(count(*) AS BIGINT) AS nb
+        |       FROM str GROUP BY supp_id),
+        |ov AS (SELECT c.cust_id, c.supp_id, CAST(count(*) AS BIGINT) AS nc
+        |       FROM cand c
+        |       JOIN ctr ON ctr.cust_id = c.cust_id
+        |       JOIN str ON str.supp_id = c.supp_id AND str.tri = ctr.tri
+        |       GROUP BY c.cust_id, c.supp_id)
+        |SELECT ov.cust_id, ov.supp_id,
+        |  CAST(nc AS DOUBLE) / (na + nb - nc) AS j_trigram
+        |FROM ov JOIN cn USING (cust_id) JOIN sn USING (supp_id)
+        |WHERE CAST(nc AS DOUBLE) / (na + nb - nc) >= 0.8""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
