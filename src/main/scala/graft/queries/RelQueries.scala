@@ -360,10 +360,10 @@ object RelQueries {
       val binned = li.crossJoin(broadcast(st))
         .withColumn("bx", expr("((x - xmin) * 32) div (xmax - xmin + 1)"))
         .withColumn("bv", expr("((y - ymin) * 32) div (ymax - ymin + 1)"))
-      val z = (0 until 5).map(i =>
-          shiftleft(shiftright(col("bx"), i).bitwiseAND(1), 2 * i + 1) +
-            shiftleft(shiftright(col("bv"), i).bitwiseAND(1), 2 * i))
-        .reduce(_ + _)
+      // the codegen'd Morton interleave (one fused loop) — the DSL
+      // fold alternative is 2·nBits shift/mask/add terms
+      val z = graft.functions.VectorFunctions
+        .bit_interleave(col("bx"), col("bv"), 5)
       def shardStats(in: DataFrame, layout: String): DataFrame = in
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_rows"),

@@ -55,6 +55,29 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("bit_interleave matches the shift/mask arithmetic fold") {
+    val xs = (0 until 200).map(i =>
+      ((i * 2654435761L) & 0x7fffffffL, (i * 40503L + 7) & 0x7fffffffL))
+    val df = xs.toDF("x", "y")
+    val fold = (0 until 16).map(i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i + 1) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i))
+      .reduce(_ + _)
+    val got = df.select(
+      VectorFunctions.bit_interleave(col("x"), col("y"), 16).as("z"),
+      fold.as("ref"))
+    assert(got.filter(col("z") =!= col("ref")).count() === 0)
+    // spot-check the bit layout: x → odd positions, y → even
+    val one = Seq((1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L)).toDF("x", "y")
+      .select(VectorFunctions.bit_interleave(col("x"), col("y"), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(one === Seq(2L, 1L, 10L, 5L))
+    // null intolerance
+    val n = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(VectorFunctions.bit_interleave(col("x"), col("y"), 4).as("z"))
+    assert(n.collect().head.isNullAt(0))
+  }
+
   test("GraftExtensions injection contract + SQL function") {
     // the shared test session predates builder extensions, so exercise the
     // injection contract directly and the SQL surface via register()
