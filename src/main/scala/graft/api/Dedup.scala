@@ -184,4 +184,58 @@ object Dedup {
 
   /** The oracle-checked 16-bit form. */
   def simhash16(words: DataFrame): DataFrame = simhash(words, 16)
+
+  /** The k bloom probe positions of a key, by double hashing
+    * (Kirsch–Mitzenmacher): g_i = (h1 + i·h2) mod m over the key's two
+    * independent 40-bit hash halves. Two real hashes give k probes with
+    * the classic filter's false-positive behavior — no per-probe
+    * rehashing of the key. SQL-expression form so both the Spark side
+    * and the DuckDB oracle state the identical arithmetic. */
+  private def bloomPosSql(i: Int, m: Int): String = s"((h1 + $i * h2) % $m)"
+
+  /** Build a bloom filter over a key frame — input contract (h1, h2):
+    * the key's two 40-bit md5 halves (both non-negative, as
+    * [[minhashSignatures]] derives them). Returns ONE row (bm
+    * array<bigint>): the m-bit filter, ready to broadcast.
+    *
+    * This is the blocklist scale path: m/8 bytes regardless of key
+    * count (vs an exact broadcast set that grows with the list). The
+    * position explode is map-side; [[graft.functions.BloomBitmapAgg]]
+    * OR-combines per mapper, so the global aggregation moves one
+    * m-bit array per partition. */
+  def bloomBitmap(keys: DataFrame, m: Int = 512, k: Int = 2): DataFrame = {
+    require(m >= 64 && m % 64 == 0, s"m $m must be a multiple of 64")
+    require(k >= 1 && k <= 8, s"k $k outside [1, 8]")
+    val s = keys.sparkSession
+    import s.implicits._
+    val pos = keys
+      .select(explode(array((0 until k).map(i =>
+        expr(bloomPosSql(i, m))): _*)).as("pos"))
+      .as[Long]
+    pos.select(new graft.functions.BloomBitmapAgg(m).toColumn.name("bm"))
+      .toDF("bm")
+  }
+
+  /** Probe a (h1, h2)-keyed frame against a broadcast bloom bitmap:
+    * adds `is_candidate` = all k probe bits set. No false negatives —
+    * every inserted key passes; false positives are bounded by
+    * (1 − e^{−kn/m})^k and removed by the caller's confirm equi-join
+    * over the candidates only. The probe is pure column arithmetic
+    * against the one broadcast row — zero shuffle added to the
+    * probe-side scan. */
+  def bloomProbe(probe: DataFrame, bitmap: DataFrame,
+      m: Int = 512, k: Int = 2): DataFrame = {
+    require(m >= 64 && m % 64 == 0, s"m $m must be a multiple of 64")
+    require(k >= 1 && k <= 8, s"k $k outside [1, 8]")
+    val hit = (0 until k).map { i =>
+      val p = bloomPosSql(i, m)
+      // m is a multiple of 64, so pos % 64 == (h1 + i·h2) % 64 and the
+      // word index is pos div 64; Spark array indexing is 0-based
+      expr(s"(shiftright(bm[CAST($p div 64 AS INT)], " +
+        s"CAST($p % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    probe.crossJoin(broadcast(bitmap))
+      .withColumn("is_candidate", hit)
+      .drop("bm")
+  }
 }

@@ -336,6 +336,47 @@ object DedupQueries {
         .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .filter(col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
+    }),
+
+    // Bloom-filter blocklist prefilter — membership testing when the
+    // blocklist outgrows a broadcastable exact set: the list (here a
+    // hash-selected ~5% of content fingerprints, standing in for a
+    // known-bad-content list) is folded into ONE m-bit bitmap
+    // (BloomBitmapAgg: m/8 bytes broadcast regardless of list size),
+    // every doc is probed with k=2 pure-column bit tests (no join, no
+    // shuffle), and only the candidates — true matches plus the
+    // filter's false positives — pay the exact confirm equi-join.
+    // m = 512 is deliberately small for the fixture so the
+    // false-positive path is exercised; at 100 TB m scales to keep
+    // kn/m constant while staying kilobytes. Output = per-source
+    // audit: total/candidates/matched/false-positives/kept.
+    "bloom_blocklist" -> ((s, dir) => {
+      val m = 512
+      val k = 2
+      val docs = graft.chain.Chain.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          md5(col("text")).as("fp"),
+          expr("CAST(conv(substr(md5(text), 1, 10), 16, 10) AS BIGINT)")
+            .as("h1"),
+          expr("CAST(conv(substr(md5(text), 11, 10), 16, 10) AS BIGINT)")
+            .as("h2"))
+      val block = docs.filter(col("h1") % 20 === 0)
+        .select("fp", "h1", "h2").distinct()
+      val bm = graft.api.Dedup.bloomBitmap(block.select("h1", "h2"), m, k)
+      val probed = graft.api.Dedup.bloomProbe(docs, bm, m, k)
+      val matched = probed.filter(col("is_candidate"))
+        .join(block.select("fp"), Seq("fp"), "leftsemi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_matched"))
+      probed.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_total"),
+          sum(col("is_candidate").cast("long")).as("n_candidates"))
+        .join(matched, Seq("source"), "left")
+        .select(col("source"), col("docs_total"), col("n_candidates"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          (col("n_candidates") - coalesce(col("n_matched"), lit(0L)))
+            .as("n_false_pos"),
+          (col("docs_total") - coalesce(col("n_matched"), lit(0L)))
+            .as("n_kept"))
     }))
 
   /** Full-corpus clustering oracle — shared by `dedup_components` and
@@ -449,7 +490,44 @@ object DedupQueries {
         |  FROM bands a JOIN bands b
         |    ON a.i = b.i AND a.nv = b.nv AND a.doc_id < b.doc_id)""".stripMargin)(
       """SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin)) +
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin),
+
+    // bitmap bit set ⇔ position ∈ the blocklist's position set, so the
+    // mirror states bloom semantics as a set-membership EXISTS — exact,
+    // including which false positives fire
+    "bloom_blocklist" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS fp,
+        |         ('0x' || substr(md5(text), 1, 10))::BIGINT AS h1,
+        |         ('0x' || substr(md5(text), 11, 10))::BIGINT AS h2
+        |  FROM documents),
+        |block AS (SELECT DISTINCT fp, h1, h2 FROM d WHERE h1 % 20 = 0),
+        |pset AS (
+        |  SELECT DISTINCT (h1 + i * h2) % 512 AS pos
+        |  FROM block, (SELECT unnest(range(0, 2)) AS i)),
+        |probe AS (
+        |  SELECT doc_id, source, fp, bool_and(hit) AS is_candidate
+        |  FROM (
+        |    SELECT d.doc_id, d.source, d.fp,
+        |           EXISTS (SELECT 1 FROM pset p
+        |                   WHERE p.pos = (d.h1 + s.i * d.h2) % 512) AS hit
+        |    FROM d, (SELECT unnest(range(0, 2)) AS i) s)
+        |  GROUP BY doc_id, source, fp),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_matched FROM probe
+        |  WHERE is_candidate AND fp IN (SELECT fp FROM block)
+        |  GROUP BY source),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+        |         CAST(sum(CASE WHEN is_candidate THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_candidates
+        |  FROM probe GROUP BY source)
+        |SELECT b.source, b.docs_total, b.n_candidates,
+        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  b.n_candidates - CAST(coalesce(m.n_matched, 0) AS BIGINT)
+        |    AS n_false_pos,
+        |  b.docs_total - CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_kept
+        |FROM base b LEFT JOIN m USING (source)""".stripMargin) +
     // incremental maintenance must land on EXACTLY the full re-clustering:
     // sharing the oracle makes the equality part of the correctness gate
     ("dedup_components_incremental" -> componentsOracle)
