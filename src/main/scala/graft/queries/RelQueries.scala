@@ -377,6 +377,59 @@ object RelQueries {
           shardStats(binned.withColumn("shard", col("bx")), "linear"))
     }),
 
+    // zone-map PRUNING probe — the consumption side of layout_zorder:
+    // a 2-D box predicate (the second quarter of each dimension's
+    // range, derived from data min/max in exact integer math) is
+    // tested against every shard's zone map; a shard is READ only if
+    // its (min,max) box intersects the predicate box. Emits per
+    // layout: shards_total, shards_read, rows_scanned (rows in read
+    // shards) and rows_matched (exact predicate hits — identical
+    // across layouts, the soundness witness: pruning never loses a
+    // matching row). The z-order layout skips shards on BOTH
+    // dimensions; the linear control must read every shard the
+    // x-range admits with no help from y — the measured gap is the
+    // file-skipping payoff the layout buys at 100 TB.
+    "layout_zorder_probe" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+      val st = li.agg(min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        .withColumn("xlo", expr("xmin + (xmax - xmin + 1) div 4"))
+        .withColumn("xhi", expr("xmin + (xmax - xmin + 1) div 2"))
+        .withColumn("ylo", expr("ymin + (ymax - ymin + 1) div 4"))
+        .withColumn("yhi", expr("ymin + (ymax - ymin + 1) div 2"))
+      val binned = li.crossJoin(broadcast(st))
+        .withColumn("bx", expr("((x - xmin) * 32) div (xmax - xmin + 1)"))
+        .withColumn("bv", expr("((y - ymin) * 32) div (ymax - ymin + 1)"))
+      val z = graft.functions.VectorFunctions
+        .bit_interleave(col("bx"), col("bv"), 5)
+      def probe(in: DataFrame, layout: String): DataFrame = in
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .crossJoin(broadcast(st))
+        .withColumn("is_read",
+          !(col("max_x") < col("xlo") || col("min_x") > col("xhi") ||
+            col("max_y") < col("ylo") || col("min_y") > col("yhi")))
+        .agg(count(lit(1)).as("shards_total"),
+          sum(col("is_read").cast("long")).as("shards_read"),
+          sum(when(col("is_read"), col("n_rows")).otherwise(lit(0L)))
+            .as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("shards_total"),
+          col("shards_read"), col("rows_scanned"))
+      val matched = li.crossJoin(broadcast(st))
+        .filter(col("x").between(col("xlo"), col("xhi")) &&
+          col("y").between(col("ylo"), col("yhi")))
+        .agg(count(lit(1)).as("rows_matched"))
+      probe(binned.withColumn("z", z)
+          .withColumn("shard", expr("z div 32")), "zorder")
+        .unionByName(
+          probe(binned.withColumn("shard", col("bx")), "linear"))
+        .crossJoin(broadcast(matched))
+    }),
+
     // record linkage ACROSS relations (entity resolution): customers
     // and suppliers are different tables with no shared key, linked by
     // name similarity. The two-stage shape every 100 TB linkage uses:
@@ -420,6 +473,63 @@ object RelQueries {
           (col("na") + col("nb") - col("nc")))
         .filter(col("j_trigram") >= 0.8)
         .select(col("cust_id"), col("supp_id"), col("j_trigram"))
+    }),
+
+    // pre-flight JOIN-SIZE estimation (the decision input for
+    // broadcast-vs-shuffle and shuffle-partition sizing at 100 TB):
+    // |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated from a 1/16 hash-sample
+    // of the KEY SPACE — both sides filter to the same sampled keys AT
+    // THE SCAN, so the estimate branch aggregates 1/16 of each table,
+    // and ×16 unbiases it. Key-space sampling is the part that makes
+    // the estimator honest: a key keeps its FULL frequency mass on
+    // both sides (independent row-sampling would bias f_A·f_B down
+    // quadratically). The exact size rides along as the audit; a
+    // production pre-flight runs only the sampled branch.
+    "join_size_estimate" -> ((s, dir) => {
+      def freqs(t: String, k: String, sampled: Boolean): DataFrame = {
+        val base = table(s, dir, t).select(col(k).cast("long").as("k"))
+        val kept = if (sampled) base.filter(expr(
+          "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 10), 16, 10) AS BIGINT) % 16 = 0"))
+        else base
+        kept.groupBy(col("k")).agg(count(lit(1)).as("f"))
+      }
+      val est = freqs("orders", "o_orderkey", sampled = true)
+        .join(freqs("lineitem", "l_orderkey", sampled = true)
+          .withColumnRenamed("f", "g"), Seq("k"))
+        .agg((sum(col("f") * col("g")) * 16).as("est_join_size"),
+          count(lit(1)).as("n_sampled_keys"))
+      val exact = freqs("orders", "o_orderkey", sampled = false)
+        .join(freqs("lineitem", "l_orderkey", sampled = false)
+          .withColumnRenamed("f", "g"), Seq("k"))
+        .agg(sum(col("f") * col("g")).as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("n_sampled_keys"), col("est_join_size"),
+          col("exact_join_size"),
+          (col("est_join_size").cast("double") / col("exact_join_size"))
+            .as("est_ratio"))
+    }),
+
+    // ANALYZE-style column profiling in ONE scan: all per-column
+    // statistics (non-null/distinct counts, min/max) compute in a
+    // single aggregation pass over the integer key columns, then
+    // unpivot (stack) to the catalog's (column_name, stats…) shape.
+    // These are the numbers every planning decision reads — broadcast
+    // eligibility, AQE skew thresholds, bucketing counts — collected
+    // the way a 100 TB ANALYZE must be: one pass, no per-column scans.
+    "table_stats" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("long").as(s"${c}__min"),
+        max(col(c)).cast("long").as(s"${c}__max")))
+      table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(
+          "stack(4, " + cols.map(c =>
+            s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max")
+            .mkString(", ") +
+          ") AS (column_name, n_nonnull, n_distinct, min_val, max_val)"))
     }))
 
   /** The z-value bit-interleave as DuckDB arithmetic — term-for-term
@@ -454,6 +564,51 @@ object RelQueries {
          |SELECT 'linear', CAST(bx AS BIGINT), CAST(count(*) AS BIGINT),
          |  min(x), max(x), min(y), max(y)
          |FROM b GROUP BY bx""".stripMargin,
+
+    "layout_zorder_probe" ->
+      s"""WITH st AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin,
+         |         CAST(max(l_partkey) AS BIGINT) AS xmax,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ymin,
+         |         CAST(max(l_suppkey) AS BIGINT) AS ymax
+         |  FROM lineitem),
+         |box AS (
+         |  SELECT *, xmin + (xmax - xmin + 1) // 4 AS xlo,
+         |         xmin + (xmax - xmin + 1) // 2 AS xhi,
+         |         ymin + (ymax - ymin + 1) // 4 AS ylo,
+         |         ymin + (ymax - ymin + 1) // 2 AS yhi
+         |  FROM st),
+         |b AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS x,
+         |         CAST(l_suppkey AS BIGINT) AS y,
+         |         ((CAST(l_partkey AS BIGINT) - xmin) * 32)
+         |           // (xmax - xmin + 1) AS bx,
+         |         ((CAST(l_suppkey AS BIGINT) - ymin) * 32)
+         |           // (ymax - ymin + 1) AS bv
+         |  FROM lineitem, box),
+         |z AS (SELECT x, y, bx, ($zTermsSql) AS zv FROM b),
+         |shards AS (
+         |  SELECT 'zorder' AS layout, zv // 32 AS shard,
+         |         count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x,
+         |         min(y) AS min_y, max(y) AS max_y
+         |  FROM z GROUP BY zv // 32
+         |  UNION ALL
+         |  SELECT 'linear', bx, count(*), min(x), max(x), min(y), max(y)
+         |  FROM b GROUP BY bx),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM b, box
+         |  WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS shards_total,
+         |  CAST(sum(CASE WHEN NOT (max_x < xlo OR min_x > xhi
+         |                       OR max_y < ylo OR min_y > yhi)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS shards_read,
+         |  CAST(sum(CASE WHEN NOT (max_x < xlo OR min_x > xhi
+         |                       OR max_y < ylo OR min_y > yhi)
+         |           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  rows_matched
+         |FROM shards, box, m
+         |GROUP BY layout, rows_matched""".stripMargin,
 
     "record_linkage" ->
       """WITH cd AS (SELECT CAST(c_custkey AS BIGINT) AS cust_id,
@@ -702,5 +857,55 @@ object RelQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_total
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+
+    "join_size_estimate" ->
+      """WITH est AS (
+        |  SELECT CAST(sum(a.f * b.g) * 16 AS BIGINT) AS est_join_size,
+        |         CAST(count(*) AS BIGINT) AS n_sampled_keys
+        |  FROM (SELECT o_orderkey AS k, count(*) AS f FROM orders
+        |        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+        |              % 16 = 0
+        |        GROUP BY 1) a
+        |  JOIN (SELECT l_orderkey AS k, count(*) AS g FROM lineitem
+        |        WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 10))::BIGINT
+        |              % 16 = 0
+        |        GROUP BY 1) b USING (k)),
+        |ex AS (
+        |  SELECT CAST(sum(a.f * b.g) AS BIGINT) AS exact_join_size
+        |  FROM (SELECT o_orderkey AS k, count(*) AS f FROM orders GROUP BY 1) a
+        |  JOIN (SELECT l_orderkey AS k, count(*) AS g FROM lineitem GROUP BY 1) b
+        |    USING (k))
+        |SELECT n_sampled_keys, est_join_size, exact_join_size,
+        |  CAST(est_join_size AS DOUBLE) / exact_join_size AS est_ratio
+        |FROM est, ex""".stripMargin,
+
+    "table_stats" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(l_orderkey) AS BIGINT) AS n1,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
+        |    CAST(min(l_orderkey) AS BIGINT) AS mn1,
+        |    CAST(max(l_orderkey) AS BIGINT) AS mx1,
+        |    CAST(count(l_partkey) AS BIGINT) AS n2,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS d2,
+        |    CAST(min(l_partkey) AS BIGINT) AS mn2,
+        |    CAST(max(l_partkey) AS BIGINT) AS mx2,
+        |    CAST(count(l_suppkey) AS BIGINT) AS n3,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d3,
+        |    CAST(min(l_suppkey) AS BIGINT) AS mn3,
+        |    CAST(max(l_suppkey) AS BIGINT) AS mx3,
+        |    CAST(count(l_linenumber) AS BIGINT) AS n4,
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d4,
+        |    CAST(min(l_linenumber) AS BIGINT) AS mn4,
+        |    CAST(max(l_linenumber) AS BIGINT) AS mx4
+        |  FROM lineitem)
+        |SELECT n_rows, 'l_orderkey' AS column_name, n1 AS n_nonnull,
+        |  d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL
+        |SELECT n_rows, 'l_partkey', n2, d2, mn2, mx2 FROM a
+        |UNION ALL
+        |SELECT n_rows, 'l_suppkey', n3, d3, mn3, mx3 FROM a
+        |UNION ALL
+        |SELECT n_rows, 'l_linenumber', n4, d4, mn4, mx4 FROM a""".stripMargin)
 }
