@@ -262,7 +262,26 @@ object GraphQueries {
     "graph_kcore" -> ((s, dir) =>
       kCorePeel(flowEdges(s, dir), KCoreK, KCoreRounds)
         .select(col("node").as("address"), col("core_degree"),
-          col("converged"))))
+          col("converged"))),
+
+    // taint tracking (multi-source BFS): hop distance from a flagged
+    // seed set along the DIRECTED money flow — the "how far did funds
+    // from these addresses spread" sweep GraphSense's relation tables
+    // get queried for. Seeds = a ~2% hash-selected address set standing
+    // in for a sanctions/ransomware list; TaintRounds bounds the hop
+    // horizon the way a production sweep bounds its search depth, and
+    // the reached-set count compare witnesses whether the frontier
+    // already died out inside the bound.
+    "graph_taint" -> ((s, dir) => {
+      val edges = flowEdges(s, dir)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(expr(
+        s"CAST(conv(substr(md5(node), 1, 10), 16, 10) AS BIGINT) % $TaintSeedMod = 0"))
+      taintPropagate(edges, seeds, TaintRounds)
+        .select(col("node").as("address"), col("d").as("taint_hops"),
+          col("converged"))
+    }))
 
   /** Distinct symmetrized (src, dst) edge set — both directions of
     * every undirected edge, so per-src counts are full degrees. */
@@ -307,6 +326,41 @@ object GraphQueries {
       .crossJoin(broadcast(surv.agg(count(lit(1)).as("n_cur"))))
       .withColumn("converged", col("n_prev") === col("n_cur"))
       .select(col("node"), col("core_degree"), col("converged"))
+  }
+
+  /** Hop horizon / seed-selection modulus for graph_taint (~2% of
+    * addresses by a 40-bit md5 half — the DuckDB-mirrorable hash). */
+  private val TaintRounds = 3
+  private val TaintSeedMod = 50
+
+  /** `rounds` synchronous min-hop propagations from the seed set along
+    * DIRECTED edges (money moves src→dst, and so does taint). A node's
+    * hop distance is fixed the round it is first reached (BFS
+    * layering: a shorter path would have arrived in an earlier round),
+    * so the fixed-round unroll is deterministic whether or not the
+    * frontier died out, and an unchanged reached-set count is a sound
+    * convergence witness (no distance-r layer ⇒ no r+1 layer). Per
+    * round: ONE edge ⋈ distance equi-join on the node key + one min
+    * hash-agg — the same co-partitionable shape as the PageRank loop;
+    * lineage truncated per round. */
+  private[graft] def taintPropagate(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var dist = seeds.withColumn("d", lit(0L))
+    var prev = dist
+    for (_ <- 1 to rounds) {
+      prev = dist
+      val step = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(step)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+      .crossJoin(broadcast(prev.agg(count(lit(1)).as("n_prev"))))
+      .crossJoin(broadcast(dist.agg(count(lit(1)).as("n_cur"))))
+      .withColumn("converged", col("n_prev") === col("n_cur"))
+      .select(col("node"), col("d"), col("converged"))
   }
 
   /** Synchronous LPA over a (src, dst) edge frame (symmetrized here):
@@ -500,7 +554,32 @@ object GraphQueries {
       s"""SELECT node AS address, core_degree,
          |  (SELECT count(*) FROM ks$KCoreRounds) =
          |  (SELECT count(*) FROM ks${KCoreRounds - 1}) AS converged
-         |FROM kdf""".stripMargin))
+         |FROM kdf""".stripMargin),
+
+    // unrolled BFS: same union + min-hop hash-agg per round as the
+    // Spark loop; converged = reached-count compare (monotone growth)
+    "graph_taint" -> withCtes(
+      Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
+        """tnodes AS (SELECT src AS node FROM fedges
+          |           UNION SELECT dst FROM fedges)""".stripMargin,
+        s"""t0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM tnodes
+           |       WHERE ('0x' || substr(md5(node), 1, 10))::BIGINT
+           |             % $TaintSeedMod = 0)""".stripMargin) ++
+      (1 to TaintRounds).map(taintIterCte): _*)(
+      s"""SELECT node AS address, d AS taint_hops,
+         |  (SELECT count(*) FROM t$TaintRounds) =
+         |  (SELECT count(*) FROM t${TaintRounds - 1}) AS converged
+         |FROM t$TaintRounds""".stripMargin))
+
+  /** One BFS round as a CTE (reads t{r-1}, defines t{r}) — exact mirror
+    * of [[taintPropagate]]'s loop body. */
+  private def taintIterCte(r: Int): String =
+    s"""t$r AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+       |  SELECT node, d FROM t${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.d + 1 AS d
+       |  FROM fedges e JOIN t${r - 1} p ON p.node = e.src)
+       |GROUP BY node)""".stripMargin
 
   /** One peel round's CTE block (reads ks{r-1}, defines ks{r}). */
   private def kcIterCtes(r: Int): Seq[String] = Seq(

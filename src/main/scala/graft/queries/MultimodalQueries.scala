@@ -108,6 +108,39 @@ object MultimodalQueries {
         .select("query_id", "neighbor_id", "format", "rank", "cos")
     }),
 
+    // cross-modal temporal ALIGNMENT: every sampled video frame matched
+    // to the transcript chunk in force at its timestamp — the latest
+    // chunk with chunk_ts ≤ frame_ts within the same document. Runs on
+    // the custom range-partitioned AsOfJoinExec over a composite
+    // (doc_id·4096 + ts_ms) key: the per-clip timeline fits in 12 bits
+    // here (widen the shift to the real clip length at scale), and
+    // every doc has a chunk at ts 0, so the as-of carry can never leak
+    // across documents — ONE distributed as-of merge instead of a
+    // per-doc window sort over frames × chunks.
+    "multimodal_align" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val frames = docs
+        .withColumn("n_frames", expr(
+          "CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)"))
+        .withColumn("frame_no", explode(expr("sequence(0L, n_frames - 1)")))
+        .select(col("doc_id"), col("frame_no"),
+          (col("frame_no") * 1000L).as("frame_ts_ms"))
+        .withColumn("fk", col("doc_id") * 4096L + col("frame_ts_ms"))
+      val chunks = docs
+        .select(col("doc_id").as("c_doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(448)))
+            .as("chunk_start"))
+        .select(col("c_doc_id"),
+          expr("CAST((chunk_start - 1) div 448 AS BIGINT)").as("chunk_idx"),
+          md5(expr("substring(text, chunk_start, 512)")).as("chunk_md5"))
+        .withColumn("chunk_ts_ms", col("chunk_idx") * 700L)
+        .withColumn("ck", col("c_doc_id") * 4096L + col("chunk_ts_ms"))
+      graft.plans.AsOfJoin.asof(frames, chunks, "fk", "ck")
+        .select(col("doc_id"), col("frame_no"), col("frame_ts_ms"),
+          col("chunk_idx"), col("chunk_ts_ms"), col("chunk_md5"))
+    }),
+
     // metadata rollup: the decoded schema is a normal relational input
     "multimodal_format_stats" -> ((s, dir) => {
       import s.implicits._
@@ -147,6 +180,32 @@ object MultimodalQueries {
         |    unnest(range(0, CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)))
         |      AS frame_no
         |  FROM documents)""".stripMargin,
+
+    "multimodal_align" ->
+      """WITH f AS (
+        |  SELECT doc_id, frame_no, frame_no * 1000 AS frame_ts_ms,
+        |         doc_id * 4096 + frame_no * 1000 AS fk
+        |  FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |      unnest(range(0, CAST((instr('0123456789abcdef',
+        |        substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)))
+        |        AS frame_no
+        |    FROM documents)),
+        |c AS (
+        |  SELECT c_doc_id, chunk_idx, chunk_md5, chunk_idx * 700 AS chunk_ts_ms,
+        |         c_doc_id * 4096 + chunk_idx * 700 AS ck
+        |  FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS c_doc_id,
+        |      (chunk_start - 1) // 448 AS chunk_idx,
+        |      md5(substr(text, CAST(chunk_start AS INT), 512)) AS chunk_md5
+        |    FROM (SELECT doc_id, text,
+        |            unnest(generate_series(1, length(text), 448)) AS chunk_start
+        |          FROM documents)))
+        |SELECT f.doc_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+        |  CAST(f.frame_ts_ms AS BIGINT) AS frame_ts_ms,
+        |  CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(c.chunk_ts_ms AS BIGINT) AS chunk_ts_ms, c.chunk_md5
+        |FROM f ASOF LEFT JOIN c ON c.ck <= f.fk""".stripMargin,
 
     "multimodal_format_stats" -> withCtes(decodedSql)(
       """SELECT format, CAST(count(*) AS BIGINT) AS n_media,

@@ -678,6 +678,33 @@ object TextQueries {
           (col("n_hits").cast("double") / col("n_bigrams")).as("lm_score"))
     }),
 
+    // model-based quality scoring by FEATURE HASHING (the fastText
+    // inference shape): every distinct word of a doc is hashed into one
+    // of 4096 buckets (one md5 half, mod table size — collisions are
+    // the hashing trick's accepted lossiness), the weight table is a
+    // 4096-row dim joined BROADCAST (here derived deterministically
+    // from the bucket id, standing in for trained weights; in
+    // production it's the loaded model artifact), and a doc's score is
+    // the exact-integer weight sum — classifier inference as one
+    // map-side explode + one broadcast join + one hash-agg, no UDF, no
+    // per-row model call. The corpus-sized side shuffles once (the
+    // per-doc agg); the model never exceeds kilobytes.
+    "text_classifier_score" -> ((s, dir) => {
+      val feats = docWords(s, dir)
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(word), 1, 10), 16, 10) AS BIGINT) % 4096")
+            .as("bucket"))
+        .distinct()
+      val weights = s.range(4096).select(col("id").as("bucket"),
+        (col("id") * lit(2654435761L) % lit(1997L) - lit(998L)).as("wt"))
+      feats.join(broadcast(weights), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_features"), sum(col("wt")).as("score"))
+        .select(col("doc_id"), col("n_features"), col("score"),
+          (col("score") > 0).as("label"))
+    }),
+
     // temperature-rebalanced source mixing (the multinomial-mixture
     // resampling step of a pretraining data recipe, α = 1/2): each
     // source's quota ∝ √n_docs, members chosen by hash rank — small
@@ -1208,6 +1235,19 @@ object TextQueries {
         |  CAST(count(v.bigram) AS DOUBLE) / count(*) AS lm_score
         |FROM bi b LEFT JOIN vocab v USING (bigram)
         |GROUP BY b.doc_id""".stripMargin),
+
+    "text_classifier_score" -> withCtes(docWordsSql,
+      """feats AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(word), 1, 10))::BIGINT % 4096 AS bucket
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM words))""".stripMargin,
+      """wt AS (
+        |  SELECT i AS bucket, (i * 2654435761) % 1997 - 998 AS wt
+        |  FROM (SELECT unnest(range(0, 4096)) AS i))""".stripMargin)(
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |  CAST(sum(wt) AS BIGINT) AS score, sum(wt) > 0 AS label
+        |FROM feats JOIN wt USING (bucket)
+        |GROUP BY doc_id""".stripMargin),
 
     "corpus_mix" -> withCtes(docWordsSql,
       """cnt AS (

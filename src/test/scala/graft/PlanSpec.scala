@@ -220,4 +220,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dot_product_long"),
       s"bucket bits not computed via the codegen dot product:\n$plan")
   }
+
+  test("classifier scoring broadcasts the hashed weight table") {
+    // the model dim (4096 rows) must broadcast; the corpus side's only
+    // exchanges are the distinct-feature and per-doc aggs
+    assert(executedPlan("text_classifier_score")
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("bloom probe is a broadcast of one bitmap row, not a key join") {
+    val plan = executedPlan("bloom_blocklist")
+    // the m-bit filter arrives as a single broadcast row (nested-loop
+    // over exactly one row = pure column arithmetic per probe); the
+    // exact key join happens only on the confirmed candidates
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
