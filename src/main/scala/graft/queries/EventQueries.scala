@@ -256,6 +256,31 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("w")).as("decay_score"),
           min(col("age_days")).as("last_seen_days"))
+    }),
+
+    // volume-anomaly detection over the hourly series (the pipeline
+    // health monitor: a traffic spike or outage hour flags itself):
+    // per event type, an hour is anomalous when |x − μ| > 2σ over that
+    // type's own hourly distribution — evaluated in the SQUARED form
+    // (n·x − S)² > 4·(n·Q − S²) on exact integer count sums, so there
+    // is no sqrt, no float mean, and both engines agree bit-for-bit
+    // (n = hours, S = Σx, Q = Σx²; counts ≤ ~10⁶/hour keep the squares
+    // far inside int64 — above that, promote to DECIMAL(38,0)). One
+    // hourly hash-agg + one per-type stats agg broadcast back.
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ets div 3600) * 3600").as("hour_ts"))
+        .agg(count(lit(1)).as("x"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("qx"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("hour_ts"), col("x").as("n_events"),
+          ((col("n") * col("x") - col("sx")) *
+            (col("n") * col("x") - col("sx")) >
+            lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
+            .as("is_anomaly"))
     }))
 
   /** Shared by the inequality-join and binned-equi-join range queries. */
@@ -425,6 +450,22 @@ object EventQueries {
         |LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr""".stripMargin)
 
   /** The stateful variant shares the window-based oracle verbatim. */
-  val oraclesAll: Map[String, String] =
-    oracles + ("events_sessionize_stateful" -> oracles("events_sessionize"))
+  val oraclesAll: Map[String, String] = oracles +
+    ("events_sessionize_stateful" -> oracles("events_sessionize")) +
+    ("events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    (CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |      CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600) * 3600 AS hour_ts,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS qx
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour_ts, h.x AS n_events,
+        |  (st.n * h.x - st.sx) * (st.n * h.x - st.sx)
+        |    > 4 * (st.n * st.qx - st.sx * st.sx) AS is_anomaly
+        |FROM hourly h JOIN st USING (event_type)""".stripMargin)
 }
