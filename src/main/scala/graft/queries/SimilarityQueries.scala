@@ -287,6 +287,39 @@ object SimilarityQueries {
         .unionByName(recallOf("multiprobe",
           queries("embed_lsh_multiprobe")(s, dir)))
         .unionByName(recallOf("pq", queries("embed_pq_ann")(s, dir)))
+    }),
+
+    // random-projection dimensionality reduction (Achlioptas ±1 / sign
+    // JL): 64 quantized components → 8 projected, p_j = Σ_i sgn(i,j)·vᵢ
+    // with the sign grid derived from md5('rp|i|j') IN the expression —
+    // no weight matrix to ship, both engines regenerate it identically.
+    // All-integer projections (no float matmul), computed as ONE
+    // hash-agg over the 8-way dim-replicated explode; the emitted
+    // norm_ratio = |p|²/(8·|v|²) is the JL length-preservation witness
+    // (E[ratio] = 1) — the audit a 100 TB pipeline runs before swapping
+    // its ANN to the cheaper projected space.
+    "embed_rproj" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ee = e.select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "v")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"), col("v"))
+      val dims = s.range(1, 9).select(col("id").cast("int").as("j"))
+      val proj = ee.crossJoin(broadcast(dims))
+        .withColumn("sgn", expr(
+          "CASE WHEN instr('0123456789abcdef', " +
+            "substr(md5(concat('rp|', i, '|', j)), 1, 1)) % 2 = 0 " +
+          "THEN 1L ELSE -1L END"))
+        .groupBy(col("vec_id"))
+        .agg(
+          sum(when(col("j") === 1, col("v") * col("sgn")).otherwise(0L)).as("p1"),
+          (2 to 8).map(jj =>
+            sum(when(col("j") === jj, col("v") * col("sgn")).otherwise(0L))
+              .as(s"p$jj")): _*)
+      val p2 = (1 to 8).map(jj => col(s"p$jj") * col(s"p$jj"))
+        .reduce(_ + _)
+      proj.join(e.select(col("vec_id"), col("n2")), Seq("vec_id"))
+        .select(col("vec_id") +: (1 to 8).map(jj => col(s"p$jj")) :+
+          (p2.cast("double") / (col("n2") * 8L).cast("double"))
+            .as("norm_ratio"): _*)
     }))
 
   private[queries] val embSql: String =
@@ -873,5 +906,23 @@ object SimilarityQueries {
         |  FROM cdots
         |  JOIN norm nq ON nq.vec_id = cdots.doc_a
         |  JOIN norm nd ON nd.vec_id = cdots.doc_b)
-        |WHERE cos >= 0.99""".stripMargin))
+        |WHERE cos >= 0.99""".stripMargin),
+
+    "embed_rproj" -> withCtes(embSql, eeSql, normSql,
+      """sg AS (
+        |  SELECT e.vec_id, e.v, d.j,
+        |    CASE WHEN instr('0123456789abcdef',
+        |      substr(md5('rp|' || e.i || '|' || d.j), 1, 1)) % 2 = 0
+        |    THEN 1 ELSE -1 END AS sgn
+        |  FROM ee e, (SELECT unnest(range(1, 9)) AS j) d)""".stripMargin,
+      s"""pr AS (
+         |  SELECT vec_id,
+         |    ${(1 to 8).map(j =>
+             s"CAST(sum(CASE WHEN j = $j THEN v * sgn ELSE 0 END) AS BIGINT) AS p$j")
+             .mkString(",\n    ")}
+         |  FROM sg GROUP BY vec_id)""".stripMargin)(
+      s"""SELECT pr.vec_id, ${(1 to 8).map(j => s"p$j").mkString(", ")},
+         |  CAST(${(1 to 8).map(j => s"p$j * p$j").mkString(" + ")} AS DOUBLE)
+         |    / CAST(n.n2 * 8 AS DOUBLE) AS norm_ratio
+         |FROM pr JOIN norm n USING (vec_id)""".stripMargin))
 }
