@@ -530,7 +530,44 @@ object RelQueries {
             s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max")
             .mkString(", ") +
           ") AS (column_name, n_nonnull, n_distinct, min_val, max_val)"))
-    }))
+    }),
+
+    // text-format SOURCE coverage: the orders table written through CSV
+    // (header, default quoting) and read back with an EXPLICIT schema —
+    // never inferSchema, which costs an extra full pass and types by
+    // luck — then aggregated. Sharing the parquet-side oracle makes the
+    // round trip itself the assertion: every value survived the
+    // text encoding (doubles via shortest-round-trip formatting). The
+    // deterministic per-fixture path + overwrite keeps reruns clean.
+    "source_csv_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "csv")),
+
+    // same contract through JSON-lines — the interchange format the
+    // raw side of an ingest pipeline actually lands (one object per
+    // line splits cleanly, so a 100 TB read parallelizes like any
+    // line-oriented source).
+    "source_jsonl_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "json")))
+
+  /** Write orders through a text format, read back with explicit
+    * schema, aggregate — the shared body of the two source queries. */
+  private def sourceRoundtrip(s: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val src = table(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val out = s"target/tmp/source_${fmt}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    src.write.mode("overwrite").format(fmt)
+      .option("header", "true").save(out)
+    s.read.schema("o_orderkey LONG, o_custkey LONG, " +
+        "o_totalprice DOUBLE, o_orderstatus STRING")
+      .format(fmt).option("header", "true").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_price"))
+  }
 
   /** The z-value bit-interleave as DuckDB arithmetic — term-for-term
     * the Spark shiftleft/shiftright fold in layout_zorder. */
@@ -907,5 +944,14 @@ object RelQueries {
         |UNION ALL
         |SELECT n_rows, 'l_suppkey', n3, d3, mn3, mx3 FROM a
         |UNION ALL
-        |SELECT n_rows, 'l_linenumber', n4, d4, mn4, mx4 FROM a""".stripMargin)
+        |SELECT n_rows, 'l_linenumber', n4, d4, mn4, mx4 FROM a""".stripMargin) ++ {
+    // the roundtrips share ONE parquet-side oracle: equality proves the
+    // text encodings lossless, not just self-consistent
+    val rt =
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin
+    Map("source_csv_roundtrip" -> rt, "source_jsonl_roundtrip" -> rt)
+  }
 }
