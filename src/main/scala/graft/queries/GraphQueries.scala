@@ -281,6 +281,43 @@ object GraphQueries {
       taintPropagate(edges, seeds, TaintRounds)
         .select(col("node").as("address"), col("d").as("taint_hops"),
           col("converged"))
+    }),
+
+    // link prediction by common-neighbor Jaccard: for every 2-hop pair
+    // not already connected, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    // classic graph-ML feature for "these addresses will transact".
+    // Candidate pairs enumerate through midpoints (one self-join of the
+    // neighbor list on the midpoint key), so cost is Σ_w deg(w)² — the
+    // LinkMaxDeg cap drops hub midpoints before the quadratic step,
+    // exactly the triangle query's fanout-guard pattern (a hub's
+    // common-neighbor evidence is weak anyway: its presence in both
+    // neighborhoods says little). The intersection count from capped
+    // midpoints is a documented lower bound; degrees in the
+    // denominator stay exact and full. All-integer until one final
+    // division.
+    "graph_links_jaccard" -> ((s, dir) => {
+      val sed = symmetrized(flowEdges(s, dir))
+      val deg = sed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val mid = sed
+        .join(deg.filter(col("deg") <= lit(LinkMaxDeg)), Seq("src"))
+        .select(col("src").as("w"), col("dst").as("n"))
+      val cand = mid.select(col("w"), col("n").as("a"))
+        .join(mid.select(col("w"), col("n").as("b")), Seq("w"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      cand
+        .join(sed.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+        .join(deg.select(col("src").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("src").as("b"), col("deg").as("db")), Seq("b"))
+        .withColumn("j_link", col("common").cast("double") /
+          (col("da") + col("db") - col("common")))
+        // top-k, not a threshold: absolute Jaccard mass depends on the
+        // graph's density, so the ranking is the portable contract; the
+        // (score desc, a, b) total order makes the cut deterministic
+        // and TakeOrderedAndProject keeps it distributed
+        .orderBy(col("j_link").desc, col("a"), col("b")).limit(50)
+        .select(col("a"), col("b"), col("common"), col("j_link"))
     }))
 
   /** Distinct symmetrized (src, dst) edge set — both directions of
@@ -332,6 +369,11 @@ object GraphQueries {
     * addresses by a 40-bit md5 half — the DuckDB-mirrorable hash). */
   private val TaintRounds = 3
   private val TaintSeedMod = 50
+
+  /** Midpoint-degree cap for link prediction: a degree-d midpoint
+    * contributes d²/2 candidate pairs, so hubs are dropped before the
+    * quadratic expansion (same guard as TriangleMaxFanout). */
+  private val LinkMaxDeg = 30
 
   /** `rounds` synchronous min-hop propagations from the seed set along
     * DIRECTED edges (money moves src→dst, and so does taint). A node's
@@ -569,7 +611,34 @@ object GraphQueries {
       s"""SELECT node AS address, d AS taint_hops,
          |  (SELECT count(*) FROM t$TaintRounds) =
          |  (SELECT count(*) FROM t${TaintRounds - 1}) AS converged
-         |FROM t$TaintRounds""".stripMargin))
+         |FROM t$TaintRounds""".stripMargin),
+
+    "graph_links_jaccard" -> linksOracle)
+
+  /** Link-prediction mirror: same capped midpoint expansion, full
+    * degrees in the denominator, NOT EXISTS for the existing-edge
+    * anti-join. */
+  private def linksOracle: String = withCtes(
+    ChainSql.io, ChainSql.ioAddr, fedgesCte,
+    """sedges AS (SELECT src, dst FROM fedges
+      |           UNION SELECT dst, src FROM fedges)""".stripMargin,
+    """degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |         FROM sedges GROUP BY src)""".stripMargin,
+    s"""mid AS (SELECT e.src AS w, e.dst AS n
+       |        FROM sedges e JOIN degs d USING (src)
+       |        WHERE d.deg <= $LinkMaxDeg)""".stripMargin,
+    """cand AS (SELECT a.n AS a, b.n AS b,
+      |           CAST(count(*) AS BIGINT) AS common
+      |         FROM mid a JOIN mid b ON a.w = b.w AND a.n < b.n
+      |         GROUP BY 1, 2)""".stripMargin)(
+    """SELECT c.a, c.b, c.common,
+      |  CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS j_link
+      |FROM cand c
+      |JOIN degs da ON da.src = c.a
+      |JOIN degs db ON db.src = c.b
+      |WHERE NOT EXISTS (SELECT 1 FROM sedges e
+      |                  WHERE e.src = c.a AND e.dst = c.b)
+      |ORDER BY j_link DESC, c.a, c.b LIMIT 50""".stripMargin)
 
   /** One BFS round as a CTE (reads t{r-1}, defines t{r}) — exact mirror
     * of [[taintPropagate]]'s loop body. */

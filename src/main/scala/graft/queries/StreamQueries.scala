@@ -166,6 +166,33 @@ object StreamQueries {
         graft.queries.TextQueries.exactHeavyHitters(
           graft.queries.TextQueries.docTokens(s, dir),
           s.read.parquet(out)))
+    }),
+
+    // anomaly detection over the CONTINUOUSLY MAINTAINED hourly table:
+    // the watermarked streaming window-agg keeps the per-(type, hour)
+    // counts current through the complete-mode dashboard sink, and the
+    // z-score pass (the batch events_anomaly expressions verbatim) runs
+    // over that summary — hourly-row-sized input however large the raw
+    // stream was. Shares the batch oracle: the monitor on the live
+    // table provably flags the same hours a batch sweep would.
+    "stream_anomaly" -> ((s, dir) => {
+      val out = tmp("anom")
+      IncrementalIngest.windowedEventAgg(s, dir, out)
+      consumeEphemeral(s, Seq(out, s"$out-ckpt")) {
+        val hourly = s.read.parquet(out)
+          .select(col("event_type"), col("hour_ts"),
+            col("n_events").as("x"))
+        val stats = hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("qx"))
+        hourly.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_type"), col("hour_ts"),
+            col("x").as("n_events"),
+            ((col("n") * col("x") - col("sx")) *
+              (col("n") * col("x") - col("sx")) >
+              lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
+              .as("is_anomaly"))
+      }
     }))
 
   val oracles: Map[String, String] = Map(
@@ -232,6 +259,10 @@ object StreamQueries {
     // the streamed candidate union + exact re-count must equal the
     // one-pass batch heavy-hitter query — one oracle for both
     "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"),
+
+    // stream == batch: the monitor over the maintained hourly table
+    // must flag exactly the hours the batch sweep flags
+    "stream_anomaly" -> EventQueries.oraclesAll("events_anomaly"),
 
     // the as-of-epoch-1 snapshot is exactly the first two block ranges
     "store_time_travel" -> withCtes(ChainSql.tx)(

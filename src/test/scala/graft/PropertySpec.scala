@@ -328,6 +328,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("taintPropagate equals brute-force BFS layering on random digraphs") {
+    def reference(edges: Seq[(String, String)], seeds: Set[String],
+        rounds: Int): (Map[String, Long], Boolean) = {
+      val adj = edges.distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      var prevSize = dist.size
+      for (r <- 1 to rounds) {
+        prevSize = dist.size
+        val next = dist.keys
+          .flatMap(n => adj.getOrElse(n, Nil).map(_ -> (dist(n) + 1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = (dist.toSeq ++ next.toSeq).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      (dist, dist.size == prevSize)
+    }
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))
+      .map(_.collect { case (a, b) if a != b => (s"n$a", s"n$b") })
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      // deterministic seed pick: the two smallest node names, directed
+      // reach from them exercises both reached and unreached nodes
+      val seeds = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .sorted.take(2).toSet
+      val df = edges.toDF("src", "dst")
+      val seedDf = seeds.toSeq.toDF("node")
+      val rows = graft.queries.GraphQueries
+        .taintPropagate(df, seedDf, 3)
+        .as[(String, Long, Boolean)].collect()
+      val (wantDist, wantConv) = reference(edges, seeds, 3)
+      assert(rows.map(r => r._1 -> r._2).toMap === wantDist,
+        s"edges=$edges seeds=$seeds")
+      assert(rows.forall(_._3 == wantConv), s"edges=$edges")
+    }
+  }
+
   test("KMV merge identity: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ B)") {
     val setGen = Gen.listOfN(40, Gen.choose(0L, 200L))
     samples(Gen.zip(setGen, setGen), 8).foreach { case (a, b) =>
