@@ -545,7 +545,48 @@ object RelQueries {
     // raw side of an ingest pipeline actually lands (one object per
     // line splits cleanly, so a 100 TB read parallelizes like any
     // line-oriented source).
-    "source_jsonl_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "json")))
+    "source_jsonl_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "json")),
+
+    // MERGE INTO semantics (the lakehouse CDC apply) as one declarative
+    // plan: a change batch of updates / deletes / inserts (here
+    // hash-derived from the base so the oracle regenerates it) lands on
+    // the keyed base table via ONE full-outer equi-join — matched+U
+    // rewrites, matched+D drops, unmatched-change inserts, unmatched-
+    // base carries over. At scale the join co-partitions with the
+    // store's bucketing (writeBucketed) so a daily CDC apply shuffles
+    // only the change batch; price math stays DECIMAL-exact end to end
+    // (a double `+100` would round differently per engine at the sum).
+    "cdc_merge" -> ((s, dir) => {
+      val base = table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+        col("o_orderstatus").as("status"))
+        .withColumn("hb", expr(
+          "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 10), 16, 10) AS BIGINT) % 10"))
+      val updates = base.filter(col("hb") === 0)
+        .select(col("k"), lit("U").as("op"),
+          (col("price") + 100).cast(DecimalType(12, 2)).as("new_price"),
+          col("status").as("new_status"))
+      val deletes = base.filter(col("hb") === 1)
+        .select(col("k"), lit("D").as("op"),
+          lit(null).cast(DecimalType(12, 2)).as("new_price"),
+          lit(null).cast("string").as("new_status"))
+      val inserts = base.filter(col("hb") === 2)
+        .select((col("k") + 20000000L).as("k"), lit("I").as("op"),
+          col("price").as("new_price"), lit("N").as("new_status"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      base.select("k", "price", "status")
+        .join(changes, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          when(col("op").isNotNull, col("new_price"))
+            .otherwise(col("price")).as("m_price"),
+          when(col("op").isNotNull, col("new_status"))
+            .otherwise(col("status")).as("m_status"))
+        .groupBy(col("m_status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_key"),
+          sum(col("m_price")).cast("double").as("sum_price"))
+    }))
 
   /** Write orders through a text format, read back with explicit
     * schema, aggregate — the shared body of the two source queries. */
@@ -953,5 +994,33 @@ object RelQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin
     Map("source_csv_roundtrip" -> rt, "source_jsonl_roundtrip" -> rt)
-  }
+  } + ("cdc_merge" ->
+    """WITH b AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |         o_orderstatus AS status,
+      |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+      |           % 10 AS hb
+      |  FROM orders),
+      |ch AS (
+      |  SELECT k, 'U' AS op, CAST(price + 100 AS DECIMAL(12,2)) AS new_price,
+      |         status AS new_status
+      |  FROM b WHERE hb = 0
+      |  UNION ALL
+      |  SELECT k, 'D', CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS VARCHAR)
+      |  FROM b WHERE hb = 1
+      |  UNION ALL
+      |  SELECT k + 20000000, 'I', price, 'N' FROM b WHERE hb = 2),
+      |m AS (
+      |  SELECT coalesce(c.k, b.k) AS k,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_price ELSE b.price END
+      |      AS m_price,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END
+      |      AS m_status
+      |  FROM b FULL OUTER JOIN ch c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op != 'D')
+      |SELECT m_status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_key,
+      |  CAST(sum(m_price) AS DOUBLE) AS sum_price
+      |FROM m GROUP BY 1""".stripMargin)
 }
