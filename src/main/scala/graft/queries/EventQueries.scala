@@ -258,6 +258,25 @@ object EventQueries {
           min(col("age_days")).as("last_seen_days"))
     }),
 
+    // SCD TYPE-2 history build: each user's event stream becomes
+    // validity intervals [valid_from, valid_to) — the value in force
+    // until the next change, open (null) for the current row. ONE
+    // window pass PARTITIONED BY USER (the scalable SCD2 shape: a
+    // global change log would funnel through one partition; per-key
+    // partitioning builds every key's history in parallel), total
+    // order (ets, event_id) so same-second events version
+    // deterministically. The as-of family reads such intervals;
+    // this operator WRITES them.
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ets"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ets"), col("value"))
+        .withColumn("valid_to", lead(col("ets"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ets").as("valid_from"), col("valid_to"))
+    }),
+
     // volume-anomaly detection over the hourly series (the pipeline
     // health monitor: a traffic spike or outage hour flags itself):
     // per event type, an hour is anomalous when |x − μ| > 2σ over that
@@ -452,6 +471,17 @@ object EventQueries {
   /** The stateful variant shares the window-based oracle verbatim. */
   val oraclesAll: Map[String, String] = oracles +
     ("events_sessionize_stateful" -> oracles("events_sessionize")) +
+    ("scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id, value,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events)
+        |SELECT user_id, event_id, value, ets AS valid_from,
+        |  lead(ets) OVER (PARTITION BY user_id
+        |                  ORDER BY ets, event_id) AS valid_to
+        |FROM e""".stripMargin) +
     ("events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type,
