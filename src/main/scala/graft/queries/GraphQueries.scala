@@ -283,6 +283,53 @@ object GraphQueries {
           col("converged"))
     }),
 
+    // HAIRCUT taint propagation — the value-weighted taint policy (the
+    // hop-count BFS above answers "how far"; this answers "how MUCH"):
+    // each tainted unit at an address splits across its outgoing value
+    // edges proportionally, t'(dst) = Σ floor(t(src)·v / vout(src)),
+    // two synchronous rounds. Everything is exact integer arithmetic —
+    // per-tx output values attribute floor(ov / n_inputs) to each
+    // input-output edge, seeds start at 2^20 ppm-style mass, and the
+    // proportional split is a single floor division — so the DuckDB
+    // unroll is bit-exact (t·v peaks ~2^57 on the fixture; a deployment
+    // at real satoshi volumes promotes the product to DECIMAL(38,0)).
+    // Per round: one edge ⋈ taint equi-join + one hash-agg, the
+    // PageRank loop's co-partitionable shape.
+    "graph_taint_haircut" -> ((s, dir) => {
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val nIn = ia.groupBy(col("tx_id")).agg(count(lit(1)).as("n_in"))
+      val ov = ioAddresses(s, dir).filter(!col("is_input"))
+        .select(col("tx_id"), col("address").as("dst"), col("value"))
+        .groupBy(col("tx_id"), col("dst")).agg(sum(col("value")).as("ov"))
+      val ve = ia.join(nIn, Seq("tx_id")).join(ov, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), expr("ov div n_in").as("v"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("v")).as("v"))
+        .filter(col("v") > 0)
+      val vesrc = ve.join(ve.groupBy(col("src"))
+        .agg(sum(col("v")).as("vout")), Seq("src"))
+        .localCheckpoint(true)
+      val nodes = ve.select(col("src").as("node"))
+        .unionByName(ve.select(col("dst").as("node"))).distinct()
+      val t0 = nodes.filter(expr(
+        s"CAST(conv(substr(md5(node), 1, 10), 16, 10) AS BIGINT) % $TaintSeedMod = 0"))
+        .withColumn("t", lit(1L << 20))
+      def round(t: DataFrame): DataFrame = vesrc
+        .join(t.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("(t * v) div vout").as("t"))
+        .groupBy(col("node")).agg(sum(col("t")).as("t"))
+        .filter(col("t") > 0)
+        .localCheckpoint(true)
+      val t1 = round(t0)
+      val t2 = round(t1)
+      t1.withColumnRenamed("t", "t1")
+        .join(t2.withColumnRenamed("t", "t2"), Seq("node"), "full_outer")
+        .select(col("node").as("address"),
+          coalesce(col("t1"), lit(0L)).as("taint_r1"),
+          coalesce(col("t2"), lit(0L)).as("taint_r2"))
+    }),
+
     // link prediction by common-neighbor Jaccard: for every 2-hop pair
     // not already connected, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
     // classic graph-ML feature for "these addresses will transact".
@@ -613,7 +660,43 @@ object GraphQueries {
          |  (SELECT count(*) FROM t${TaintRounds - 1}) AS converged
          |FROM t$TaintRounds""".stripMargin),
 
-    "graph_links_jaccard" -> linksOracle)
+    "graph_links_jaccard" -> linksOracle,
+
+    // unrolled haircut rounds: same per-tx value attribution,
+    // proportional floor split, and >0 pruning as the Spark loop
+    "graph_taint_haircut" -> withCtes(
+      Seq(ChainSql.io, ChainSql.ioAddr,
+        "ins AS (SELECT DISTINCT tx_id, address AS src FROM ioa WHERE is_input)",
+        """nin AS (SELECT tx_id, CAST(count(*) AS BIGINT) AS n_in
+          |        FROM ins GROUP BY tx_id)""".stripMargin,
+        """ovt AS (SELECT tx_id, address AS dst, CAST(sum(value) AS BIGINT) AS ov
+          |        FROM ioa WHERE NOT is_input GROUP BY tx_id, address)""".stripMargin,
+        """ve AS (SELECT src, dst, CAST(sum(ov // n_in) AS BIGINT) AS v
+          |       FROM ins JOIN nin USING (tx_id) JOIN ovt USING (tx_id)
+          |       WHERE src <> dst
+          |       GROUP BY src, dst
+          |       HAVING sum(ov // n_in) > 0)""".stripMargin,
+        "vo AS (SELECT src, CAST(sum(v) AS BIGINT) AS vout FROM ve GROUP BY src)",
+        """hn AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM ve UNION ALL SELECT dst FROM ve))""".stripMargin,
+        s"""h0 AS (SELECT node, CAST(1048576 AS BIGINT) AS t FROM hn
+           |       WHERE ('0x' || substr(md5(node), 1, 10))::BIGINT
+           |             % $TaintSeedMod = 0)""".stripMargin) ++
+      (1 to 2).map(haircutIterCte): _*)(
+      """SELECT coalesce(a.node, b.node) AS address,
+        |  CAST(coalesce(a.t, 0) AS BIGINT) AS taint_r1,
+        |  CAST(coalesce(b.t, 0) AS BIGINT) AS taint_r2
+        |FROM h1 a FULL OUTER JOIN h2 b ON a.node = b.node""".stripMargin))
+
+  /** One haircut round as a CTE (reads h{r-1}, defines h{r}) — exact
+    * mirror of graph_taint_haircut's round() closure. */
+  private def haircutIterCte(r: Int): String =
+    s"""h$r AS (SELECT dst AS node,
+       |          CAST(sum((t * v) // vout) AS BIGINT) AS t
+       |        FROM ve JOIN vo USING (src)
+       |        JOIN h${r - 1} p ON p.node = ve.src
+       |        GROUP BY dst
+       |        HAVING sum((t * v) // vout) > 0)""".stripMargin
 
   /** Link-prediction mirror: same capped midpoint expansion, full
     * degrees in the denominator, NOT EXISTS for the existing-edge
