@@ -48,4 +48,19 @@ object GraphMaterialize {
     }
     s.read.parquet(root)
   }
+
+  /** (src, dst, v) VALUE-weighted flow edges (the haircut taint's
+    * per-tx floor(ov/n_inputs) attribution summed per pair) — parked
+    * for the same reason as the distinct set: the derivation re-runs
+    * the io explode + input⋈output self-join per referencing plan,
+    * while the parked tier is a three-column pruned scan. */
+  def valueEdgeTable(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = s"${base(dir)}_ve"
+    lock.synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
 }
