@@ -28,6 +28,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,14 +39,34 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Deterministic cache policy: the materialized tiers under
+    // target/intermediate are keyed by fixture mtime, so whether a bench
+    // run found them warm or cold depended on what ran before it — r06
+    // vs r07 "regressions" were cache illusions. Build entries are now
+    // ALWAYS cold (tier root wiped first) and query entries always warm
+    // (builds precede them), so both are reproducible run-over-run.
+    {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val tiers = new java.io.File("target/intermediate")
+      if (tiers.exists()) rm(tiers)
+    }
+    // a failed build/query must never masquerade as a fast time: record
+    // failures per-entry (value -1) and count them into the summary
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // one-time builds run up front, each reported as its own entry —
     // the queries that use them then measure query latency on the built
     // architecture instead of burying the build in whichever query runs
     // first: the dedup intermediate tier and the CLUSTERED BY tables.
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { body; true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        errors += name; false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // each parked tier is its own entry (a single "dedup_materialize"
     // umbrella aliased round-over-round comparison once it grew from one
@@ -93,12 +114,23 @@ object Bench {
       graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
     }
 
+    // query entries: warm (builds already ran), best-of-2 — the first
+    // pass absorbs residual JIT/page-cache noise, the min is the number
+    // compared round-over-round. A failure in EITHER pass records the
+    // entry as failed (-1), never as a fast time.
     def time(names: Seq[String]): Seq[(String, Double)] =
       names.map { name =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try { name -> math.min(once(), once()) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name
+          name -> -1.0
+        }
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -110,10 +142,12 @@ object Bench {
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)
     val allResults = results ++ rest
-    val total = results.map(_._2).sum
-    val allTotal = allResults.map(_._2).sum
+    // failed entries (-1) must not reduce the totals
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val allTotal = allResults.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     // durable copy first (the full inventory is long and consoles
     // truncate), then the compact headline line LAST so a tail-capture
     // always gets the parseable totals; the file write must never take
@@ -130,7 +164,7 @@ object Bench {
     // only advertise the artifact when it was actually written — a stale
     // or missing pointer is worse than none
     val fullPtr = if (wroteFull) "\"target/bench.json\"" else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir","full":$fullPtr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":${errors.size},"sf":"$sfDir","full":$fullPtr}""")
     spark.stop()
   }
 }

@@ -134,12 +134,12 @@ object ConnectedComponents {
   /** Star fixpoint + label join over an explicit node universe. */
   private def labelsOver(nodes: DataFrame, edges: DataFrame, maxIter: Int)
       : DataFrame = {
-    var e = canonical(edges).localCheckpoint(true)
+    var e = Materialize.truncate(canonical(edges))
     var sig = checksum(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = Materialize.truncate(smallStar(largeStar(e)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       sig = nextSig

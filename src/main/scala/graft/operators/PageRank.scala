@@ -14,22 +14,23 @@ import org.apache.spark.sql.functions._
   * both keyed consistently (src / node), so consecutive rounds reuse the
   * shuffle partitioning; the (src, dst, outdeg) frame is materialized once
   * and lineage is truncated per round through the `materialize` hook —
-  * the default `localCheckpoint(true)` fits a single node; a cluster
-  * with executor loss / dynamic allocation passes `_.checkpoint()`
-  * (replicated, survives decommissioned executors).
+  * the default [[Materialize.truncate]] uses `localCheckpoint(true)` on a
+  * single node and switches to reliable `checkpoint()` (replicated,
+  * survives decommissioned executors) when the session has a checkpoint
+  * dir set; special deployments can still pass their own hook.
   */
 object PageRank {
   val Scale = 1000000L
 
   /** Per-round lineage truncation strategy (see class doc). */
   type Materializer = DataFrame => DataFrame
-  val LocalMaterializer: Materializer = _.localCheckpoint(true)
+  val DefaultMaterializer: Materializer = Materialize.truncate
 
   /** @param nodes one `node` column, distinct
     * @param edges  `src`/`dst` columns, distinct directed pairs
     * @return (node, rank) after `iters` rounds from a uniform start */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
-      materialize: Materializer = LocalMaterializer): DataFrame =
+      materialize: Materializer = DefaultMaterializer): DataFrame =
     loop(materialize(nodes), materialize(edges), iters, materialize)
 
   /** PageRank with the node set derived from the edge endpoints — the
@@ -38,7 +39,7 @@ object PageRank {
     * (possibly expensive) upstream edge pipeline runs a single time no
     * matter how many rounds follow. */
   def runFromEdges(edges: DataFrame, iters: Int,
-      materialize: Materializer = LocalMaterializer): DataFrame = {
+      materialize: Materializer = DefaultMaterializer): DataFrame = {
     val e = materialize(edges)
     val n = materialize(
       e.select(col("src").as("node"))

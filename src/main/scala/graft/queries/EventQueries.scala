@@ -21,21 +21,22 @@ object EventQueries {
   /** Session gap: a pause > 30 min starts a new session. */
   private val GapSeconds = 1800L
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to its µs TimestampType — read it as a long (nanos) and derive epoch
-    * seconds by exact integer division (a double division would lose
-    * precision above 2^53 ns). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set by
-    * Verify/Bench and documented on the [[graft.Graft]] facade) — not
-    * mutated here: a query builder must not side-effect session conf. */
+  /** events.ts has shipped at different parquet precisions across fixture
+    * generations (TIMESTAMP(NANOS) → nanos LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; TIMESTAMP(MICROS) →
+    * TIMESTAMP_NTZ). [[graft.functions.TimeColumns.epochSeconds]] branches
+    * on the OBSERVED type so every downstream query sees the same
+    * epoch-second `ets` regardless — session conf is never mutated here:
+    * a query builder must not side-effect the session. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    table(s, dir, "events").select(
+    val raw = table(s, dir, "events")
+    raw.select(
       col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),
       col("event_type"),
       col("value"),
       col("props"),
-      expr("ts div 1000000000").as("ets"))
+      graft.functions.TimeColumns.epochSeconds(raw).as("ets"))
       .withColumn("tsc", timestamp_seconds(col("ets")))
   }
 

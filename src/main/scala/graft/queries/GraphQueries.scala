@@ -25,7 +25,8 @@ import graft.queries.RefQueries.{entityLabels, EntityWindow}
   *  - graph_pagerank is O(iters) rounds of edge ⋈ rank equi-joins, each
   *    shuffling on the same key (src / node), so a cluster co-partitions
   *    consecutive rounds; lineage is truncated per round
-  *    (localCheckpoint locally, checkpoint on a cluster). All rank math
+  *    (Materialize.truncate: localCheckpoint locally, reliable checkpoint
+  *    when a checkpoint dir is set). All rank math
   *    is FIXED-POINT integer (ranks scaled by 1e6, floor division) —
   *    bit-identical across engines, partitionings, and cluster sizes,
   *    which floating-point PageRank cannot promise.
@@ -320,7 +321,7 @@ object GraphQueries {
       val ve = valueEdges(s, dir)
       val vesrc = ve.join(ve.groupBy(col("src"))
         .agg(sum(col("v")).as("vout")), Seq("src"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
       val nodes = ve.select(col("src").as("node"))
         .unionByName(ve.select(col("dst").as("node"))).distinct()
       val t0 = nodes.filter(expr(
@@ -331,7 +332,7 @@ object GraphQueries {
         .select(col("dst").as("node"), expr("(t * v) div vout").as("t"))
         .groupBy(col("node")).agg(sum(col("t")).as("t"))
         .filter(col("t") > 0)
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
       val t1 = round(t0)
       val t2 = round(t1)
       t1.withColumnRenamed("t", "t1")
@@ -406,14 +407,14 @@ object GraphQueries {
     * brute-force peel on random graphs. */
   private[graft] def kCorePeel(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    val sed = symmetrized(edges).localCheckpoint(true)
+    val sed = symmetrized(edges).transform(graft.operators.Materialize.truncate)
     var surv = sed.select(col("src").as("node")).distinct()
     var prev = surv
     for (_ <- 1 to rounds) {
       prev = surv
       surv = coreDegrees(sed, surv)
         .filter(col("deg") >= k).select("node")
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
     }
     coreDegrees(sed, surv)
       .withColumnRenamed("deg", "core_degree")
@@ -445,7 +446,7 @@ object GraphQueries {
     * lineage truncated per round. */
   private[graft] def taintPropagate(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(graft.operators.Materialize.truncate)
     var dist = seeds.withColumn("d", lit(0L))
     var prev = dist
     for (_ <- 1 to rounds) {
@@ -454,7 +455,7 @@ object GraphQueries {
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(step)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
     }
     dist
       .crossJoin(broadcast(prev.agg(count(lit(1)).as("n_prev"))))
@@ -470,7 +471,7 @@ object GraphQueries {
     * random graphs. */
   private[graft] def labelPropagate(edges: DataFrame,
       iters: Int): DataFrame = {
-    val sed = symmetrized(edges).localCheckpoint(true)
+    val sed = symmetrized(edges).transform(graft.operators.Materialize.truncate)
     var lbl = sed.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -483,7 +484,7 @@ object GraphQueries {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
           .as("m"))
         .select(col("node"), col("m.lbl").as("lbl"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
     }
     lbl
   }

@@ -104,7 +104,7 @@ object TextQueries {
     val top = pr.groupBy(col("sa"), col("sb"))
       .agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sa"), col("sb")).limit(1)
-      .localCheckpoint(true)
+      .transform(graft.operators.Materialize.truncate)
     val mt = pr.join(broadcast(top.select(col("sa"), col("sb"))),
         Seq("sa", "sb"))
       .select(col("word"), col("p"))
@@ -126,7 +126,7 @@ object TextQueries {
         row_number().over(wIdx).cast("long").as("pn"), col("sym2"))
       .select(col("word"), col("freq"), col("pn").as("p"),
         col("sym2").as("sym"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Materialize.truncate)
     (top, next)
   }
 
@@ -337,7 +337,7 @@ object TextQueries {
           explode(sequence(lit(1), length(col("word")))).as("i"))
         .select(col("word"), col("freq"), col("i").cast("long").as("p"),
           expr("substring(word, i, 1)").as("sym"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
       val tops = (0 until 4).map { r =>
         val (top, next) = bpeRound(s, cur)
         cur = next
@@ -365,7 +365,7 @@ object TextQueries {
           explode(sequence(lit(1), length(col("word")))).as("i"))
         .select(col("word"), col("freq"), col("i").cast("long").as("p"),
           expr("substring(word, i, 1)").as("sym"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Materialize.truncate)
       for (_ <- 0 until 4) cur = bpeRound(s, cur)._2
       val encLen = cur.groupBy(col("word"))
         .agg(count(lit(1)).as("n_sym"))

@@ -263,8 +263,10 @@ object IncrementalIngest {
       : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      .withColumn("tsc", timestamp_seconds(expr("ts div 1000000000")))
+    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    stream
+      .withColumn("tsc", timestamp_seconds(
+        graft.functions.TimeColumns.epochSeconds(stream)))
       .withWatermark("tsc", "1 hour")
       .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

