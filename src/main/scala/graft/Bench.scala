@@ -113,6 +113,12 @@ object Bench {
     val graphEntry = timed("graph_build") {
       graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
     }
+    // ann_recall's parked inputs: the six ANN variants' neighbor sets +
+    // brute-force ground truth (each variant's query entry still measures
+    // its own pipeline; this measures the one-time sweep materialization)
+    val annEntry = timed("ann_build") {
+      graft.ops.AnnMaterialize.buildAll(spark, sfDir)
+    }
 
     // query entries: warm (builds already ran), best-of-2 — the first
     // pass absorbs residual JIT/page-cache noise, the min is the number
@@ -137,7 +143,8 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val results = matEntries ++ Seq(bucketEntry, entityEntry, graphEntry) ++
+    val results = matEntries ++
+      Seq(bucketEntry, entityEntry, graphEntry, annEntry) ++
       time(headline)
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)

@@ -70,10 +70,22 @@ object ChainStore extends ChainSink {
     * (the epoch layout IS the version log, the way a log-structured
     * table format keeps snapshots). */
   def readTransactionsAsOf(s: SparkSession, out: String,
-      epoch: Long): DataFrame =
-    s.read.parquet(s"$out/transaction")
-      .filter(col("ingest_epoch") <= epoch)
+      epoch: Long): DataFrame = {
+    val df = s.read.parquet(s"$out/transaction")
+    // layout check, not an afterthought: a compacted (or batch-written)
+    // store has collapsed its epoch history — an as-of read against it
+    // has no snapshot to serve, and must say so rather than surface a
+    // generic unresolved-column error (or, worse, a full-table read if
+    // a future refactor made the filter optional).
+    require(df.schema.fieldNames.contains("ingest_epoch"),
+      s"store at $out/transaction is not epoch-keyed (batch layout or " +
+        "already compacted): its version history is gone, so a time-" +
+        "travel read cannot be served. Read it with readTransactions, " +
+        "or keep the epoch layout (skip compaction) where as-of reads " +
+        "are needed.")
+    df.filter(col("ingest_epoch") <= epoch)
       .drop("ingest_epoch")
+  }
 
   /** Maintenance: compact a transaction store into the sealed batch
     * layout — epoch sub-partitions (and any small-file accumulation from

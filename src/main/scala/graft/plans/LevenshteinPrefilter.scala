@@ -34,17 +34,35 @@ object LevenshteinPrefilter extends Rule[LogicalPlan]
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ LevenshteinPrefilter
 
+  /** Cast targets that hold every possible levenshtein value
+    * ([0, Int.MaxValue]) exactly. A NARROWING cast (tinyint/smallint, or
+    * a too-small decimal) can wrap under ANSI-off — `cast(300 AS TINYINT)
+    * = 44`, and 256 wraps to 0 — making the original predicate true for
+    * a pair whose true distance exceeds the bound; adding the
+    * length-difference guard there would DROP rows the user's predicate
+    * keeps. Such casts get no guard. FloatType is excluded too (24-bit
+    * mantissa rounds large counts, shifting the comparison). */
+  private def preservesIntRange(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DoubleType => true
+    case d: org.apache.spark.sql.types.DecimalType =>
+      d.precision - d.scale >= 10
+    case _ => false
+  }
+
   /** The levenshtein call inside a predicate side, looking through a
     * numeric cast — `cast(levenshtein(a, b) AS BIGINT) <= 20L` is what
     * the analyzer produces for a long literal, and whether the main
     * batch's cast-unwrapping has simplified it first depends on rule
-    * ordering we must not couple to. */
+    * ordering we must not couple to. Only WIDENING casts are looked
+    * through (see [[preservesIntRange]]). */
   private def levOf(e: Expression): Option[(Expression, Expression)] =
     e match {
       case Levenshtein(a, b, None) => Some((a, b))
-      // recurse through any stack of numeric casts (cast(cast(lev)))
-      case c: Cast if c.dataType.isInstanceOf[NumericType] =>
-        levOf(c.child)
+      // recurse through value-preserving casts only (cast(cast(lev)))
+      case c: Cast if preservesIntRange(c.dataType) => levOf(c.child)
       case _ => None
     }
 

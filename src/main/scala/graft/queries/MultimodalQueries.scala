@@ -112,22 +112,24 @@ object MultimodalQueries {
     // to the transcript chunk in force at its timestamp — the latest
     // chunk with chunk_ts ≤ frame_ts within the same document. Runs on
     // the custom range-partitioned AsOfJoinExec over a composite
-    // (doc_id·4096 + ts_ms) key: the per-clip timeline fits in 12 bits
-    // here (widen the shift to the real clip length at scale), and
-    // every doc has a chunk at ts 0, so the as-of carry can never leak
-    // across documents — ONE distributed as-of merge instead of a
-    // per-doc window sort over frames × chunks.
+    // (doc_id·shift + ts_ms) key. The shift is DERIVED FROM THE DATA —
+    // the next power of two above the largest timeline value on either
+    // side (one single-row aggregate, same driver-side footprint as the
+    // exec's partition-bounds sample): a fixed 12-bit shift silently
+    // aliased any chunk with ts ≥ 4096 into the NEXT document's
+    // keyspace. Every doc has a chunk at ts 0, so the as-of carry can
+    // never leak across documents — ONE distributed as-of merge instead
+    // of a per-doc window sort over frames × chunks.
     "multimodal_align" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val frames = docs
+      val framesBase = docs
         .withColumn("n_frames", expr(
           "CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 4 + 1 AS BIGINT)"))
         .withColumn("frame_no", explode(expr("sequence(0L, n_frames - 1)")))
         .select(col("doc_id"), col("frame_no"),
           (col("frame_no") * 1000L).as("frame_ts_ms"))
-        .withColumn("fk", col("doc_id") * 4096L + col("frame_ts_ms"))
-      val chunks = docs
+      val chunksBase = docs
         .select(col("doc_id").as("c_doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")), lit(448)))
             .as("chunk_start"))
@@ -135,7 +137,16 @@ object MultimodalQueries {
           expr("CAST((chunk_start - 1) div 448 AS BIGINT)").as("chunk_idx"),
           md5(expr("substring(text, chunk_start, 512)")).as("chunk_md5"))
         .withColumn("chunk_ts_ms", col("chunk_idx") * 700L)
-        .withColumn("ck", col("c_doc_id") * 4096L + col("chunk_ts_ms"))
+      // frame_ts_ms ≤ 3000 by construction (≤ 4 frames); the chunk side
+      // is text-length-dependent, so read its max once
+      val maxTs = math.max(3000L,
+        chunksBase.agg(coalesce(max(col("chunk_ts_ms")), lit(0L)))
+          .head().getLong(0))
+      val shift = java.lang.Long.highestOneBit(maxTs) * 2L
+      val frames = framesBase
+        .withColumn("fk", col("doc_id") * shift + col("frame_ts_ms"))
+      val chunks = chunksBase
+        .withColumn("ck", col("c_doc_id") * shift + col("chunk_ts_ms"))
       graft.plans.AsOfJoin.asof(frames, chunks, "fk", "ck")
         .select(col("doc_id"), col("frame_no"), col("frame_ts_ms"),
           col("chunk_idx"), col("chunk_ts_ms"), col("chunk_md5"))
@@ -153,6 +164,51 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_media"),
           sum(col("width") * col("height")).as("total_pixels"),
           max(col("width")).as("max_width"))
+    }),
+
+    // perceptual-hash near-duplicate detection over decoded frames: an
+    // aHash-style 32-bit fingerprint (pixel > frame mean, one bit per
+    // pixel; the pixel grid here comes from the STUBBED frame-0 decode —
+    // a real codec feeds its 8×8 luma grid into the identical pipeline),
+    // split into 4 × 8-bit bands — any pair at Hamming distance ≤ 3
+    // keeps at least one band intact (pigeonhole), so candidates are an
+    // equi-join on (band position, band value) and the exact bit_count
+    // verify only ever touches collisions. Same banded scale shape as
+    // dedup_simhash_pairs: no all-pairs stage at any corpus size; the
+    // shuffle carries (doc_id, 32-bit hash), never pixels. Runs on the
+    // dup-injected corpus, so the fixture guarantees positives.
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val px = graft.ops.TextCorpus.corpus(s, dir)
+        .select(col("doc_id"),
+          md5(concat(col("text"), lit("_0"))).as("h"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), lit(32))).as("i"), col("h"))
+        .select(col("doc_id"), col("i"), expr(
+          "CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)")
+          .as("p"))
+      // bit_i = pixel_i above the frame mean (32·p > Σp avoids division);
+      // the window and the groupBy share the doc_id partitioning, so the
+      // fingerprint costs ONE shuffle of the exploded pixels
+      val ph = px.withColumn("tot", sum(col("p")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("p") * 32 > col("tot"),
+            expr("shiftleft(1L, CAST(i - 1 AS INT))")).otherwise(0L))
+          .as("phash"))
+      val bands = ph.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bv", expr("shiftright(phash, CAST(8 * b AS INT)) % 256"))
+      val cand = bands
+        .select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+          col("b"), col("bv"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("phash").as("pb"), col("b"), col("bv")), Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb").distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 3)
     }))
 
   private val decodedSql: String =
@@ -181,10 +237,13 @@ object MultimodalQueries {
         |      AS frame_no
         |  FROM documents)""".stripMargin,
 
+    // the oracle states the INTENDED semantics directly (per-document
+    // as-of on the raw timestamps) — deliberately NOT the composite-key
+    // encoding, so a Spark-side key-packing bug cannot hide behind an
+    // oracle that shares it
     "multimodal_align" ->
       """WITH f AS (
-        |  SELECT doc_id, frame_no, frame_no * 1000 AS frame_ts_ms,
-        |         doc_id * 4096 + frame_no * 1000 AS fk
+        |  SELECT doc_id, frame_no, frame_no * 1000 AS frame_ts_ms
         |  FROM (
         |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |      unnest(range(0, CAST((instr('0123456789abcdef',
@@ -192,8 +251,7 @@ object MultimodalQueries {
         |        AS frame_no
         |    FROM documents)),
         |c AS (
-        |  SELECT c_doc_id, chunk_idx, chunk_md5, chunk_idx * 700 AS chunk_ts_ms,
-        |         c_doc_id * 4096 + chunk_idx * 700 AS ck
+        |  SELECT c_doc_id, chunk_idx, chunk_md5, chunk_idx * 700 AS chunk_ts_ms
         |  FROM (
         |    SELECT CAST(doc_id AS BIGINT) AS c_doc_id,
         |      (chunk_start - 1) // 448 AS chunk_idx,
@@ -205,13 +263,42 @@ object MultimodalQueries {
         |  CAST(f.frame_ts_ms AS BIGINT) AS frame_ts_ms,
         |  CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(c.chunk_ts_ms AS BIGINT) AS chunk_ts_ms, c.chunk_md5
-        |FROM f ASOF LEFT JOIN c ON c.ck <= f.fk""".stripMargin,
+        |FROM f ASOF LEFT JOIN c
+        |  ON c.c_doc_id = f.doc_id AND c.chunk_ts_ms <= f.frame_ts_ms""".stripMargin,
 
     "multimodal_format_stats" -> withCtes(decodedSql)(
       """SELECT format, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
         |  max(width) AS max_width
         |FROM decoded GROUP BY format""".stripMargin),
+
+    "multimodal_phash_pairs" -> withCtes(graft.ops.TextCorpus.corpusSql,
+      """px AS (
+        |  SELECT doc_id, i,
+        |    CAST(instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1
+        |         AS BIGINT) AS p
+        |  FROM (SELECT doc_id, md5(text || '_0') AS h,
+        |          unnest(generate_series(1, 32)) AS i
+        |        FROM corpus))""".stripMargin,
+      """tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id)""",
+      """ph AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum(CASE WHEN p * 32 > tot
+        |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)""".stripMargin,
+      """bands AS (
+        |  SELECT doc_id, phash, b,
+        |    (phash >> CAST(8 * b AS INT)) % 256 AS bv
+        |  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS b
+        |        FROM ph))""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, d.doc_id AS doc_b,
+        |    a.phash AS pa, d.phash AS pb
+        |  FROM bands a JOIN bands d
+        |    ON a.b = d.b AND a.bv = d.bv AND a.doc_id < d.doc_id)""".stripMargin)(
+      """SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin),
 
     "multimodal_embed_ann" -> withCtes(decodedSql,
       SimilarityQueries.embSql, SimilarityQueries.eeSql,

@@ -128,6 +128,44 @@ class PlanSpec extends SparkSpec {
     assert(nested.count() === expect)
   }
 
+  test("levenshtein prefilter refuses narrowing casts (ANSI-off wraparound)") {
+    import org.apache.spark.sql.functions.expr
+    graft.plans.LevenshteinPrefilter.ensureRegistered(spark)
+    // cast(lev AS TINYINT) wraps under ANSI-off: a true distance of 256
+    // casts to 0 and SATISFIES `<= 2` — a length-difference guard would
+    // silently drop such rows, so these shapes must get NO guard. y is
+    // 300+ chars longer than x, forcing distances past the tinyint range.
+    // (ANSI-on turns the wrap into a runtime error; the rule must be
+    // sound under BOTH, so it never looks through a narrowing cast.)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .selectExpr("substr(text, 1, 4) AS x",
+          "repeat(text, 1 + CAST(320 / greatest(length(text), 1) AS INT)) AS y")
+      for (shape <- Seq("cast(levenshtein(x, y) as tinyint) <= 2",
+          "cast(levenshtein(x, y) as smallint) < 3",
+          "cast(levenshtein(x, y) as decimal(3, 0)) <= 2.0")) {
+        val q = df.filter(expr(shape))
+        val opt = q.queryExecution.optimizedPlan.toString
+        assert(!(opt.contains("abs(") && opt.contains("length(")),
+          s"narrowing-cast shape '$shape' must not gain a guard:\n$opt")
+        // and the semantics stay the user's (wraparound included):
+        // compare against the projection-computed expected set
+        val expected = df.selectExpr(s"$shape AS keep")
+          .collect().count(r => !r.isNullAt(0) && r.getBoolean(0))
+        assert(q.count() === expected, s"'$shape' changed the result")
+      }
+      // sanity: at least one wrapped row actually satisfies the tinyint
+      // predicate here, i.e. the hazard this test pins is real
+      val wrapped = df.selectExpr(
+        "levenshtein(x, y) AS d", "cast(levenshtein(x, y) as tinyint) AS t")
+        .collect().count(r => r.getInt(0) > 2 && !r.isNullAt(1) &&
+          r.getByte(1) <= 2)
+      assert(wrapped > 0, "fixture produced no wraparound witnesses")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("segment dedup reads the parked segment tier, not the corpus") {
     val plan = executedPlan("text_segment_dedup")
     assert(plan.contains("target/intermediate"),

@@ -57,6 +57,14 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.streaming.IncrementalIngest.resumeGuard(spark, cout, Long.MaxValue)
     }
+    // ...and refuses time-travel reads with the layout message — the
+    // epoch history is gone, so ANY answer (full table included) would
+    // be a wrong snapshot
+    val e = intercept[IllegalArgumentException] {
+      ChainStore.readTransactionsAsOf(spark, cout, 0L)
+    }
+    assert(e.getMessage.contains("not epoch-keyed"),
+      s"unexpected failure shape: ${e.getMessage}")
   }
 
   test("compaction recovers the store after a crash between swap renames") {
