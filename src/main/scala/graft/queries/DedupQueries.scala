@@ -304,6 +304,34 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("doc_id"), col("n_members"))),
 
+    // per-PROVENANCE duplication profile: which domains bring the
+    // redundancy — the number a data recipe uses to discount a source's
+    // raw size to its effective (post-dedup) contribution. Reads the
+    // parked label tier; the only new work is two hash-aggs and a join
+    // to the domain map, so the profile is label-tier-sized at any
+    // corpus scale. Injected duplicates inherit their original's source.
+    "source_dedup_rate" -> ((s, dir) => {
+      val comp = graft.ops.DedupMaterialize.componentTable(s, dir)
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      val base = graft.chain.Chain.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      val srcOf = base.unionByName(
+        base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + graft.ops.TextCorpus.DupOffset)
+            .as("doc_id"), col("source")))
+      comp.select(col("node").as("doc_id"), col("component"))
+        .join(sizes, Seq("component"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_members") > 1, 1L).otherwise(0L))
+            .as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+    }),
+
     // 16-bit SimHash from per-word md5 nibbles: sum of ±1 votes per bit.
     // Pure hash-agg pipeline (words × 16 bit rows), codegen-friendly.
     "dedup_simhash" -> ((s, dir) =>
@@ -470,6 +498,28 @@ object DedupQueries {
         |WHERE levenshtein(a.head, b.head) <= 20""".stripMargin),
 
     "dedup_components" -> componentsOracle,
+
+    "source_dedup_rate" -> withRecursiveCtes(sigSqlCtes ++ Seq(
+      pairsSqlCte,
+      "nodes AS (SELECT doc_id AS node FROM corpus)",
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+      ccWalkCte("nodes", "edges"),
+      """cc AS (SELECT node, min(comp) AS component
+        |       FROM walk GROUP BY node)""".stripMargin,
+      """csz AS (SELECT component, count(*) AS n_members
+        |        FROM cc GROUP BY component)""".stripMargin,
+      """srcmap AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS node, source FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), source
+        |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin): _*)(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM cc JOIN csz USING (component) JOIN srcmap USING (node)
+        |GROUP BY source""".stripMargin),
 
     "dedup_keep_one_incremental" -> keepOneOracle,
 

@@ -729,6 +729,60 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("rn"), col("quota"))
     }),
 
+    // provenance quality profile: the per-domain distribution a data
+    // recipe is negotiated over — how much each source contributes, how
+    // its docs score, and what fraction survives the quality gate. All
+    // aggregates are integer sums (pass gates compare per-doc scores,
+    // each a single exact division), so the two ratios at the end are
+    // one double division each — engine-identical. One hash-agg on
+    // source: domains are few, so this is map-side-combined and tiny at
+    // any corpus size.
+    "source_quality_profile" -> ((s, dir) => {
+      val q = graft.api.Text.quality(docWords(s, dir))
+      docWords(s, dir).select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+        .withColumn("pass",
+          col("n_words") >= 5 && col("avg_word_len") <= 12.0 &&
+            col("stopword_ratio") >= 0.01)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("total_words"),
+          sum(col("n_chars_calc")).cast("long").as("total_chars"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("total_words"),
+          col("total_chars"), col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double"))
+            .as("pass_rate"),
+          (col("total_words").cast("double") / col("n_docs").cast("double"))
+            .as("avg_doc_words"))
+    }),
+
+    // domain-QUOTA mixing: each source contributes documents (hash-rank
+    // order) until a per-domain TOKEN budget fills — the "x billion
+    // tokens of web, y of code" recipe stated as data, not doc counts.
+    // A doc is admitted iff the budget is not exhausted before it, so
+    // the last admitted doc may straddle the boundary (standard greedy
+    // fill). The cumulative sum partitions by source: domains fill in
+    // parallel, and a budget fill is inherently a prefix scan WITHIN a
+    // domain — at 100 TB the unit of parallelism is the domain count,
+    // and a pathologically huge single domain would pre-aggregate to
+    // pack-group subtotals first (the pipeline_shards trick) before the
+    // per-group fill.
+    "corpus_mix_domain_quota" -> ((s, dir) => {
+      val budget = 800L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docWords(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"))
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") - col("n_tokens") < budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
+    }),
+
     // weight-proportional deterministic sampling via PRIORITY SAMPLING
     // (Duffield/Lund/Thorup): each doc gets priority w/u with u the
     // md5-uniform in (0,1] (computed as w·2⁶⁰/h on exact integers — one
@@ -1262,6 +1316,40 @@ object TextQueries {
       """SELECT r.source, r.doc_id, r.rn, CAST(c.quota AS BIGINT) AS quota
         |FROM rk r JOIN cnt c USING (source)
         |WHERE r.rn <= c.quota""".stripMargin),
+
+    "source_quality_profile" -> withCtes(docWordsSql,
+      s"""q AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    ${graft.api.Text.avgWordLenSql} AS avg_word_len,
+         |    CAST(${hitsSql("en")} AS DOUBLE) / len(w) AS stopword_ratio
+         |  FROM words)""".stripMargin)(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_chars_calc) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN n_words >= 5 AND avg_word_len <= 12.0
+        |                     AND stopword_ratio >= 0.01
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN n_words >= 5 AND avg_word_len <= 12.0
+        |                     AND stopword_ratio >= 0.01
+        |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate,
+        |  CAST(sum(n_words) AS DOUBLE) / count(*) AS avg_doc_words
+        |FROM q GROUP BY source""".stripMargin),
+
+    "corpus_mix_domain_quota" -> withCtes(docWordsSql,
+      """toks AS (
+        |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM words)""".stripMargin,
+      """fill AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY hk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks)""".stripMargin)(
+      """SELECT source, doc_id, n_tokens, cum
+        |FROM fill WHERE cum - n_tokens < 800""".stripMargin),
 
     // full priority-sampling mirror: identical w·2⁶⁰/h priorities
     // (2^60 exact in doubles), same (priority desc, doc_id) order, same
