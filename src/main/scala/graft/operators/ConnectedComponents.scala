@@ -143,6 +143,11 @@ object ConnectedComponents {
       val nextSig = checksum(next)
       converged = nextSig == sig
       sig = nextSig
+      // round N-1's checkpoint blocks are dead once round N is
+      // materialized — free them now instead of waiting for driver GC
+      // (a session running many fixpoints would otherwise accumulate
+      // every round of every clustering in the block manager)
+      Materialize.release(e)
       e = next
       it += 1
     }

@@ -29,4 +29,26 @@ object Materialize {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint() // eager, replicated, survives lost executors
     else df.localCheckpoint(true)
+
+  /** Free the storage behind a [[truncate]]d frame that no later round
+    * references.
+    *
+    * Checkpoint blocks are only reclaimed when the driver GARBAGE
+    * COLLECTS the RDD (ContextCleaner) — on a large heap that can be
+    * never, so a session running many fixpoints accumulates every
+    * round's blocks in the block manager and executor memory degrades
+    * with session AGE, not with the running query. Iterative loops call
+    * this on round N−1 once round N is materialized; the final round
+    * (referenced by the returned lazy frame) must NOT be released.
+    *
+    * Reaches through the checkpointed plan's LogicalRDD (the public
+    * Spark class both truncation paths produce) — blocking=false, so
+    * the unpersist never stalls the loop. A non-checkpointed frame is
+    * left untouched. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -55,16 +55,20 @@ object PageRank {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val esrc = materialize(edges.join(outd, Seq("src")))
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = esrc
         .join(ranks, esrc("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val prev = ranks
       ranks = materialize(
         nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             (lit(Scale * 15 / 100) +
               expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
+      // round i-1's rank blocks are dead once round i is materialized
+      // (round 1's prev is the un-materialized uniform frame — no-op)
+      if (i > 1) Materialize.release(prev)
     }
     ranks
   }

@@ -411,10 +411,14 @@ object GraphQueries {
     var surv = sed.select(col("src").as("node")).distinct()
     var prev = surv
     for (_ <- 1 to rounds) {
+      // the survivor set from TWO rounds back is dead once this round
+      // materializes (prev is still the convergence witness below)
+      val dead = prev
       prev = surv
       surv = coreDegrees(sed, surv)
         .filter(col("deg") >= k).select("node")
         .transform(graft.operators.Materialize.truncate)
+      if (!(dead eq prev)) graft.operators.Materialize.release(dead)
     }
     coreDegrees(sed, surv)
       .withColumnRenamed("deg", "core_degree")
@@ -450,12 +454,14 @@ object GraphQueries {
     var dist = seeds.withColumn("d", lit(0L))
     var prev = dist
     for (_ <- 1 to rounds) {
+      val dead = prev
       prev = dist
       val step = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(step)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
         .transform(graft.operators.Materialize.truncate)
+      if (!(dead eq prev)) graft.operators.Materialize.release(dead)
     }
     dist
       .crossJoin(broadcast(prev.agg(count(lit(1)).as("n_prev"))))
@@ -480,11 +486,13 @@ object GraphQueries {
         .select(col("dst").as("node"), col("lbl"))
       val ct = nb.groupBy(col("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
+      val dead = lbl
       lbl = ct.groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl")))
           .as("m"))
         .select(col("node"), col("m.lbl").as("lbl"))
         .transform(graft.operators.Materialize.truncate)
+      graft.operators.Materialize.release(dead)
     }
     lbl
   }

@@ -340,10 +340,14 @@ object TextQueries {
         .transform(graft.operators.Materialize.truncate)
       val tops = (0 until 4).map { r =>
         val (top, next) = bpeRound(s, cur)
+        // top and next are both materialized by bpeRound — the previous
+        // round's sequence state is dead
+        graft.operators.Materialize.release(cur)
         cur = next
         top.select(lit(r.toLong).as("round"), col("sa").as("sym_a"),
           col("sb").as("sym_b"), col("n").as("n_count"))
       }
+      graft.operators.Materialize.release(cur)
       tops.reduce(_ unionByName _)
     }),
 
@@ -366,7 +370,11 @@ object TextQueries {
         .select(col("word"), col("freq"), col("i").cast("long").as("p"),
           expr("substring(word, i, 1)").as("sym"))
         .transform(graft.operators.Materialize.truncate)
-      for (_ <- 0 until 4) cur = bpeRound(s, cur)._2
+      for (_ <- 0 until 4) {
+        val dead = cur
+        cur = bpeRound(s, cur)._2
+        graft.operators.Materialize.release(dead)
+      }
       val encLen = cur.groupBy(col("word"))
         .agg(count(lit(1)).as("n_sym"))
       dw.select(col("doc_id"), explode(col("w")).as("word"))

@@ -47,4 +47,21 @@ class MaterializeSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("iterative fixpoints release prior rounds' checkpoint blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a path graph needs several star rounds, so without per-round
+    // release the block manager would hold one RDD per round
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = ConnectedComponents.run(edges)
+    assert(labels.count() === 200)
+    assert(labels.select(countDistinct(col("component"))).head().getLong(0) === 1)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL round (referenced by the returned lazy frame) may
+    // remain pinned; every earlier round must have been unpersisted
+    assert(after - before <= 1,
+      s"fixpoint leaked ${after - before} checkpointed rounds into the " +
+        "block manager (expected at most the final round)")
+  }
 }
