@@ -278,6 +278,45 @@ object SimilarityQueries {
     "dedup_embedding" -> ((s, dir) =>
       graft.api.Similarity.nearDuplicates(s, embCorpus(s, dir), 0.99)),
 
+    // INCREMENTAL embedding dedup: the arriving batch (the injected
+    // re-ingested copies, vec_id ≥ 1e6) is bucketed and probed against
+    // the existing corpus's buckets — new×old plus new×new, never
+    // old×old, so a growing 100 TB vector store pays ingest-sized
+    // candidate generation per batch instead of re-bucketing the world
+    // (the vector twin of Dedup.probePairs / the cluster-maintenance
+    // contract). Equivalence IS the gate: the oracle is the full
+    // dedup_embedding re-run restricted to batch-touching pairs, so
+    // incremental == from-scratch is hash-checked like every other
+    // incremental form in the repo.
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val all = embCorpus(s, dir)
+      val Batch = 1000000L
+      val buckets = graft.api.Similarity.lshBuckets(s, all)
+      val nb = buckets.filter(col("vec_id") >= Batch)
+      val ob = buckets.filter(col("vec_id") < Batch)
+      val cand = nb.select(col("vec_id").as("doc_b"), col("bucket"))
+        .join(ob.select(col("vec_id").as("doc_a"), col("bucket")),
+          Seq("bucket"))
+        .select("doc_a", "doc_b")
+        .unionByName(
+          nb.select(col("vec_id").as("doc_a"), col("bucket"))
+            .join(nb.select(col("vec_id").as("doc_b"), col("bucket")),
+              Seq("bucket"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b"))
+      val qd = all.select(col("vec_id").as("doc_a"), col("q").as("qv"),
+        col("n2").as("qn"))
+      val nd = all.select(col("vec_id").as("doc_b"), col("q").as("nv"),
+        col("n2").as("nn"))
+      cand.join(qd, Seq("doc_a")).join(nd, Seq("doc_b"))
+        .withColumn("dot",
+          graft.functions.VectorFunctions.dot_product_long(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt((col("qn") * col("nn")).cast("double")))
+        .filter(col("cos") >= 0.99)
+        .select(col("doc_a"), col("doc_b"), col("cos"))
+    }),
+
     // recall@3 of each ANN variant against the brute-force ground truth —
     // THE metric that justifies bits/probes/centroid choices at scale
     // (parameter tuning at 100 TB is driven by this curve, computed on a
@@ -907,6 +946,46 @@ object SimilarityQueries {
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM buckets a
         |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin,
+      """cdots AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN ee qe ON qe.vec_id = c.doc_a
+        |  JOIN ee de ON de.vec_id = c.doc_b AND de.i = qe.i
+        |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT doc_a, doc_b, cos FROM (
+        |  SELECT doc_a, doc_b,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE)) AS cos
+        |  FROM cdots
+        |  JOIN norm nq ON nq.vec_id = cdots.doc_a
+        |  JOIN norm nd ON nd.vec_id = cdots.doc_b)
+        |WHERE cos >= 0.99""".stripMargin),
+
+    // the incremental form shares the FULL recompute's derivation,
+    // restricted to pairs touching the batch (doc_a < doc_b and batch
+    // ids sit above 1e6, so doc_b ≥ 1e6 ⟺ the pair touches the batch)
+    // — incremental == from-scratch is part of the gate
+    "dedup_embedding_incremental" -> withCtes(
+      embcSql, embOverCorpusSql,
+      eeSql, normSql,
+      """hyper AS (
+        |  SELECT j, i,
+        |    2 * (instr('0123456789abcdef',
+        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS j),
+        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
+      """buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+        |         AS BIGINT) AS bucket
+        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
+        |        FROM ee e JOIN hyper h ON e.i = h.i
+        |        GROUP BY e.vec_id, h.j)
+        |  GROUP BY vec_id)""".stripMargin,
+      """cand AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE b.vec_id >= 1000000)""".stripMargin,
       """cdots AS (
         |  SELECT c.doc_a, c.doc_b, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
         |  FROM cand c
