@@ -143,18 +143,24 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val results = matEntries ++
-      Seq(bucketEntry, entityEntry, graphEntry, annEntry) ++
-      time(headline)
+    val builds = matEntries ++
+      Seq(bucketEntry, entityEntry, graphEntry, annEntry)
+    val headlineTimes = time(headline)
+    val results = builds ++ headlineTimes
     val rest = time(
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted)
     val allResults = results ++ rest
     // failed entries (-1) must not reduce the totals
     val total = results.map(_._2).filter(_ >= 0).sum
     val allTotal = allResults.map(_._2).filter(_ >= 0).sum
+    // decomposed totals: builds are COLD by policy, queries warm — a
+    // round-over-round reader must be able to separate "tier
+    // construction cost moved" from "query latency moved"
+    val buildTotal = builds.map(_._2).filter(_ >= 0).sum
+    val headlineQueryTotal = headlineTimes.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","build_total_sec":$buildTotal,"headline_query_sec":$headlineQueryTotal,"queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     // durable copy first (the full inventory is long and consoles
     // truncate), then the compact headline line LAST so a tail-capture
     // always gets the parseable totals; the file write must never take
