@@ -134,13 +134,19 @@ object ConnectedComponents {
   /** Star fixpoint + label join over an explicit node universe. */
   private def labelsOver(nodes: DataFrame, edges: DataFrame, maxIter: Int)
       : DataFrame = {
-    var e = Materialize.truncate(canonical(edges))
+    val debug = sys.props.get("graft.cc.debug").contains("1")
+    // checksum doubles as the materializing action for the lazily
+    // checkpointed round — one job per round, not two
+    var e = Materialize.truncateBeforeAction(canonical(edges))
     var sig = checksum(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = Materialize.truncate(smallStar(largeStar(e)))
+      val t0 = if (debug) System.nanoTime() else 0L
+      val next = Materialize.truncateBeforeAction(smallStar(largeStar(e)))
       val nextSig = checksum(next)
+      if (debug) println(f"[cc] round $it edges=${nextSig._1} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       converged = nextSig == sig
       sig = nextSig
       // round N-1's checkpoint blocks are dead once round N is
@@ -185,9 +191,13 @@ object ConnectedComponents {
   }
 
   /** Small-star: every node connects its SMALLER neighbors (and itself)
-    * to the minimum among them. */
+    * to the minimum among them. Precondition: `e` is already canonical
+    * ((u, v) with u > v, distinct) — it is only ever called on
+    * [[largeStar]]'s output, whose final step is [[canonical]], so
+    * re-canonicalizing here would pay a full extra shuffle per round
+    * for a no-op. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val dir = canonical(e) // (u, v) with u > v: neighbors-below per u
+    val dir = e // (u, v) with u > v: neighbors-below per u
     val m = dir.groupBy("u").agg(min(col("v")).as("m"))
     val reattached = dir.join(m, "u").filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))

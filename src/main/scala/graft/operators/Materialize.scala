@@ -30,6 +30,20 @@ object Materialize {
       df.checkpoint() // eager, replicated, survives lost executors
     else df.localCheckpoint(true)
 
+  /** [[truncate]] for loops whose NEXT statement is itself an action
+    * over the result (a convergence probe, a count): the local path
+    * marks for checkpointing lazily so the caller's action materializes
+    * blocks and computes its answer in ONE job instead of two — per
+    * round of an iterative fixpoint that halves the fixed job/stage
+    * scheduling cost, which dominates once the per-round data is small.
+    * The reliable-checkpoint path stays EAGER: a non-eager reliable
+    * checkpoint recomputes the whole round a second time to write the
+    * checkpoint files, which is worse than the extra job it saves. */
+  def truncateBeforeAction(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint(false)
+
   /** Free the storage behind a [[truncate]]d frame that no later round
     * references.
     *

@@ -22,7 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AnnMaterialize {
 
-  private val lock = new Object
+  /** Per-tier build locks (keyed by output path): the seven tiers are
+    * independent pipelines and the cold build runs them as concurrent
+    * Spark jobs; same-tier requests still serialize and the second
+    * finds the _SUCCESS marker. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 
   /** Bump on any change to the ANN variant set or their parameters. */
   private val FormatVersion = 1
@@ -40,7 +48,7 @@ object AnnMaterialize {
   /** (query_id, neighbor_id) exact cosine top-3 — the recall denominator. */
   def groundTruthTable(s: SparkSession, dir: String): DataFrame = {
     val root = base(dir)
-    lock.synchronized {
+    lockFor(s"$root/ground_truth").synchronized {
       if (!new File(s"$root/ground_truth/_SUCCESS").exists()) {
         graft.queries.SimilarityQueries.bruteForceTop3(s, dir)
           .write.mode("overwrite").parquet(s"$root/ground_truth")
@@ -53,7 +61,7 @@ object AnnMaterialize {
     * [[graft.queries.SimilarityQueries.AnnMethods]]). */
   def neighborTable(s: SparkSession, dir: String, method: String): DataFrame = {
     val root = base(dir)
-    lock.synchronized {
+    lockFor(s"$root/method_$method").synchronized {
       if (!new File(s"$root/method_$method/_SUCCESS").exists()) {
         graft.queries.SimilarityQueries.annMethodQuery(method)(s, dir)
           .select("query_id", "neighbor_id")
@@ -63,10 +71,19 @@ object AnnMaterialize {
     s.read.parquet(s"$root/method_$method")
   }
 
-  /** Build every tier (the bench's `ann_build` entry). */
+  /** Build every tier (the bench's `ann_build` entry). The seven
+    * pipelines share nothing but the input scan, so they run as
+    * concurrent jobs — multi-job scheduling within one application,
+    * exactly what a cluster does with independent writes. */
   def buildAll(s: SparkSession, dir: String): Unit = {
-    groundTruthTable(s, dir).count()
-    graft.queries.SimilarityQueries.AnnMethods
-      .foreach(m => neighborTable(s, dir, m).count())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tiers =
+      Future(groundTruthTable(s, dir).count()) +:
+        graft.queries.SimilarityQueries.AnnMethods
+          .map(m => Future(neighborTable(s, dir, m).count()))
+    Await.result(Future.sequence(tiers), Duration.Inf)
+    ()
   }
 }

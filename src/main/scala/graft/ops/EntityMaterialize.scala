@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EntityMaterialize {
 
-  private val lock = new Object
+  /** Per-tier-root build locks: DIFFERENT tiers (full / window / base)
+    * build concurrently — the cold tier build runs them as parallel
+    * Spark jobs — while two requests for the SAME root still serialize
+    * on its lock and the second finds the _SUCCESS marker. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Bump on any change to the edge derivation or clustering. */
   private val FormatVersion = 1
@@ -47,7 +52,7 @@ object EntityMaterialize {
   def labelTableKeyed(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val root = baseKeyed(dir, key)
-    lock.synchronized {
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
       if (!new File(s"$root/_SUCCESS").exists())
         build.write.mode("overwrite").parquet(root)
     }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraphMaterialize {
 
-  private val lock = new Object
+  /** Per-tier build locks (keyed by output path): the flow-edge and
+    * value-edge tiers are independent and build concurrently; same-tier
+    * requests serialize and the second finds the _SUCCESS marker. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Bump on any change to the edge derivation. */
   private val FormatVersion = 1
@@ -42,7 +46,7 @@ object GraphMaterialize {
   def edgeTable(s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
     val root = base(dir)
-    lock.synchronized {
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
       if (!new File(s"$root/_SUCCESS").exists())
         build.write.mode("overwrite").parquet(root)
     }
@@ -57,7 +61,7 @@ object GraphMaterialize {
   def valueEdgeTable(s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
     val root = s"${base(dir)}_ve"
-    lock.synchronized {
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
       if (!new File(s"$root/_SUCCESS").exists())
         build.write.mode("overwrite").parquet(root)
     }

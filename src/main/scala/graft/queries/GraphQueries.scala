@@ -37,8 +37,14 @@ object GraphQueries {
   /** Force the flow-edge tier build (Bench reports it as its own entry
     * so the graph queries measure consumption, not construction). */
   def buildGraphTier(s: SparkSession, dir: String): Unit = {
-    flowEdges(s, dir).count()
-    valueEdges(s, dir).count(); ()
+    // independent tiers — build as concurrent jobs (see AnnMaterialize)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(flowEdges(s, dir).count()),
+      Future(valueEdges(s, dir).count()))), Duration.Inf)
+    ()
   }
 
   /** Synchronous label-propagation rounds for graph_labelprop. */
