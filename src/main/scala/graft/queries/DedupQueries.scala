@@ -294,6 +294,58 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("doc_id"), col("n_members"))),
 
+    // cluster-keyed train/val/test split: the split KEY is the dedup
+    // component, not the document, so a near-duplicate group lands
+    // wholly in one split — a doc-keyed split scatters near-identical
+    // text across train and test and silently contaminates every
+    // evaluation trained on the corpus (see corpus_split_leak_audit
+    // for how often that fires here). Same hash-stable md5 bucketing
+    // as corpus_split, applied to the component label; costs two
+    // hash-aggs over the parked label tier at any corpus scale. The
+    // n_leaky_clusters column is a COMPUTED witness (clusters spanning
+    // >1 split under this key), not an assumed zero.
+    "corpus_split_leakfree" -> ((s, dir) => {
+      val hx = "instr('0123456789abcdef', " +
+        "substr(md5(CAST(component AS STRING)), %d, 1)) - 1"
+      val bucket = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      val lab = graft.ops.DedupMaterialize.componentTable(s, dir)
+        .select(col("node").as("doc_id"), col("component"))
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val")
+            .otherwise("test"))
+      val leaky = lab.groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("n_leaky_clusters"))
+      lab.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+    }),
+
+    // the counter-factual audit: bucket by DOC id (what corpus_split
+    // does, correctly, for a corpus with no duplicate structure) and
+    // count the near-dup clusters that straddle splits — the eval-leak
+    // mass the cluster-keyed split above removes. One row: total
+    // clusters, leaky clusters, docs inside leaky clusters.
+    "corpus_split_leak_audit" -> ((s, dir) => {
+      val hx = "instr('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val bucket = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      graft.ops.DedupMaterialize.componentTable(s, dir)
+        .select(col("node").as("doc_id"), col("component"))
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val")
+            .otherwise("test"))
+        .groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("ns") > 1, 1L).otherwise(0L))
+            .as("n_leaky_clusters"),
+          sum(when(col("ns") > 1, col("nd")).otherwise(0L))
+            .as("n_docs_in_leaky"))
+    }),
+
     // the same keep-one derivation over the INCREMENTALLY maintained
     // labels — shares dedup_keep_one's oracle, closing the equivalence
     // chain: incremental labels == full labels (proven above) implies
@@ -428,6 +480,28 @@ object DedupQueries {
       |  CAST(count(*) AS BIGINT) AS n_members
       |FROM cc GROUP BY component""".stripMargin)
 
+  /** cc labels + a split column bucketed on md5 of `keyExpr` — shared
+    * scaffold of the leak-free split and its doc-keyed audit. */
+  private def splitLabelCtes(keyExpr: String): Seq[String] =
+    sigSqlCtes ++ Seq(
+      pairsSqlCte,
+      "nodes AS (SELECT doc_id AS node FROM corpus)",
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+      ccWalkCte("nodes", "edges"),
+      """cc AS (SELECT node, min(comp) AS component
+        |       FROM walk GROUP BY node)""".stripMargin,
+      s"""labsplit AS (
+         |  SELECT node, component,
+         |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT node, component,
+         |      (instr('0123456789abcdef',
+         |             substr(md5(CAST($keyExpr AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + instr('0123456789abcdef',
+         |              substr(md5(CAST($keyExpr AS VARCHAR)), 2, 1)) - 1 AS b
+         |    FROM cc))""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> withCtes(corpusSql)(
       """SELECT md5(text) AS fingerprint,
@@ -524,6 +598,27 @@ object DedupQueries {
     "dedup_keep_one_incremental" -> keepOneOracle,
 
     "dedup_keep_one" -> keepOneOracle,
+
+    "corpus_split_leakfree" -> withRecursiveCtes(
+      splitLabelCtes("component"): _*)(
+      """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+        |                        0) AS BIGINT)
+        |   FROM (SELECT component, count(DISTINCT split) AS ns
+        |         FROM labsplit GROUP BY component)) AS n_leaky_clusters
+        |FROM labsplit GROUP BY split""".stripMargin),
+
+    "corpus_split_leak_audit" -> withRecursiveCtes(
+      splitLabelCtes("node"): _*)(
+      """SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_leaky_clusters,
+        |  CAST(coalesce(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END), 0)
+        |    AS BIGINT) AS n_docs_in_leaky
+        |FROM (SELECT component, count(DISTINCT split) AS ns,
+        |        count(*) AS nd
+        |      FROM labsplit GROUP BY component)""".stripMargin),
 
     "dedup_simhash" -> withCtes(corpusSql, wordsSql, simhashSqlCte(16))(
       "SELECT doc_id, simhash FROM sh"),
