@@ -201,6 +201,54 @@ object GraphQueries {
         .withColumn("balance", col("total_received") - col("total_spent"))
     }),
 
+    // per-address balance TIMELINE — the curve address_stats summarizes
+    // to its final point (GraphSense plots exactly this per address):
+    // net delta per (address, tx), then an exact-integer running sum
+    // ordered by (block_id, tx_id) WITHIN each address partition. No
+    // global sort — every address's history builds in parallel (the
+    // SCD2 window shape), and because (address, tx_id) is unique after
+    // the per-tx netting the cumulative order is total, so the running
+    // balance is deterministic and bit-identical in both engines.
+    "address_balance_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ioa = ioAddresses(s, dir)
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val deltas = ioa.join(t, Seq("tx_id"))
+        .groupBy(col("address"), col("block_id"), col("tx_id"))
+        .agg(sum(when(col("is_input"), -col("value"))
+          .otherwise(col("value"))).as("delta"))
+      val w = Window.partitionBy(col("address"))
+        .orderBy(col("block_id"), col("tx_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("balance", sum(col("delta")).over(w))
+    }),
+
+    // the same timeline at ENTITY grain over the pinned clustering
+    // window — tier consumption: addresses map through the parked
+    // labels (outputs never seen as inputs ride as singleton
+    // entities), then the identical per-tx netting + partitioned
+    // running sum. The composed form a compliance dashboard reads:
+    // clustering tier → balance curve per real-world actor.
+    "entity_balance_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = entityLabels(s, dir, Some(EntityWindow))
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val deltas = ioAddresses(s, dir)
+        .join(windowTxs(s, dir), Seq("tx_id"))
+        .join(labels, Seq("address"), "left")
+        .join(t, Seq("tx_id"))
+        .select(coalesce(col("entity"), col("address")).as("entity"),
+          col("block_id"), col("tx_id"),
+          when(col("is_input"), -col("value")).otherwise(col("value"))
+            .as("d"))
+        .groupBy(col("entity"), col("block_id"), col("tx_id"))
+        .agg(sum(col("d")).as("delta"))
+      val w = Window.partitionBy(col("entity"))
+        .orderBy(col("block_id"), col("tx_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("balance", sum(col("delta")).over(w))
+    }),
+
     // entity→entity value flows over the pinned clustering window — the
     // GraphSense "entity_relations" edge list: each windowed tx flows
     // from its (single, by multi-input construction) input entity to the
@@ -580,6 +628,35 @@ object GraphQueries {
         |  max(t.block_id) AS last_block
         |FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
         |GROUP BY address""".stripMargin),
+
+    "address_balance_history" -> withCtes(ChainSql.tx, ChainSql.io,
+      ChainSql.ioAddr)(
+      """SELECT address, block_id, tx_id, delta,
+        |  CAST(sum(delta) OVER (PARTITION BY address
+        |         ORDER BY block_id, tx_id ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS balance
+        |FROM (
+        |  SELECT address, t.block_id, i.tx_id,
+        |    CAST(sum(CASE WHEN is_input THEN -value ELSE value END)
+        |         AS BIGINT) AS delta
+        |  FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
+        |  GROUP BY address, t.block_id, i.tx_id)""".stripMargin),
+
+    "entity_balance_history" -> ChainSql.withRecursiveCtes(
+      entityFlowCtes: _*)(
+      """SELECT entity, block_id, tx_id, delta,
+        |  CAST(sum(delta) OVER (PARTITION BY entity
+        |         ORDER BY block_id, tx_id ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS balance
+        |FROM (
+        |  SELECT coalesce(cc.entity, i.address) AS entity, t.block_id,
+        |    i.tx_id,
+        |    CAST(sum(CASE WHEN i.is_input THEN -i.value ELSE i.value END)
+        |         AS BIGINT) AS delta
+        |  FROM ioa i JOIN wtx USING (tx_id)
+        |  JOIN tx t ON t.tx_id = i.tx_id
+        |  LEFT JOIN cc ON cc.address = i.address
+        |  GROUP BY 1, t.block_id, i.tx_id)""".stripMargin),
 
     "entity_graph" -> ChainSql.withRecursiveCtes(entityFlowCtes: _*)(
       """SELECT s.src_entity, d.dst_entity,
