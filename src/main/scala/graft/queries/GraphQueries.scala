@@ -223,6 +223,41 @@ object GraphQueries {
       deltas.withColumn("balance", sum(col("delta")).over(w))
     }),
 
+    // temporal round-trip sweep — the wash-trading motif: funds flow
+    // a→b in some block and return b→a in a LATER block. Timed flow
+    // edges (src, dst, block) dedup per block; then ONE equi-join on
+    // the ordered pair key between the per-edge first-outflow aggregate
+    // and the reversed edge rows, so candidate volume is edge-set-sized
+    // (never pairs² and never per-(x,y) combination expansion — the
+    // later-block condition is a post-filter feeding min/count aggs).
+    // At deployment scale the timed edge set parks next to the flow
+    // tier; everything downstream is one join + two hash-aggs.
+    "graph_round_trips" -> ((s, dir) => {
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val oa = ioAddresses(s, dir).filter(!col("is_input"))
+        .select(col("tx_id"), col("address").as("dst")).distinct()
+      val te = ia.join(oa, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .join(t, Seq("tx_id"))
+        .select(col("src"), col("dst"), col("block_id")).distinct()
+      val dagg = te.groupBy(col("src"), col("dst"))
+        .agg(min(col("block_id")).as("first_out"),
+          countDistinct(col("block_id")).as("n_out_blocks"))
+      te.select(col("dst").as("src"), col("src").as("dst"),
+          col("block_id").as("rb"))
+        .join(dagg, Seq("src", "dst"))
+        .filter(col("rb") > col("first_out"))
+        .groupBy(col("src"), col("dst"), col("first_out"),
+          col("n_out_blocks"))
+        .agg(min(col("rb")).as("first_return"),
+          countDistinct(col("rb")).as("n_return_blocks"))
+        .select(col("src").as("addr_from"), col("dst").as("addr_to"),
+          col("first_out"), col("n_out_blocks"), col("first_return"),
+          col("n_return_blocks"))
+    }),
+
     // the same timeline at ENTITY grain over the pinned clustering
     // window — tier consumption: addresses map through the parked
     // labels (outputs never seen as inputs ride as singleton
@@ -641,6 +676,26 @@ object GraphQueries {
         |         AS BIGINT) AS delta
         |  FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
         |  GROUP BY address, t.block_id, i.tx_id)""".stripMargin),
+
+    "graph_round_trips" -> withCtes(ChainSql.tx, ChainSql.io,
+      ChainSql.ioAddr,
+      """te AS (
+        |  SELECT DISTINCT i.address AS src, o.address AS dst, t.block_id
+        |  FROM (SELECT DISTINCT tx_id, address FROM ioa WHERE is_input) i
+        |  JOIN (SELECT DISTINCT tx_id, address FROM ioa
+        |        WHERE NOT is_input) o ON o.tx_id = i.tx_id
+        |  JOIN tx t ON t.tx_id = i.tx_id
+        |  WHERE i.address <> o.address)""".stripMargin,
+      """dagg AS (
+        |  SELECT src, dst, min(block_id) AS first_out,
+        |    CAST(count(DISTINCT block_id) AS BIGINT) AS n_out_blocks
+        |  FROM te GROUP BY src, dst)""".stripMargin)(
+      """SELECT d.src AS addr_from, d.dst AS addr_to, d.first_out,
+        |  d.n_out_blocks, min(r.block_id) AS first_return,
+        |  CAST(count(DISTINCT r.block_id) AS BIGINT) AS n_return_blocks
+        |FROM dagg d JOIN te r
+        |  ON r.src = d.dst AND r.dst = d.src AND r.block_id > d.first_out
+        |GROUP BY d.src, d.dst, d.first_out, d.n_out_blocks""".stripMargin),
 
     "entity_balance_history" -> ChainSql.withRecursiveCtes(
       entityFlowCtes: _*)(
