@@ -301,6 +301,43 @@ object EventQueries {
             (col("n") * col("x") - col("sx")) >
             lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
             .as("is_anomaly"))
+    }),
+
+    // mergeable quantile sketch (p50/p90/p99 of `value` per event type)
+    // from a DETERMINISTIC hash-priority sample: each row's priority is
+    // its 60-bit md5 hash, each group keeps the 256 smallest
+    // (priority, value) pairs via the map-side-bounded BottomKPairsAgg
+    // — O(k) state per group per mapper however large the group, the
+    // same semilattice shape as the KMV sketch, so at 100 TB the
+    // per-type sample is parked-tier mergeable and a new batch absorbs
+    // without revisiting history. Quantiles are SELECTED from the
+    // sorted sample (element at floor((n−1)·q)), never averaged, so the
+    // emitted doubles are parquet-read values both engines share
+    // bit-for-bit. Rank error is the textbook O(1/√k) of a uniform
+    // k-sample; the bottom-k-of-a-set is merge-order-independent, which
+    // is what lets DuckDB mirror the exact same sample.
+    "events_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.BottomKPairsAgg(256)
+      val pri = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT)").as("p"),
+          col("value"))
+      val sk = pri.as[(String, Long, Double)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("sk")).toDF("event_type", "sk")
+      sk.select(col("event_type"),
+          size(col("sk")).cast("long").as("n_sample"),
+          expr("array_sort(transform(sk, x -> x._2))").as("vals"))
+        .select(col("event_type"), col("n_sample"),
+          expr("element_at(vals, CAST((n_sample - 1) * 50 DIV 100 AS INT) + 1)")
+            .as("q50"),
+          expr("element_at(vals, CAST((n_sample - 1) * 90 DIV 100 AS INT) + 1)")
+            .as("q90"),
+          expr("element_at(vals, CAST((n_sample - 1) * 99 DIV 100 AS INT) + 1)")
+            .as("q99"))
     }))
 
   /** Shared by the inequality-join and binned-equi-join range queries. */
@@ -498,5 +535,30 @@ object EventQueries {
         |SELECT h.event_type, h.hour_ts, h.x AS n_events,
         |  (st.n * h.x - st.sx) * (st.n * h.x - st.sx)
         |    > 4 * (st.n * st.qx - st.sx * st.sx) AS is_anomaly
-        |FROM hourly h JOIN st USING (event_type)""".stripMargin)
+        |FROM hourly h JOIN st USING (event_type)""".stripMargin) +
+    // the exact same deterministic bottom-256 (priority, value) sample
+    // — row_number over (p, value) is DuckDB's way of stating "the k
+    // smallest pairs"; quantiles selected from the sorted sample list.
+    ("events_quantile_sketch" ->
+      """WITH pri AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS p,
+        |    value
+        |  FROM events WHERE value IS NOT NULL),
+        |samp AS (
+        |  SELECT event_type, p, value FROM (
+        |    SELECT event_type, p, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY p, value) AS rn
+        |    FROM pri) t WHERE rn <= 256),
+        |lst AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+        |    list(value ORDER BY value) AS vals
+        |  FROM samp GROUP BY 1)
+        |SELECT event_type, n_sample,
+        |  vals[CAST((n_sample - 1) * 50 // 100 AS BIGINT) + 1] AS q50,
+        |  vals[CAST((n_sample - 1) * 90 // 100 AS BIGINT) + 1] AS q90,
+        |  vals[CAST((n_sample - 1) * 99 // 100 AS BIGINT) + 1] AS q99
+        |FROM lst""".stripMargin)
 }

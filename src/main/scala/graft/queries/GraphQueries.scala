@@ -466,6 +466,69 @@ object GraphQueries {
         // and TakeOrderedAndProject keeps it distributed
         .orderBy(col("j_link").desc, col("a"), col("b")).limit(50)
         .select(col("a"), col("b"), col("common"), col("j_link"))
+    }),
+
+    // peel-chain detection — the money-laundering signature GraphSense
+    // analysts sweep for: a tx pays a small amount out and "peels" the
+    // bulk to ONE change address, which funds the next hop, and so on.
+    // A hop edge is (input addr → strict-majority output addr) — the
+    // 2·ov > tv cut makes the dominant output unique per tx, so the
+    // hop set is tx-bounded, never quadratic. Chain depth is a
+    // fixed-round DP on the EARLIEST end-block per depth: a depth-d+1
+    // chain ends at v iff some hop (u,v,b) has b later than the
+    // earliest depth-d end at u (min-block state is exact: the witness
+    // chain can always be swapped to the earliest one). Per round ONE
+    // hop ⋈ state equi-join on the address key + one min hash-agg —
+    // the taint/PageRank co-partitionable shape; only (addr, block)
+    // tuples shuffle.
+    "graph_peel_chains" -> ((s, dir) => {
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val iar = ioAddresses(s, dir)
+      val ia = iar.filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val ov = iar.filter(!col("is_input"))
+        .groupBy(col("tx_id"), col("address"))
+        .agg(sum(col("value")).as("ov"))
+      val dom = ov
+        .join(ov.groupBy(col("tx_id")).agg(sum(col("ov")).as("tv")),
+          Seq("tx_id"))
+        .filter(col("ov") * 2 > col("tv"))
+        .select(col("tx_id"), col("address").as("dst"))
+      val hops = ia.join(dom, Seq("tx_id")).join(t, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("block_id").as("b")).distinct()
+        .transform(graft.operators.Materialize.truncate)
+      peelDepths(hops)
+    }),
+
+    // attribution-tag rollup at entity grain — GraphSense's entity_tags
+    // product table: a (deterministic, hash-selected) address tag list
+    // aggregated through the multi-input clustering, so an analyst sees
+    // "this ENTITY contains 3 exchange-tagged addresses". The tag list
+    // plays the externally-curated attribution source (TagPack); member
+    // counts come from the full address universe with un-clustered
+    // addresses as singleton entities. One left join against the parked
+    // label tier + one hash-agg on the entity key; the tag table is
+    // list-sized, the rollup entity-sized.
+    "entity_tags" -> ((s, dir) => {
+      val labels = entityLabels(s, dir, Some(EntityWindow))
+      val addrs = ioAddresses(s, dir).select(col("address")).distinct()
+      val tagged = addrs.filter(expr(
+        s"CAST(conv(substr(md5(address), 1, 10), 16, 10) AS BIGINT)" +
+          s" % $TagMod = 0"))
+        .withColumn("category", expr(
+          "element_at(array('exchange','gambling','miner','mixer'), " +
+            "CAST(CAST(conv(substr(md5(address), 11, 2), 16, 10) AS BIGINT)" +
+            " % 4 AS INT) + 1)"))
+      addrs.join(labels, Seq("address"), "left")
+        .select(coalesce(col("entity"), col("address")).as("entity"),
+          col("address"))
+        .join(tagged, Seq("address"), "left")
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_addresses"),
+          count(col("category")).as("n_tagged"),
+          min(col("category")).as("top_category"))
+        .filter(col("n_tagged") > 0)
     }))
 
   /** Distinct symmetrized (src, dst) edge set — both directions of
@@ -521,6 +584,37 @@ object GraphQueries {
     * addresses by a 40-bit md5 half — the DuckDB-mirrorable hash). */
   private val TaintRounds = 3
   private val TaintSeedMod = 50
+
+  /** Tag-list selection modulus for entity_tags (~3% of addresses play
+    * the externally-curated attribution list). */
+  private val TagMod = 37
+
+  /** Fixed-round earliest-end-block DP over a (src, dst, b) hop set:
+    * a depth-d+1 chain (strictly increasing b) ends at v iff some hop
+    * (u,v,b) has b later than the EARLIEST depth-d end at u — min-block
+    * state is exact because the witness chain can always be swapped for
+    * the earliest-ending one. Exposed for PropertySpec's brute-force
+    * path-enumeration check on random DAG-ish hop sets. */
+  private[graft] def peelDepths(hops: DataFrame): DataFrame = {
+    def step(prev: DataFrame): DataFrame = hops
+      .join(prev.select(col("node").as("src"), col("mb").as("pb")),
+        Seq("src"))
+      .filter(col("b") > col("pb"))
+      .groupBy(col("dst").as("node")).agg(min(col("b")).as("mb"))
+    val s1 = hops.groupBy(col("dst").as("node"))
+      .agg(min(col("b")).as("mb"))
+    val s2 = step(s1)
+    val s3 = step(s2)
+    s1.select(col("node"), col("mb").as("b1"))
+      .join(s2.select(col("node"), col("mb").as("b2")), Seq("node"),
+        "left")
+      .join(s3.select(col("node"), col("mb").as("b3")), Seq("node"),
+        "left")
+      .select(col("node").as("address"),
+        when(col("b3").isNotNull, 3L).when(col("b2").isNotNull, 2L)
+          .otherwise(1L).as("peel_depth"),
+        col("b1").as("first_peel_block"))
+  }
 
   /** Midpoint-degree cap for link prediction: a degree-d midpoint
     * contributes d²/2 candidate pairs, so hubs are dropped before the
@@ -819,6 +913,57 @@ object GraphQueries {
          |FROM t$TaintRounds""".stripMargin),
 
     "graph_links_jaccard" -> linksOracle,
+
+    // same strict-majority hop set, same unrolled min-end-block DP.
+    "graph_peel_chains" -> withCtes(ChainSql.tx, ChainSql.io,
+      ChainSql.ioAddr,
+      """pia AS (SELECT DISTINCT tx_id, address AS src
+        |        FROM ioa WHERE is_input)""".stripMargin,
+      """pov AS (SELECT tx_id, address AS dst,
+        |          CAST(sum(value) AS BIGINT) AS ov
+        |        FROM ioa WHERE NOT is_input GROUP BY 1, 2)""".stripMargin,
+      """pdom AS (SELECT pov.tx_id, dst FROM pov
+        |         JOIN (SELECT tx_id, sum(ov) AS tv FROM pov GROUP BY 1) ptv
+        |           USING (tx_id)
+        |         WHERE ov * 2 > tv)""".stripMargin,
+      """phops AS (SELECT DISTINCT src, dst, t.block_id AS b
+        |          FROM pia JOIN pdom USING (tx_id)
+        |          JOIN tx t ON t.tx_id = pia.tx_id
+        |          WHERE src <> dst)""".stripMargin,
+      "ps1 AS (SELECT dst AS node, min(b) AS mb FROM phops GROUP BY 1)",
+      """ps2 AS (SELECT h.dst AS node, min(h.b) AS mb FROM phops h
+        |        JOIN ps1 p ON p.node = h.src AND h.b > p.mb GROUP BY 1)""".stripMargin,
+      """ps3 AS (SELECT h.dst AS node, min(h.b) AS mb FROM phops h
+        |        JOIN ps2 p ON p.node = h.src AND h.b > p.mb GROUP BY 1)""".stripMargin)(
+      """SELECT s1.node AS address,
+        |  CAST(CASE WHEN s3.node IS NOT NULL THEN 3
+        |            WHEN s2.node IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS peel_depth,
+        |  s1.mb AS first_peel_block
+        |FROM ps1 s1
+        |LEFT JOIN ps2 s2 ON s2.node = s1.node
+        |LEFT JOIN ps3 s3 ON s3.node = s1.node""".stripMargin),
+
+    // same hash-selected tag list rolled through the recursive-walk
+    // clustering mirror; singleton entities via the left-join coalesce.
+    "entity_tags" -> ChainSql.withRecursiveCtes(entityFlowCtes ++ Seq(
+      "eaddrs AS (SELECT DISTINCT address FROM ioa)",
+      s"""etagged AS (
+         |  SELECT address,
+         |    (['exchange','gambling','miner','mixer'])[
+         |      CAST(('0x' || substr(md5(address), 11, 2))::BIGINT
+         |           % 4 AS BIGINT) + 1] AS category
+         |  FROM eaddrs
+         |  WHERE ('0x' || substr(md5(address), 1, 10))::BIGINT
+         |        % $TagMod = 0)""".stripMargin): _*)(
+      """SELECT coalesce(cc.entity, a.address) AS entity,
+        |  CAST(count(*) AS BIGINT) AS n_addresses,
+        |  CAST(count(t.category) AS BIGINT) AS n_tagged,
+        |  min(t.category) AS top_category
+        |FROM eaddrs a
+        |LEFT JOIN cc ON cc.address = a.address
+        |LEFT JOIN etagged t ON t.address = a.address
+        |GROUP BY 1 HAVING count(t.category) > 0""".stripMargin),
 
     // unrolled haircut rounds: same per-tx value attribution,
     // proportional floor split, and >0 pruning as the Spark loop

@@ -666,6 +666,41 @@ object TextQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(50)),
 
+    // PMI-scored collocations (the phrase-mining signal: "new york"
+    // scores high because its parts rarely appear apart) — the lift
+    // f_ab·N/(f_a·f_b) in EXACT integer arithmetic: the 2^20-scaled
+    // ratio is floored in two fixed steps ((f_ab·2^20) div f_a, then
+    // ·N div f_b) so both engines state the identical flooring and the
+    // scores hash-match. f_ab ≤ f_a keeps step one ≤ 2^20; step two
+    // stays inside int64 up to N ≈ 8·10^12 corpus words (past that,
+    // promote to DECIMAL(38,0)). Plan shape: bigram + unigram counts
+    // are two vocabulary-sized hash-aggs (map-side partials absorb the
+    // corpus), the unigram table joins back BROADCAST twice (it is the
+    // model artifact, not corpus-sized), the support cut f_ab ≥ 5
+    // prunes the long tail before scoring, and the final top-50 is a
+    // distributed TakeOrdered under the total order (score desc,
+    // bigram) — no global sort anywhere.
+    "text_collocations" -> ((s, dir) => {
+      val dw = docWords(s, dir)
+      val uni = dw.select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val tot = uni.agg(sum(col("f")).as("n_words"))
+      val bi = bigrams(dw)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+        .withColumn("wa", split(col("bigram"), " ").getItem(0))
+        .withColumn("wb", split(col("bigram"), " ").getItem(1))
+      bi.join(broadcast(uni.select(col("word").as("wa"),
+            col("f").as("n_a"))), Seq("wa"))
+        .join(broadcast(uni.select(col("word").as("wb"),
+            col("f").as("n_b"))), Seq("wb"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("n_pair"), col("n_a"), col("n_b"),
+          expr("((n_pair * 1048576) div n_a) * n_words div n_b")
+            .as("score"))
+        .orderBy(col("score").desc, col("bigram")).limit(50)
+    }),
+
     // LM-based quality score (the CCNet-style filter shape, with the
     // corpus's own top-200 bigram table standing in for the KenLM): a
     // doc's score is the fraction of its bigrams found in the reference
@@ -1281,6 +1316,25 @@ object TextQueries {
         |      FROM words WHERE len(w) >= 2)
         |GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    // identical two-step floored lift; DuckDB's // mirrors Spark's div.
+    "text_collocations" -> withCtes(docWordsSql,
+      """uni AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(w) AS word FROM words) GROUP BY word)""".stripMargin,
+      """tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_words FROM uni)""",
+      """bi AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair,
+        |    str_split(bigram, ' ')[1] AS wa, str_split(bigram, ' ')[2] AS wb
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |        FROM words WHERE len(w) >= 2)
+        |  GROUP BY bigram HAVING count(*) >= 5)""".stripMargin)(
+      """SELECT bi.bigram, bi.n_pair, ua.f AS n_a, ub.f AS n_b,
+        |  ((bi.n_pair * 1048576) // ua.f) * tot.n_words // ub.f AS score
+        |FROM bi JOIN uni ua ON ua.word = bi.wa
+        |        JOIN uni ub ON ub.word = bi.wb, tot
+        |ORDER BY score DESC, bi.bigram LIMIT 50""".stripMargin),
 
     "text_lm_score" -> withCtes(docWordsSql,
       """bi AS (

@@ -380,4 +380,59 @@ class PropertySpec extends SparkSpec {
         "sketch is exactly the k smallest distinct values")
     }
   }
+
+  test("BottomKPairsAgg is the k smallest distinct pairs, merge-invariant") {
+    val pairGen = Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 9).map(_ / 2.0))
+    samples(Gen.zip(Gen.listOfN(60, pairGen), Gen.listOfN(60, pairGen)), 8)
+      .foreach { case (a, b) =>
+        val k = 8
+        def bottomK(xs: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+          val agg = new graft.functions.BottomKPairsAgg(k)
+          xs.toDF("p", "v").as[(Long, Double)]
+            .groupByKey(_ => true).mapValues(identity)
+            .agg(agg.toColumn.name("sk")).collect().head._2
+        }
+        val expected = (a ++ b).distinct
+          .sorted(Ordering.Tuple2[Long, Double]).take(k)
+        assert(bottomK(a ++ b) === expected,
+          "sample is exactly the k smallest distinct (priority, value) pairs")
+        assert(bottomK(a ++ b) === bottomK(bottomK(a) ++ b),
+          "semilattice merge identity (parked sample absorbs a batch)")
+        assert(bottomK((a ++ b).reverse) === expected,
+          "input order never changes the sample")
+      }
+  }
+
+  test("peel-chain DP equals brute-force increasing-block path depth") {
+    val hopGen = Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7),
+      Gen.choose(1L, 6L)).suchThat { case (u, v, _) => u != v }
+    samples(Gen.listOfN(25, hopGen), 8).foreach { hops0 =>
+      val hops = hops0.map { case (u, v, b) => (s"n$u", s"n$v", b) }.distinct
+      val df = hops.toDF("src", "dst", "b")
+      val got = graft.queries.GraphQueries.peelDepths(df)
+        .select("address", "peel_depth", "first_peel_block")
+        .as[(String, Long, Long)].collect()
+        .map { case (n, d, b) => n -> ((d, b)) }.toMap
+      // brute force: depth(v) = longest path (≤3) of strictly
+      // increasing b ending at v; first block = min b of any hop into v
+      def chainsEndingAt(v: String, depth: Int): Seq[Long] =
+        if (depth == 1) hops.collect { case (_, d, b) if d == v => b }
+        else for {
+          (u, d, b) <- hops if d == v
+          pb <- chainsEndingAt(u, depth - 1) if b > pb
+        } yield b
+      val nodes = hops.map(_._2).distinct
+      nodes.foreach { v =>
+        val d1 = chainsEndingAt(v, 1)
+        if (d1.isEmpty) assert(!got.contains(v))
+        else {
+          val depth =
+            if (chainsEndingAt(v, 3).nonEmpty) 3L
+            else if (chainsEndingAt(v, 2).nonEmpty) 2L else 1L
+          assert(got(v) === ((depth, d1.min)),
+            s"node $v: DP disagrees with brute force over $hops")
+        }
+      }
+    }
+  }
 }
