@@ -316,29 +316,72 @@ object EventQueries {
     // bit-for-bit. Rank error is the textbook O(1/√k) of a uniform
     // k-sample; the bottom-k-of-a-set is merge-order-independent, which
     // is what lets DuckDB mirror the exact same sample.
-    "events_quantile_sketch" -> ((s, dir) => {
-      import s.implicits._
-      val agg = new graft.functions.BottomKPairsAgg(256)
-      val pri = events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"),
-          expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15)," +
-            " 16, 10) AS BIGINT)").as("p"),
-          col("value"))
-      val sk = pri.as[(String, Long, Double)]
-        .groupByKey(_._1).mapValues(r => (r._2, r._3))
-        .agg(agg.toColumn.name("sk")).toDF("event_type", "sk")
-      sk.select(col("event_type"),
-          size(col("sk")).cast("long").as("n_sample"),
-          expr("array_sort(transform(sk, x -> x._2))").as("vals"))
-        .select(col("event_type"), col("n_sample"),
-          expr("element_at(vals, CAST((n_sample - 1) * 50 DIV 100 AS INT) + 1)")
-            .as("q50"),
-          expr("element_at(vals, CAST((n_sample - 1) * 90 DIV 100 AS INT) + 1)")
-            .as("q90"),
-          expr("element_at(vals, CAST((n_sample - 1) * 99 DIV 100 AS INT) + 1)")
-            .as("q99"))
+    "events_quantile_sketch" -> ((s, dir) =>
+      quantileFromSamples(s, samplePairs(s, events(s, dir)))),
+
+    // incremental maintenance: bottom-k over pairs is the same
+    // semilattice morphism as the KMV sketch — bottomK(old ∪ batch) ==
+    // bottomK(bottomK(old) ∪ batch) — so the parked per-type sample
+    // (≤ k rows) absorbs an arriving batch without revisiting the old
+    // corpus. Pre-batch sample rebuilt inline here (a parked tier at
+    // 100 TB); SHARES the full-recompute oracle, so maintained ==
+    // recomputed is part of the correctness gate.
+    "events_quantile_sketch_incremental" -> ((s, dir) => {
+      val e = events(s, dir)
+      val batchSel = col("event_id") % 10 === 0
+      val oldSample = samplePairs(s, e.filter(!batchSel))
+      val batchRows = samplePairs(s, e.filter(batchSel))
+      quantileFromSamples(s, oldSample.unionByName(batchRows))
     }))
+
+  /** Per-type bottom-256 (priority, value) sample rows of an
+    * events-shaped frame (priority = 60-bit md5 of event_id) — the
+    * ONE sampling definition shared by the batch query, the
+    * incremental twin, and the streaming per-epoch ingest
+    * ([[graft.streaming.IncrementalIngest.quantileSampleIngest]]), so
+    * all three provably sample identically. Output ≤ k rows per type:
+    * (event_type, p, v). */
+  private[graft] def samplePairs(s: SparkSession, e: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BottomKPairsAgg(256)
+    e.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT)").as("p"),
+        col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("sk")).toDF("event_type", "sk")
+      .select(col("event_type"), explode(col("sk")).as("pair"))
+      .select(col("event_type"), col("pair._1").as("p"),
+        col("pair._2").as("v"))
+  }
+
+  /** Re-prune a union of sample-row frames to the bottom-256 and SELECT
+    * the p50/p90/p99 ranks from the sorted sample — because bottom-k is
+    * merge-order-independent, feeding this the union of any partition
+    * of the corpus's sample rows (per-epoch, pre/post batch, per
+    * partition) yields EXACTLY the one-pass batch answer. */
+  private[graft] def quantileFromSamples(s: SparkSession,
+      rows: DataFrame): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BottomKPairsAgg(256)
+    rows.select(col("event_type"), col("p"), col("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("sk")).toDF("event_type", "sk")
+      .select(col("event_type"),
+        size(col("sk")).cast("long").as("n_sample"),
+        expr("array_sort(transform(sk, x -> x._2))").as("vals"))
+      .select(col("event_type"), col("n_sample"),
+        expr("element_at(vals, CAST((n_sample - 1) * 50 DIV 100 AS INT) + 1)")
+          .as("q50"),
+        expr("element_at(vals, CAST((n_sample - 1) * 90 DIV 100 AS INT) + 1)")
+          .as("q90"),
+        expr("element_at(vals, CAST((n_sample - 1) * 99 DIV 100 AS INT) + 1)")
+          .as("q99"))
+  }
 
   /** Shared by the inequality-join and binned-equi-join range queries. */
   private val rangeJoinOracleSql: String =
@@ -539,7 +582,12 @@ object EventQueries {
     // the exact same deterministic bottom-256 (priority, value) sample
     // — row_number over (p, value) is DuckDB's way of stating "the k
     // smallest pairs"; quantiles selected from the sorted sample list.
-    ("events_quantile_sketch" ->
+    ("events_quantile_sketch" -> quantileOracleSql) +
+    // maintained == recomputed is the incremental contract
+    ("events_quantile_sketch_incremental" -> quantileOracleSql)
+
+  // lazy: referenced by oraclesAll's initializer above
+  private lazy val quantileOracleSql: String =
       """WITH pri AS (
         |  SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
@@ -560,5 +608,5 @@ object EventQueries {
         |  vals[CAST((n_sample - 1) * 50 // 100 AS BIGINT) + 1] AS q50,
         |  vals[CAST((n_sample - 1) * 90 // 100 AS BIGINT) + 1] AS q90,
         |  vals[CAST((n_sample - 1) * 99 // 100 AS BIGINT) + 1] AS q99
-        |FROM lst""".stripMargin)
+        |FROM lst""".stripMargin
 }

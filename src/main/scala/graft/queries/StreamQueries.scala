@@ -193,6 +193,20 @@ object StreamQueries {
               lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
               .as("is_anomaly"))
       }
+    }),
+
+    // streaming twin of events_quantile_sketch (shared oracle): each
+    // micro-batch lands its per-type bottom-256 sample through the
+    // idempotent epoch sink; bottom-k's semilattice merge makes the
+    // union-then-re-prune of landed epochs EXACTLY the one-pass batch
+    // sample, so stream == batch is part of the gate — the quantile
+    // analog of stream_heavy_hitters' candidate-union argument.
+    "stream_quantile" -> ((s, dir) => {
+      val out = tmp("qs")
+      IncrementalIngest.quantileSampleIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        EventQueries.quantileFromSamples(s, s.read.parquet(out)))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -263,6 +277,10 @@ object StreamQueries {
     // stream == batch: the monitor over the maintained hourly table
     // must flag exactly the hours the batch sweep flags
     "stream_anomaly" -> EventQueries.oraclesAll("events_anomaly"),
+
+    // stream == batch: the merged epoch samples must select exactly
+    // the quantiles the one-pass batch sketch selects
+    "stream_quantile" -> EventQueries.oraclesAll("events_quantile_sketch"),
 
     // the as-of-epoch-1 snapshot is exactly the first two block ranges
     "store_time_travel" -> withCtes(ChainSql.tx)(

@@ -59,17 +59,13 @@ object CorpusIngest {
           val kept = b.select(col("doc_id"))
             .join(dupIds, Seq("doc_id"), "left_anti")
             .withColumn("ingest_epoch", lit(epoch))
-          val prev = s.conf.getOption(
-            "spark.sql.sources.partitionOverwriteMode")
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try kept.write.mode("overwrite").partitionBy("ingest_epoch")
+          // conf on the BATCH frame's (cloned) session — see
+          // heavyHitterIngest below; the outer session's conf never
+          // reaches a foreachBatch write
+          kept.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+          kept.write.mode("overwrite").partitionBy("ingest_epoch")
             .parquet(out)
-          finally prev match {
-            case Some(v) =>
-              s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => s.conf.unset(
-              "spark.sql.sources.partitionOverwriteMode")
-          }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -111,17 +107,15 @@ object CorpusIngest {
               .as("token"))
           val cand = graft.queries.TextQueries.mgCandidates(s, toks)
             .withColumn("ingest_epoch", lit(epoch))
-          val prev = s.conf.getOption(
-            "spark.sql.sources.partitionOverwriteMode")
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try cand.write.mode("overwrite").partitionBy("ingest_epoch")
+          // conf on the BATCH frame's session — streaming batches run
+          // on a cloned session with a detached SQLConf, so the outer
+          // session's conf would leave this write static-overwrite and
+          // every epoch would wipe its predecessors (latent until a
+          // multi-file source split the stream into several epochs)
+          cand.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+          cand.write.mode("overwrite").partitionBy("ingest_epoch")
             .parquet(out)
-          finally prev match {
-            case Some(v) =>
-              s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => s.conf.unset(
-              "spark.sql.sources.partitionOverwriteMode")
-          }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

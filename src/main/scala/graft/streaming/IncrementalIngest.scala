@@ -314,4 +314,53 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
   }
+
+  /** Per-micro-batch bottom-k (priority, value) quantile samples through
+    * the idempotent epoch sink — the streaming face of
+    * `events_quantile_sketch`. Each epoch lands its batch's per-type
+    * bottom-256 sample (≤ k·|types| rows however large the batch) under
+    * an `ingest_epoch` partition, dynamic-overwritten so replays are
+    * idempotent. Bottom-k over pairs is a semilattice morphism, so the
+    * union of the landed epoch samples re-pruned once
+    * ([[graft.queries.EventQueries.quantileFromSamples]]) equals the
+    * one-pass batch sample EXACTLY — stream == batch is provable, not
+    * approximate, which is why `stream_quantile` shares the batch
+    * oracle. The sampling projection is
+    * [[graft.queries.EventQueries.samplePairs]] — the same Catalyst
+    * expressions as the batch query, the repo's shared-projection
+    * convention. */
+  def quantileSampleIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.parquet(s"$dir/events*.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val name = s"qs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          val sample = graft.queries.EventQueries
+            .samplePairs(s, batch.toDF())
+            .withColumn("ingest_epoch", lit(epoch))
+          // the conf must land on the BATCH frame's session: streaming
+          // runs batches on a CLONED session whose SQLConf is detached
+          // from the outer one, so setting the outer session's conf
+          // leaves the write in static-overwrite mode and each epoch
+          // silently wipes its predecessors (StreamingSpec pins the
+          // multi-epoch merge against exactly this)
+          sample.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+          sample.write.mode("overwrite").partitionBy("ingest_epoch")
+            .parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
 }

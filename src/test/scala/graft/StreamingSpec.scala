@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
       Chain.txProjection(orders).agg(sum("tx_id")).as[Long].head())
   }
 
+  test("quantile sample merges across epochs to the exact batch sketch") {
+    val dir = sf("sf0.001")
+    val src = tmpDir("qssrc_")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    // two source files = two micro-batches: the landed per-epoch
+    // samples must re-prune to EXACTLY the one-pass batch sample
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/events.parquet")
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/events2.parquet")
+    val out = tmpDir("qs_")
+    IncrementalIngest.quantileSampleIngest(spark, src, out,
+      maxFilesPerTrigger = Some(1))
+    val landed = spark.read.parquet(out)
+    assert(landed.select("ingest_epoch").distinct().count() >= 2,
+      "expected the source to split into multiple epochs")
+    val got = graft.queries.EventQueries
+      .quantileFromSamples(spark, landed)
+    val want = graft.queries.EventQueries.quantileFromSamples(spark,
+      graft.queries.EventQueries.samplePairs(spark,
+        events.select(col("event_id"), col("event_type"), col("value"))))
+    assert(got.orderBy("event_type").collect().toSeq ===
+      want.orderBy("event_type").collect().toSeq,
+      "merged epoch samples must equal the one-pass batch sketch")
+  }
+
   test("continuous processing-time trigger catches up with new files") {
     val dir = sf("sf0.001")
     val src = tmpDir("contsrc_")
