@@ -31,7 +31,26 @@ object PageRank {
     * @return (node, rank) after `iters` rounds from a uniform start */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
       materialize: Materializer = DefaultMaterializer): DataFrame =
-    loop(materialize(nodes), materialize(edges), iters, materialize)
+    loop(materialize(nodes.select(col("node"), lit(1L).as("s"))),
+      materialize(edges), iters, materialize)
+
+  /** PERSONALIZED variant: teleport mass lands only on `seeds` —
+    *   r'(v) = [v∈S]·0.15·Scale + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    * from a start of Scale on seeds, 0 elsewhere. Rank then measures
+    * proximity to the seed set along the flow direction (the
+    * "importance relative to tagged actors" score), in the same
+    * bit-exact integer arithmetic as the uniform variant — uniform
+    * PageRank IS this with S = all nodes. Same per-round join shape
+    * and cost; the seed indicator rides the node frame, so
+    * personalization adds zero extra shuffles. */
+  def runPersonalized(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int,
+      materialize: Materializer = DefaultMaterializer): DataFrame =
+    loop(materialize(
+      nodes.join(seeds.select(col("node"), lit(1L).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))),
+      materialize(edges), iters, materialize)
 
   /** PageRank with the node set derived from the edge endpoints — the
     * usual flow-graph entry point. The edge frame is materialized ONCE
@@ -43,18 +62,21 @@ object PageRank {
     val e = materialize(edges)
     val n = materialize(
       e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+        .union(e.select(col("dst").as("node"))).distinct()
+        .select(col("node"), lit(1L).as("s")))
     loop(n, e, iters, materialize)
   }
 
-  /** Core rounds over MATERIALIZED nodes/edges (both must already be
-    * materialized: every round references both, and an un-materialized
-    * node frame would re-run its whole upstream pipeline per round). */
+  /** Core rounds over MATERIALIZED (node, s) / edges frames (both must
+    * already be materialized: every round references both, and an
+    * un-materialized node frame would re-run its whole upstream
+    * pipeline per round). `s` is the 0/1 teleport indicator — all-ones
+    * for uniform PageRank. */
   private def loop(nodes: DataFrame, edges: DataFrame, iters: Int,
       materialize: Materializer): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val esrc = materialize(edges.join(outd, Seq("src")))
-    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    var ranks = nodes.select(col("node"), (col("s") * Scale).as("rank"))
     for (i <- 1 to iters) {
       val contrib = esrc
         .join(ranks, esrc("src") === ranks("node"))
@@ -64,7 +86,7 @@ object PageRank {
       ranks = materialize(
         nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
-            (lit(Scale * 15 / 100) +
+            (col("s") * lit(Scale * 15 / 100) +
               expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
       // round i-1's rank blocks are dead once round i is materialized
       // (round 1's prev is the un-materialized uniform frame — no-op)

@@ -346,6 +346,28 @@ object GraphQueries {
       graft.operators.PageRank.runFromEdges(flowEdges(s, dir), PrIters)
         .select(col("node").as("address"), col("rank").as("pagerank"))),
 
+    // PERSONALIZED PageRank seeded from the attribution-tag list (the
+    // entity_tags selection rule): teleport mass lands only on tagged
+    // addresses, so rank measures proximity to known actors along the
+    // money-flow direction — "how exchange-adjacent is this address",
+    // the risk-scoring read GraphSense serves. Same bit-exact integer
+    // rounds and per-round join shape as graph_pagerank (the seed
+    // indicator rides the node frame — zero extra shuffles); the
+    // rank > 0 cut keeps only addresses the seed mass actually
+    // reaches, bounding output by the seeds' forward closure.
+    "graph_ppr_tagged" -> ((s, dir) => {
+      val edges = flowEdges(s, dir)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(expr(
+        s"CAST(conv(substr(md5(node), 1, 10), 16, 10) AS BIGINT)" +
+          s" % $TagMod = 0"))
+      graft.operators.PageRank
+        .runPersonalized(nodes, edges, seeds, PrIters)
+        .filter(col("rank") > 0)
+        .select(col("node").as("address"), col("rank").as("ppr"))
+    }),
+
     // community detection via SYNCHRONOUS label propagation (3 rounds)
     // over the symmetrized flow graph: each node adopts the most
     // frequent label among its neighbors, ties to the lexicographic
@@ -713,6 +735,19 @@ object GraphQueries {
        |    FROM $esrcCte e JOIN $prefix${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
 
+  /** One PERSONALIZED round: like [[prIterCte]] but the teleport term
+    * is gated on pseeds' 0/1 indicator — mirror of
+    * [[graft.operators.PageRank.runPersonalized]]. */
+  private def pprIterCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT n.node,
+       |    CAST(n.s * ${PrScale * 15 / 100}
+       |         + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS rank
+       |  FROM pseeds n LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS contrib
+       |    FROM esrc e JOIN p${i - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
   /** DuckDB mirror of [[windowedInputAddresses]] (with its wtx input) —
     * shared by the entity-flow chain and graph_triangles. */
   private val wiaCtes: Seq[String] = Seq(
@@ -866,6 +901,19 @@ object GraphQueries {
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
       s"SELECT node AS address, rank AS pagerank FROM r$PrIters"),
+
+    // the same unrolled integer rounds with the teleport term gated on
+    // the hash-selected seed indicator
+    "graph_ppr_tagged" -> withCtes(
+      edgeCtes ++ Seq(
+        s"""pseeds AS (SELECT node,
+           |  CAST(CASE WHEN ('0x' || substr(md5(node), 1, 10))::BIGINT
+           |            % $TagMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS s
+           |  FROM fnodes)""".stripMargin,
+        s"p0 AS (SELECT node, CAST(s * $PrScale AS BIGINT) AS rank FROM pseeds)") ++
+      (1 to PrIters).map(pprIterCte): _*)(
+      s"""SELECT node AS address, rank AS ppr FROM p$PrIters
+         |WHERE rank > 0""".stripMargin),
 
     // unrolled synchronous LPA: same neighbor-vote count and
     // (count DESC, label ASC) tie-break per round as the Spark loop

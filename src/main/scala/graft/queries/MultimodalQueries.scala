@@ -177,39 +177,59 @@ object MultimodalQueries {
     // dedup_simhash_pairs: no all-pairs stage at any corpus size; the
     // shuffle carries (doc_id, 32-bit hash), never pixels. Runs on the
     // dup-injected corpus, so the fixture guarantees positives.
-    "multimodal_phash_pairs" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val px = graft.ops.TextCorpus.corpus(s, dir)
-        .select(col("doc_id"),
-          md5(concat(col("text"), lit("_0"))).as("h"))
-        .select(col("doc_id"),
-          explode(sequence(lit(1), lit(32))).as("i"), col("h"))
-        .select(col("doc_id"), col("i"), expr(
-          "CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)")
-          .as("p"))
-      // bit_i = pixel_i above the frame mean (32·p > Σp avoids division);
-      // the window and the groupBy share the doc_id partitioning, so the
-      // fingerprint costs ONE shuffle of the exploded pixels
-      val ph = px.withColumn("tot", sum(col("p")).over(w))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("p") * 32 > col("tot"),
-            expr("shiftleft(1L, CAST(i - 1 AS INT))")).otherwise(0L))
-          .as("phash"))
-      val bands = ph.select(col("doc_id"), col("phash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bv", expr("shiftright(phash, CAST(8 * b AS INT)) % 256"))
-      val cand = bands
-        .select(col("doc_id").as("doc_a"), col("phash").as("pa"),
-          col("b"), col("bv"))
-        .join(bands.select(col("doc_id").as("doc_b"),
-          col("phash").as("pb"), col("b"), col("bv")), Seq("b", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb").distinct()
-      cand
-        .select(col("doc_a"), col("doc_b"),
-          expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
-        .filter(col("hamming") <= 3)
-    }))
+    "multimodal_phash_pairs" -> ((s, dir) => phashPairs(s, dir)),
+
+    // near-dup MEDIA clusters: the phash pair set treated as a graph
+    // and resolved by the same large-star/small-star components
+    // operator the text corpus uses — completing the multimodal dedup
+    // chain (fingerprint → banded candidates → verified pairs →
+    // clusters → keep-one). Every pair endpoint has an edge, so every
+    // cluster has ≥ 2 members; the representative is the component
+    // label (min doc_id), and n_dropped is the dedup saving per
+    // cluster. Pair-set-sized input, label-sized output.
+    "multimodal_phash_clusters" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.run(
+        phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("keep_doc"),
+          (count(lit(1)) - 1).as("n_dropped"))))
+
+  /** Verified Hamming-≤3 phash pairs — shared by the pair query and the
+    * cluster rollup (ONE derivation, like the text dedup tiers). */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val px = graft.ops.TextCorpus.corpus(s, dir)
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit("_0"))).as("h"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(32))).as("i"), col("h"))
+      .select(col("doc_id"), col("i"), expr(
+        "CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)")
+        .as("p"))
+    // bit_i = pixel_i above the frame mean (32·p > Σp avoids division);
+    // the window and the groupBy share the doc_id partitioning, so the
+    // fingerprint costs ONE shuffle of the exploded pixels
+    val ph = px.withColumn("tot", sum(col("p")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("p") * 32 > col("tot"),
+          expr("shiftleft(1L, CAST(i - 1 AS INT))")).otherwise(0L))
+        .as("phash"))
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(phash, CAST(8 * b AS INT)) % 256"))
+    val cand = bands
+      .select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+        col("b"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("phash").as("pb"), col("b"), col("bv")), Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb").distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
 
   private val decodedSql: String =
     """decoded AS (
@@ -219,6 +239,32 @@ object MultimodalQueries {
       |    CASE CAST((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 3 AS INT)
       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
       |  FROM documents)""".stripMargin
+
+  private lazy val phashCtes: Seq[String] = Seq(graft.ops.TextCorpus.corpusSql,
+      """px AS (
+        |  SELECT doc_id, i,
+        |    CAST(instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1
+        |         AS BIGINT) AS p
+        |  FROM (SELECT doc_id, md5(text || '_0') AS h,
+        |          unnest(generate_series(1, 32)) AS i
+        |        FROM corpus))""".stripMargin,
+      """tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id)""",
+      """ph AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum(CASE WHEN p * 32 > tot
+        |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)""".stripMargin,
+      """bands AS (
+        |  SELECT doc_id, phash, b,
+        |    (phash >> CAST(8 * b AS INT)) % 256 AS bv
+        |  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS b
+        |        FROM ph))""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, d.doc_id AS doc_b,
+        |    a.phash AS pa, d.phash AS pb
+        |  FROM bands a JOIN bands d
+        |    ON a.b = d.b AND a.bv = d.bv AND a.doc_id < d.doc_id)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "multimodal_decode" -> withCtes(decodedSql)(
@@ -272,33 +318,29 @@ object MultimodalQueries {
         |  max(width) AS max_width
         |FROM decoded GROUP BY format""".stripMargin),
 
-    "multimodal_phash_pairs" -> withCtes(graft.ops.TextCorpus.corpusSql,
-      """px AS (
-        |  SELECT doc_id, i,
-        |    CAST(instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1
-        |         AS BIGINT) AS p
-        |  FROM (SELECT doc_id, md5(text || '_0') AS h,
-        |          unnest(generate_series(1, 32)) AS i
-        |        FROM corpus))""".stripMargin,
-      """tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id)""",
-      """ph AS (
-        |  SELECT px.doc_id,
-        |    CAST(sum(CASE WHEN p * 32 > tot
-        |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
-        |             ELSE 0 END) AS BIGINT) AS phash
-        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)""".stripMargin,
-      """bands AS (
-        |  SELECT doc_id, phash, b,
-        |    (phash >> CAST(8 * b AS INT)) % 256 AS bv
-        |  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS b
-        |        FROM ph))""".stripMargin,
-      """cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, d.doc_id AS doc_b,
-        |    a.phash AS pa, d.phash AS pb
-        |  FROM bands a JOIN bands d
-        |    ON a.b = d.b AND a.bv = d.bv AND a.doc_id < d.doc_id)""".stripMargin)(
+    "multimodal_phash_pairs" -> withCtes(phashCtes: _*)(
       """SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin),
+
+    // the same pair set walked to components by the recursive min-label
+    // mirror; DISTINCT-over-UNION-ALL for the node set (a plain UNION
+    // CTE under a WITH RECURSIVE header loses dedup semantics)
+    "multimodal_phash_clusters" -> graft.chain.ChainSql.withRecursiveCtes(
+      phashCtes ++ Seq(
+        """ppairs AS (SELECT doc_a, doc_b FROM cand
+          |           WHERE bit_count(xor(pa, pb)) <= 3)""".stripMargin,
+        """pnodes AS (SELECT DISTINCT node FROM (
+          |  SELECT doc_a AS node FROM ppairs
+          |  UNION ALL SELECT doc_b FROM ppairs))""".stripMargin,
+        """pedges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs)""",
+        graft.chain.ChainSql.ccWalkCte("pnodes", "pedges"),
+        """pcc AS (SELECT node, min(comp) AS component
+          |        FROM walk GROUP BY node)""".stripMargin): _*)(
+      """SELECT component AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(node) AS keep_doc,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM pcc GROUP BY component""".stripMargin),
+
 
     "multimodal_embed_ann" -> withCtes(decodedSql,
       SimilarityQueries.embSql, SimilarityQueries.eeSql,

@@ -46,4 +46,35 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.sum <= 4 * PageRank.Scale)
     assert(r.values.forall(_ >= PageRank.Scale * 15 / 100))
   }
+
+  private def pranks(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int): Map[String, Long] = {
+    val e = edges.toDF("src", "dst")
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    PageRank.runPersonalized(n, e, seeds.toDF("node"), iters)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("personalized: seed-set = all nodes equals uniform PageRank") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+    val all = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(pranks(edges, all, 3) === ranks(edges, 3))
+  }
+
+  test("personalized: hand-computed floor arithmetic from one seed") {
+    // a->b, b->c, seed {a}: p0 = (a:1000000, b:0, c:0), outdeg 1 each
+    // p1: a=150000, b=0+85*1000000/100=850000, c=0+0
+    // p2: a=150000, b=85*150000/100=127500, c=85*850000/100=722500
+    val r = pranks(Seq("a" -> "b", "b" -> "c"), Seq("a"), 2)
+    assert(r === Map("a" -> 150000L, "b" -> 127500L, "c" -> 722500L))
+  }
+
+  test("personalized: mass stays zero where seeds cannot reach") {
+    // two disjoint 2-cycles, seed only in the first
+    val r = pranks(Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x"),
+      Seq("a"), 3)
+    assert(r("x") === 0L && r("y") === 0L)
+    assert(r("a") > 0L && r("b") > 0L)
+  }
 }
