@@ -67,4 +67,19 @@ object GraphMaterialize {
     }
     s.read.parquet(root)
   }
+
+  /** (src, dst, b) PEEL-HOP edges (input address → strict-majority
+    * output address, at block b) — the peel-chain sweep's candidate
+    * set. Parked like the siblings: deriving it re-runs two per-tx
+    * output aggregations over the io explode, while the parked tier is
+    * a three-column scan the fixed-round DP starts from. */
+  def peelHopTable(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = s"${base(dir)}_ph"
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
 }

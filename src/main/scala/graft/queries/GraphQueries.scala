@@ -43,7 +43,8 @@ object GraphQueries {
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
       Future(flowEdges(s, dir).count()),
-      Future(valueEdges(s, dir).count()))), Duration.Inf)
+      Future(valueEdges(s, dir).count()),
+      Future(peelHops(s, dir).count()))), Duration.Inf)
     ()
   }
 
@@ -134,6 +135,30 @@ object GraphQueries {
     * per edge, zero-value edges dropped. Parked once per fixture by
     * [[graft.ops.GraphMaterialize.valueEdgeTable]] so taint consumers
     * start from a three-column pruned scan. */
+  /** (src, dst, b) peel-hop edges: input address → strict-majority
+    * output address at block b (2·ov > tv makes the dominant output
+    * unique per tx, so the set is tx-bounded). Parked once per fixture
+    * by [[graft.ops.GraphMaterialize.peelHopTable]] — the DP consumes
+    * a three-column scan, like every graph tier. */
+  private def peelHops(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphMaterialize.peelHopTable(s, dir) {
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val iar = ioAddresses(s, dir)
+      val ia = iar.filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val ov = iar.filter(!col("is_input"))
+        .groupBy(col("tx_id"), col("address"))
+        .agg(sum(col("value")).as("ov"))
+      val dom = ov
+        .join(ov.groupBy(col("tx_id")).agg(sum(col("ov")).as("tv")),
+          Seq("tx_id"))
+        .filter(col("ov") * 2 > col("tv"))
+        .select(col("tx_id"), col("address").as("dst"))
+      ia.join(dom, Seq("tx_id")).join(t, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("block_id").as("b")).distinct()
+    }
+
   private def valueEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.GraphMaterialize.valueEdgeTable(s, dir) {
       val ia = ioAddresses(s, dir).filter(col("is_input"))
@@ -490,6 +515,29 @@ object GraphQueries {
         .select(col("a"), col("b"), col("common"), col("j_link"))
     }),
 
+    // outflow concentration per address — the Herfindahl–Hirschman
+    // index over each address's outgoing value edges: ~2^20 means all
+    // funds flow to ONE counterparty (the peel/laundering shape),
+    // ~2^20/n an even n-way spread. Shares are 10-bit integer floors
+    // (share_i = v_i·1024 div total) and hhi = Σ share_i², so every
+    // term stays far inside int64 at ANY volume — no v² products, no
+    // decimal promotion — and the staged flooring is stated identically
+    // in both engines. One total agg + one join back + one hash-agg,
+    // all on the src key (co-partitioned), over the parked value-edge
+    // tier; output is address-sized.
+    "graph_flow_concentration" -> ((s, dir) => {
+      val ve = valueEdges(s, dir)
+      val tot = ve.groupBy(col("src"))
+        .agg(sum(col("v")).as("total_out"),
+          count(lit(1)).as("n_counterparties"))
+      ve.join(tot, Seq("src"))
+        .select(col("src"), col("total_out"), col("n_counterparties"),
+          expr("(v * 1024) div total_out").as("sh"))
+        .groupBy(col("src").as("address"), col("total_out"),
+          col("n_counterparties"))
+        .agg(sum(expr("sh * sh")).as("hhi"))
+    }),
+
     // peel-chain detection — the money-laundering signature GraphSense
     // analysts sweep for: a tx pays a small amount out and "peels" the
     // bulk to ONE change address, which funds the next hop, and so on.
@@ -503,25 +551,7 @@ object GraphQueries {
     // hop ⋈ state equi-join on the address key + one min hash-agg —
     // the taint/PageRank co-partitionable shape; only (addr, block)
     // tuples shuffle.
-    "graph_peel_chains" -> ((s, dir) => {
-      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
-      val iar = ioAddresses(s, dir)
-      val ia = iar.filter(col("is_input"))
-        .select(col("tx_id"), col("address").as("src")).distinct()
-      val ov = iar.filter(!col("is_input"))
-        .groupBy(col("tx_id"), col("address"))
-        .agg(sum(col("value")).as("ov"))
-      val dom = ov
-        .join(ov.groupBy(col("tx_id")).agg(sum(col("ov")).as("tv")),
-          Seq("tx_id"))
-        .filter(col("ov") * 2 > col("tv"))
-        .select(col("tx_id"), col("address").as("dst"))
-      val hops = ia.join(dom, Seq("tx_id")).join(t, Seq("tx_id"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), col("block_id").as("b")).distinct()
-        .transform(graft.operators.Materialize.truncate)
-      peelDepths(hops)
-    }),
+    "graph_peel_chains" -> ((s, dir) => peelDepths(peelHops(s, dir))),
 
     // attribution-tag rollup at entity grain — GraphSense's entity_tags
     // product table: a (deterministic, hash-selected) address tag list
@@ -1015,18 +1045,18 @@ object GraphQueries {
 
     // unrolled haircut rounds: same per-tx value attribution,
     // proportional floor split, and >0 pruning as the Spark loop
+    "graph_flow_concentration" -> withCtes(veCtes ++ Seq(
+      """vtot AS (SELECT src, CAST(sum(v) AS BIGINT) AS total_out,
+        |           CAST(count(*) AS BIGINT) AS n_counterparties
+        |         FROM ve GROUP BY src)""".stripMargin): _*)(
+      """SELECT ve.src AS address, t.total_out, t.n_counterparties,
+        |  CAST(sum(((ve.v * 1024) // t.total_out)
+        |           * ((ve.v * 1024) // t.total_out)) AS BIGINT) AS hhi
+        |FROM ve JOIN vtot t USING (src)
+        |GROUP BY ve.src, t.total_out, t.n_counterparties""".stripMargin),
+
     "graph_taint_haircut" -> withCtes(
-      Seq(ChainSql.io, ChainSql.ioAddr,
-        "ins AS (SELECT DISTINCT tx_id, address AS src FROM ioa WHERE is_input)",
-        """nin AS (SELECT tx_id, CAST(count(*) AS BIGINT) AS n_in
-          |        FROM ins GROUP BY tx_id)""".stripMargin,
-        """ovt AS (SELECT tx_id, address AS dst, CAST(sum(value) AS BIGINT) AS ov
-          |        FROM ioa WHERE NOT is_input GROUP BY tx_id, address)""".stripMargin,
-        """ve AS (SELECT src, dst, CAST(sum(ov // n_in) AS BIGINT) AS v
-          |       FROM ins JOIN nin USING (tx_id) JOIN ovt USING (tx_id)
-          |       WHERE src <> dst
-          |       GROUP BY src, dst
-          |       HAVING sum(ov // n_in) > 0)""".stripMargin,
+      veCtes ++ Seq(
         "vo AS (SELECT src, CAST(sum(v) AS BIGINT) AS vout FROM ve GROUP BY src)",
         """hn AS (SELECT DISTINCT node FROM (
           |  SELECT src AS node FROM ve UNION ALL SELECT dst FROM ve))""".stripMargin,
@@ -1038,6 +1068,21 @@ object GraphQueries {
         |  CAST(coalesce(a.t, 0) AS BIGINT) AS taint_r1,
         |  CAST(coalesce(b.t, 0) AS BIGINT) AS taint_r2
         |FROM h1 a FULL OUTER JOIN h2 b ON a.node = b.node""".stripMargin))
+
+  /** Value-weighted flow-edge CTE chain (mirror of [[valueEdges]]) —
+    * shared by graph_taint_haircut and graph_flow_concentration. */
+  // lazy: referenced by the oracles map's initializer above
+  private lazy val veCtes: Seq[String] = Seq(ChainSql.io, ChainSql.ioAddr,
+    "ins AS (SELECT DISTINCT tx_id, address AS src FROM ioa WHERE is_input)",
+    """nin AS (SELECT tx_id, CAST(count(*) AS BIGINT) AS n_in
+      |        FROM ins GROUP BY tx_id)""".stripMargin,
+    """ovt AS (SELECT tx_id, address AS dst, CAST(sum(value) AS BIGINT) AS ov
+      |        FROM ioa WHERE NOT is_input GROUP BY tx_id, address)""".stripMargin,
+    """ve AS (SELECT src, dst, CAST(sum(ov // n_in) AS BIGINT) AS v
+      |       FROM ins JOIN nin USING (tx_id) JOIN ovt USING (tx_id)
+      |       WHERE src <> dst
+      |       GROUP BY src, dst
+      |       HAVING sum(ov // n_in) > 0)""".stripMargin)
 
   /** One haircut round as a CTE (reads h{r-1}, defines h{r}) — exact
     * mirror of graph_taint_haircut's round() closure. */

@@ -130,6 +130,37 @@ object StreamQueries {
         graft.streaming.CorpusIngest.readKept(s, out))
     }),
 
+    // SCHEMA EVOLUTION on the epoch store — the lakehouse reality that
+    // a column (here `fee`) appears mid-history: epoch 0 lands without
+    // it, epoch 1 with it, and a mergeSchema read unifies the store
+    // (old rows surface fee = NULL, never a default, never a rewrite
+    // of landed files — evolution costs zero data movement). The
+    // per-epoch rollup is the content contract: the oracle states
+    // what each epoch must contain FROM THE SOURCE tables, so the
+    // write→merge→read cycle is proven lossless, not self-consistent.
+    "store_schema_evolution" -> ((s, dir) => {
+      val out = tmp("sev")
+      val tx = graft.chain.Chain.transactions(s, dir)
+        .select(col("tx_id"), col("block_id"))
+      tx.filter(col("block_id") < 1600L)
+        .withColumn("ingest_epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("ingest_epoch")
+        .parquet(out)
+      tx.filter(col("block_id") >= 1600L)
+        .withColumn("fee", col("tx_id") % 100)
+        .withColumn("ingest_epoch", lit(1L))
+        .write.mode("append").partitionBy("ingest_epoch")
+        .parquet(out)
+      consumeEphemeral(s, Seq(out))(
+        s.read.option("mergeSchema", "true").parquet(out)
+          // partition-dir columns read back as int32 — restate the
+          // contract type before the compare
+          .groupBy(col("ingest_epoch").cast("long").as("ingest_epoch"))
+          .agg(count(lit(1)).as("n_txs"),
+            count(col("fee")).as("n_with_fee"),
+            coalesce(sum(col("fee")), lit(0L)).as("total_fee")))
+    }),
+
     // TIME TRAVEL over the epoch-keyed store: land three block-range
     // batches as epochs 0/1/2, then read the table AS OF epoch 1 —
     // the snapshot must equal the plain batch derivation over the
@@ -281,6 +312,18 @@ object StreamQueries {
     // stream == batch: the merged epoch samples must select exactly
     // the quantiles the one-pass batch sketch selects
     "stream_quantile" -> EventQueries.oraclesAll("events_quantile_sketch"),
+
+    // evolution content contract stated from the SOURCE: epoch 0 has
+    // no fee column (count/sum 0), epoch 1 carries tx_id % 100
+    "store_schema_evolution" -> withCtes(ChainSql.tx)(
+      """SELECT CAST(0 AS BIGINT) AS ingest_epoch,
+        |  CAST(count(*) AS BIGINT) AS n_txs,
+        |  CAST(0 AS BIGINT) AS n_with_fee, CAST(0 AS BIGINT) AS total_fee
+        |FROM tx WHERE block_id < 1600
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(tx_id % 100) AS BIGINT)
+        |FROM tx WHERE block_id >= 1600""".stripMargin),
 
     // the as-of-epoch-1 snapshot is exactly the first two block ranges
     "store_time_travel" -> withCtes(ChainSql.tx)(
