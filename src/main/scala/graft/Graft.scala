@@ -41,6 +41,26 @@ object Graft {
   def exchangeRates(s: SparkSession, dir: String): DataFrame =
     Chain.rates(s, dir)
 
+  /** Typed faces of the same tables ([[model]]): a zero-copy `.as[T]`
+    * encoder bind over the identical Catalyst plan — field-safe
+    * composition for library consumers, with no parallel derivation
+    * that could drift from the DataFrame surface. */
+  def txDataset(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[model.Tx] = {
+    import s.implicits._
+    Chain.transactions(s, dir).as[model.Tx]
+  }
+  def blockDataset(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[model.BlockSummary] = {
+    import s.implicits._
+    Chain.blocks(s, dir).as[model.BlockSummary]
+  }
+  def ioDataset(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[model.IoEntry] = {
+    import s.implicits._
+    Chain.io(s, dir).as[model.IoEntry]
+  }
+
   /** Write the full bucket-partitioned keyspace (transaction + block +
     * prefix index) idempotently through any [[graft.chain.ChainSink]]
     * (parquet store by default; pass a

@@ -195,4 +195,27 @@ class ApiSpec extends SparkSpec {
     assert(ddl.contains("CREATE KEYSPACE IF NOT EXISTS mychain"))
     assert(ddl.contains("CREATE TABLE transaction"))
   }
+
+  test("typed Dataset surface agrees with the DataFrame derivation") {
+    val dir = sf("sf0.001")
+    // the typed face is the SAME plan: a typed filter+map must agree
+    // with the column expression it mirrors
+    val typed = Graft.txDataset(spark, dir)
+      .filter(_.block_id < 100L).map(_.tx_id).as[Long]
+      .collect().sorted.toSeq
+    val frame = Graft.transactions(spark, dir)
+      .filter(col("block_id") < 100L)
+      .select(col("tx_id")).as[Long].collect().sorted.toSeq
+    assert(typed === frame)
+    // encoder binds every column, including the nullable address list
+    val io = Graft.ioDataset(spark, dir)
+    val nullLists = io.filter(_.addresses == null).count()
+    val multisig = io.filter(e => e.addresses != null &&
+      e.addresses.length == 2).count()
+    assert(nullLists > 0 && multisig > 0,
+      "fixture exercises both null and two-address lists through the encoder")
+    // block summaries: typed count equals the frame's row count
+    assert(Graft.blockDataset(spark, dir).count() ===
+      Graft.blocks(spark, dir).count())
+  }
 }
