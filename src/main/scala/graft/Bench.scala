@@ -46,12 +46,7 @@ object Bench {
     // ALWAYS cold (tier root wiped first) and query entries always warm
     // (builds precede them), so both are reproducible run-over-run.
     {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val tiers = new java.io.File("target/intermediate")
-      if (tiers.exists()) rm(tiers)
+      graft.ops.Tiers.wipe()
     }
     // a failed build/query must never masquerade as a fast time: record
     // failures per-entry (value -1) and count them into the summary

@@ -14,12 +14,7 @@ object BuildBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val tiers = new java.io.File("target/intermediate")
-    if (tiers.exists()) rm(tiers)
+    graft.ops.Tiers.wipe()
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body

@@ -47,13 +47,20 @@ object Materialize {
   /** Free the storage behind a [[truncate]]d frame that no later round
     * references.
     *
-    * Checkpoint blocks are only reclaimed when the driver GARBAGE
+    * Checkpoint storage is only reclaimed when the driver GARBAGE
     * COLLECTS the RDD (ContextCleaner) — on a large heap that can be
     * never, so a session running many fixpoints accumulates every
-    * round's blocks in the block manager and executor memory degrades
-    * with session AGE, not with the running query. Iterative loops call
-    * this on round N−1 once round N is materialized; the final round
-    * (referenced by the returned lazy frame) must NOT be released.
+    * round's footprint and degrades with session AGE, not with the
+    * running query. The footprint lives in different places per path:
+    * local checkpoints hold block-manager blocks (freed by unpersist),
+    * reliable checkpoints hold an rdd-N directory of FILES under the
+    * checkpoint dir — ContextCleaner only deletes those when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) AND the RDD is GC'd, so without the explicit delete below a
+    * cluster session leaks one directory per fixpoint round for its
+    * lifetime. Iterative loops call this on round N−1 once round N is
+    * materialized; the final round (referenced by the returned lazy
+    * frame) must NOT be released.
     *
     * Reaches through the checkpointed plan's LogicalRDD (the public
     * Spark class both truncation paths produce) — blocking=false, so
@@ -62,7 +69,14 @@ object Materialize {
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
+        val rdd = l.rdd
+        rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true); ()
+        }
+        rdd.unpersist(blocking = false); ()
       case _ => ()
     }
 }

@@ -47,7 +47,10 @@ object PageRank {
       seeds: DataFrame, iters: Int,
       materialize: Materializer = DefaultMaterializer): DataFrame =
     loop(materialize(
-      nodes.join(seeds.select(col("node"), lit(1L).as("s")),
+      // distinct: a duplicated seed row would fan the node frame out
+      // and double-count that node's teleport AND its flowed-out mass
+      nodes.join(seeds.select(col("node")).distinct()
+          .withColumn("s", lit(1L)),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))),
       materialize(edges), iters, materialize)

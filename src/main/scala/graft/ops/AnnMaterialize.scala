@@ -75,15 +75,9 @@ object AnnMaterialize {
     * pipelines share nothing but the input scan, so they run as
     * concurrent jobs — multi-job scheduling within one application,
     * exactly what a cluster does with independent writes. */
-  def buildAll(s: SparkSession, dir: String): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val tiers =
-      Future(groundTruthTable(s, dir).count()) +:
+  def buildAll(s: SparkSession, dir: String): Unit =
+    Tiers.buildConcurrently(
+      (() => { groundTruthTable(s, dir).count(); () }) +:
         graft.queries.SimilarityQueries.AnnMethods
-          .map(m => Future(neighborTable(s, dir, m).count()))
-    Await.result(Future.sequence(tiers), Duration.Inf)
-    ()
-  }
+          .map(m => () => { neighborTable(s, dir, m).count(); () }))
 }

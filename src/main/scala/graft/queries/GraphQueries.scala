@@ -36,17 +36,11 @@ object GraphQueries {
 
   /** Force the flow-edge tier build (Bench reports it as its own entry
     * so the graph queries measure consumption, not construction). */
-  def buildGraphTier(s: SparkSession, dir: String): Unit = {
-    // independent tiers — build as concurrent jobs (see AnnMaterialize)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(flowEdges(s, dir).count()),
-      Future(valueEdges(s, dir).count()),
-      Future(peelHops(s, dir).count()))), Duration.Inf)
-    ()
-  }
+  def buildGraphTier(s: SparkSession, dir: String): Unit =
+    graft.ops.Tiers.buildConcurrently(Seq(
+      () => { flowEdges(s, dir).count(); () },
+      () => { valueEdges(s, dir).count(); () },
+      () => { peelHops(s, dir).count(); () }))
 
   /** Synchronous label-propagation rounds for graph_labelprop. */
   private val LpIters = 3

@@ -138,10 +138,16 @@ object MultimodalQueries {
           md5(expr("substring(text, chunk_start, 512)")).as("chunk_md5"))
         .withColumn("chunk_ts_ms", col("chunk_idx") * 700L)
       // frame_ts_ms ≤ 3000 by construction (≤ 4 frames); the chunk side
-      // is text-length-dependent, so read its max once
+      // is text-length-dependent, so read its max once — from text
+      // LENGTHS alone (max chunk_idx of a doc is (len−1) div 448), not
+      // by executing the chunk explode: same exact bound, one
+      // single-column scalar aggregate instead of a per-chunk pipeline
+      // run before the real query starts
       val maxTs = math.max(3000L,
-        chunksBase.agg(coalesce(max(col("chunk_ts_ms")), lit(0L)))
-          .head().getLong(0))
+        docs.agg(coalesce(max(expr(
+            "CASE WHEN length(text) >= 1 THEN " +
+              "CAST((length(text) - 1) div 448 AS BIGINT) * 700 END")),
+          lit(0L))).head().getLong(0))
       val shift = java.lang.Long.highestOneBit(maxTs) * 2L
       val frames = framesBase
         .withColumn("fk", col("doc_id") * shift + col("frame_ts_ms"))

@@ -45,19 +45,14 @@ object RefQueries {
       // per-round stages interleave in the scheduler instead of
       // serializing wall-clock; on a cluster this is plain multi-job
       // scheduling within one application
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val tiers = Seq(
-        Future(graft.ops.EntityMaterialize.labelTable(s, dir, None)(
-          buildEntityLabelsFrom(s, dir, ia, None)).count()),
-        Future(graft.ops.EntityMaterialize.labelTable(s, dir,
+      graft.ops.Tiers.buildConcurrently(Seq(
+        () => { graft.ops.EntityMaterialize.labelTable(s, dir, None)(
+          buildEntityLabelsFrom(s, dir, ia, None)).count(); () },
+        () => { graft.ops.EntityMaterialize.labelTable(s, dir,
           Some(EntityWindow))(
-          buildEntityLabelsFrom(s, dir, ia, Some(EntityWindow))).count()),
-        Future(entityBaseLabelsFrom(s, dir,
-          ia.filter(col("tx_id") % EntityBatchMod =!= 0)).count()))
-      Await.result(Future.sequence(tiers), Duration.Inf)
-      ()
+          buildEntityLabelsFrom(s, dir, ia, Some(EntityWindow))).count(); () },
+        () => { entityBaseLabelsFrom(s, dir,
+          ia.filter(col("tx_id") % EntityBatchMod =!= 0)).count(); () }))
     } finally { ia.unpersist(); () }
   }
 

@@ -90,21 +90,19 @@ object SimilarityQueries {
     cosTopK(e, gtPairs, 3).select("query_id", "neighbor_id")
   }
 
-  /** The ANN variants ann_recall scores, by method label. */
-  private[graft] val AnnMethods: Seq[String] = Seq(
+  /** The ANN variants ann_recall scores: method label → query name —
+    * the ONE declaration both the tier builder and the recall query
+    * read (a second copy of the mapping could drift and MatchError at
+    * ann_build time). */
+  private val AnnMethodQueries: Seq[(String, String)] = Seq(
     "ivf" -> "embed_ivf_ann", "ivf_kmeans" -> "embed_ivf_kmeans",
     "lsh" -> "embed_lsh_ann", "lsh_tuned" -> "embed_lsh_ann_tuned",
-    "multiprobe" -> "embed_lsh_multiprobe", "pq" -> "embed_pq_ann"
-  ).map(_._1)
+    "multiprobe" -> "embed_lsh_multiprobe", "pq" -> "embed_pq_ann")
 
-  private[graft] def annMethodQuery(method: String): Q = method match {
-    case "ivf"        => queries("embed_ivf_ann")
-    case "ivf_kmeans" => queries("embed_ivf_kmeans")
-    case "lsh"        => queries("embed_lsh_ann")
-    case "lsh_tuned"  => queries("embed_lsh_ann_tuned")
-    case "multiprobe" => queries("embed_lsh_multiprobe")
-    case "pq"         => queries("embed_pq_ann")
-  }
+  private[graft] val AnnMethods: Seq[String] = AnnMethodQueries.map(_._1)
+
+  private[graft] def annMethodQuery(method: String): Q =
+    queries(AnnMethodQueries.toMap.apply(method))
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-5: query set × corpus, broadcast queries

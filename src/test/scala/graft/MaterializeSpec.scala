@@ -64,4 +64,33 @@ class MaterializeSpec extends SparkSpec {
       s"fixpoint leaked ${after - before} checkpointed rounds into the " +
         "block manager (expected at most the final round)")
   }
+
+  test("release deletes reliable checkpoint FILES, not just blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel_")
+      .toString
+    try {
+      sc.setCheckpointDir(dir)
+      def files(): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(dir))
+      }
+      val frame = Materialize.truncate(Seq(1, 2, 3).toDF("x"))
+      assert(frame.count() === 3)
+      assert(files().nonEmpty, "reliable checkpoint must write files")
+      // ContextCleaner never deletes these by default
+      // (cleanCheckpoints=false), so release must — or a cluster
+      // session leaks one rdd-N directory per fixpoint round forever
+      Materialize.release(frame)
+      assert(files().isEmpty,
+        s"release left checkpoint files behind: ${files().take(3)}")
+    } finally {
+      sc.setCheckpointDir(null)
+      graft.ops.Tiers.deleteRecursively(new java.io.File(dir))
+    }
+  }
 }
