@@ -21,6 +21,9 @@ object EventQueries {
   /** Session gap: a pause > 30 min starts a new session. */
   private val GapSeconds = 1800L
 
+  /** Bounded-funnel conversion window: 7 days, in seconds. */
+  private val FunnelWindow = 7L * 86400L
+
   /** events.ts has shipped at different parquet precisions across fixture
     * generations (TIMESTAMP(NANOS) → nanos LONG under
     * `spark.sql.legacy.parquet.nanosAsLong=true`; TIMESTAMP(MICROS) →
@@ -53,6 +56,35 @@ object EventQueries {
         e.filter(col("event_type") === tpe)
           .join(prev, Seq("user_id"))
           .filter(col("ets") >= col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ets")).as(out))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ets")).as("t1"))
+      val t2 = stage("click", t1, "t1", "t2")
+      val t3 = stage("purchase", t2, "t2", "t3")
+      e.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L)
+            .as("funnel_stage"))
+    }),
+
+    // the BOUNDED-WINDOW funnel — each stage must convert within
+    // FunnelWindow of the previous stage's first hit (the form product
+    // analytics actually reports: "clicked within 7 days of first
+    // view"), not merely ever-after. Same co-partitioned staged-join
+    // shape as events_funnel; the window is one extra predicate on the
+    // stage join, so the plan cost is identical.
+    "events_funnel_window" -> ((s, dir) => {
+      val e = events(s, dir)
+      def stage(tpe: String, prev: DataFrame, prevCol: String,
+          out: String): DataFrame =
+        e.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ets") >= col(prevCol) &&
+            col("ets") < col(prevCol) + FunnelWindow)
           .groupBy(col("user_id")).agg(min(col("ets")).as(out))
       val t1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ets")).as("t1"))
@@ -401,6 +433,32 @@ object EventQueries {
       |GROUP BY w_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_funnel_window" ->
+      s"""WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(ets) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ets) AS t2
+        |       FROM e JOIN t1 ON t1.user_id = e.user_id
+        |         AND e.ets >= t1.t1 AND e.ets < t1.t1 + $FunnelWindow
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ets) AS t3
+        |       FROM e JOIN t2 ON t2.user_id = e.user_id
+        |         AND e.ets >= t2.t2 AND e.ets < t2.t2 + $FunnelWindow
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |            WHEN t2.t2 IS NOT NULL THEN 2
+        |            WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (
         |  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
