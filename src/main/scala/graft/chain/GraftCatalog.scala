@@ -20,7 +20,9 @@ object GraftCatalog {
     Chain.blocks(s, dir).createOrReplaceTempView(s"${prefix}_block")
     Chain.rates(s, dir).createOrReplaceTempView(s"${prefix}_exchange_rates")
     Chain.txIoStats(s, dir).createOrReplaceTempView(s"${prefix}_tx_io_stats")
-    graft.queries.RefQueries.queries("transaction_table")(s, dir)
+    // the typed nested face — the SQL surface exposes the contract
+    // ArrayType(StructType) shape, not the hasher-friendly serialization
+    graft.queries.RefQueries.transactionTable(s, dir)
       .createOrReplaceTempView(s"${prefix}_transaction")
     graft.queries.RefQueries.queries("tx_by_prefix")(s, dir)
       .createOrReplaceTempView(s"${prefix}_transaction_by_tx_prefix")

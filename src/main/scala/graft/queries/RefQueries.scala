@@ -233,8 +233,12 @@ object RefQueries {
   /** The full nested transaction table (schema.cql:21-34): inputs/outputs
     * as ordered arrays of (address, value, address_type) structs, built in
     * a single shuffle on tx_id (collect_list skips nulls, so one
-    * conditional aggregation builds both sides). */
-  private def transactionTable(s: SparkSession, dir: String): DataFrame = {
+    * conditional aggregation builds both sides). This is the typed face —
+    * catalog registration and store writes consume the nested
+    * `ArrayType(StructType)` shape; the driver-facing `transaction_table`
+    * query entry serializes the arrays canonically so its content is
+    * hash-verifiable by the oracle harness. */
+  private[graft] def transactionTable(s: SparkSession, dir: String): DataFrame = {
     // idx (l_linenumber) is NOT unique per tx side — ties are broken by
     // the canonical element rendering (injective: addresses contain no
     // ':' or '|'), so the array order is deterministic in both engines
@@ -733,10 +737,18 @@ object RefQueries {
           max(col("block_id")).as("tip"))
     }),
 
-    // exchange_rates in its schema.cql:58-61 shape (F11). The map-typed
-    // column itself can't be hashed by the driver harness → the _check
-    // variant serializes it; this entry keeps the contract-shaped output.
-    "exchange_rates_table" -> ((s, dir) => exchangeRatesTable(s, dir)),
+    // exchange_rates (schema.cql:58-61, F11) with the fiat map canonically
+    // serialized (sorted entries, x16 integer values) so the driver's
+    // hasher — which cannot sort map cells — hash-verifies the content.
+    // The map-typed contract shape stays on the typed face
+    // (Chain.exchangeRatesTable), which catalog + store writes consume.
+    "exchange_rates_table" -> ((s, dir) =>
+      exchangeRatesTable(s, dir).select(col("date"),
+        concat_ws(",",
+          transform(array_sort(map_entries(col("fiat_values"))),
+            e => concat(e.getField("key"), lit("="),
+              (e.getField("value") * 16).cast("long").cast("string"))))
+          .as("fiat_values"))),
 
     // the same table with the map column canonically serialized
     // (sorted entries, x16 integer values) so the driver hash-compares
@@ -749,10 +761,19 @@ object RefQueries {
               (e.getField("value") * 16).cast("long").cast("string"))))
           .as("fiat_s"))),
 
-    // full nested transaction table (schema.cql:21-34). Nested arrays
-    // can't be hashed by the driver harness → rows-only check here; the
-    // _check variant below hash-verifies the same plan.
-    "transaction_table" -> ((s, dir) => transactionTable(s, dir)),
+    // full transaction table (schema.cql:21-34) with the nested
+    // inputs/outputs arrays canonically serialized in place — built FROM
+    // the nested plan's own output arrays, so a green hash row proves the
+    // nested construction (P2+P3) under the contract column names. The
+    // nested ArrayType(StructType) shape stays on the typed face
+    // (transactionTable), consumed by GraftCatalog and the store writes.
+    "transaction_table" -> ((s, dir) =>
+      transactionTable(s, dir).select(
+        col("tx_id_group"), col("tx_id"), col("tx_hash"), col("block_id"),
+        col("ts"), col("coinbase"), col("total_input"), col("total_output"),
+        serializeSide(col("inputs")).as("inputs"),
+        serializeSide(col("outputs")).as("outputs"),
+        col("coinjoin"))),
 
     // transaction_table with inputs/outputs canonically serialized: built
     // FROM the nested query's own output arrays, so a green hash row
@@ -1026,17 +1047,28 @@ object RefQueries {
         |FROM blk
         |WHERE block_id > (SELECT max(block_id) FROM blk WHERE block_id <= 1000)""".stripMargin),
 
-    "exchange_rates_table_check" -> withCtes(ChainSql.tx, ChainSql.rates)(
-      """SELECT d AS date,
-        |  'EUR=' || CAST(eurx16 AS VARCHAR) || ',USD=' || CAST(usdx16 AS VARCHAR)
-        |    AS fiat_s
-        |FROM rates""".stripMargin),
+    // The primary table entries and their _check twins share one oracle
+    // body parameterized only by the serialized columns' output names —
+    // primary carries the contract names (fiat_values, inputs, outputs),
+    // _check keeps the historical *_s names.
+    "exchange_rates_table" -> exchangeRatesOracle("fiat_values"),
+    "exchange_rates_table_check" -> exchangeRatesOracle("fiat_s"),
+    "transaction_table" -> transactionTableOracle("inputs", "outputs"),
+    "transaction_table_check" -> transactionTableOracle("inputs_s", "outputs_s"))
 
-    "transaction_table_check" -> withCtes(txFlatSqlCtes :+
+  private def exchangeRatesOracle(fiatAlias: String): String =
+    withCtes(ChainSql.tx, ChainSql.rates)(
+      s"""SELECT d AS date,
+         |  'EUR=' || CAST(eurx16 AS VARCHAR) || ',USD=' || CAST(usdx16 AS VARCHAR)
+         |    AS $fiatAlias
+         |FROM rates""".stripMargin)
+
+  private def transactionTableOracle(inAlias: String, outAlias: String): String =
+    withCtes(txFlatSqlCtes :+
       """sides AS (
         |  SELECT tx_id,
-        |    coalesce(max(CASE WHEN is_input THEN s END), '') AS inputs_s,
-        |    coalesce(max(CASE WHEN NOT is_input THEN s END), '') AS outputs_s
+        |    coalesce(max(CASE WHEN is_input THEN s END), '') AS ins,
+        |    coalesce(max(CASE WHEN NOT is_input THEN s END), '') AS outs
         |  FROM (
         |    SELECT tx_id, is_input, string_agg(s, ';' ORDER BY idx, s) AS s
         |    FROM (
@@ -1049,15 +1081,15 @@ object RefQueries {
         |      FROM io)
         |    GROUP BY tx_id, is_input)
         |  GROUP BY tx_id)""".stripMargin: _*)(
-      """SELECT t.tx_id_group, t.tx_id, t.tx_hash, t.block_id, t.ts, cb.coinbase,
-        |  CAST(coalesce(s.total_input, 0) AS BIGINT) AS total_input,
-        |  CAST(coalesce(s.total_output, 0) AS BIGINT) AS total_output,
-        |  coalesce(sd.inputs_s, '') AS inputs_s,
-        |  coalesce(sd.outputs_s, '') AS outputs_s,
-        |  (coalesce(s.no_inputs, 0) >= 2 AND coalesce(cj.max_eq, 0) >= 2) AS coinjoin
-        |FROM tx t
-        |JOIN cb USING (tx_id)
-        |LEFT JOIN iostats s USING (tx_id)
-        |LEFT JOIN cj USING (tx_id)
-        |LEFT JOIN sides sd USING (tx_id)""".stripMargin))
+      s"""SELECT t.tx_id_group, t.tx_id, t.tx_hash, t.block_id, t.ts, cb.coinbase,
+         |  CAST(coalesce(s.total_input, 0) AS BIGINT) AS total_input,
+         |  CAST(coalesce(s.total_output, 0) AS BIGINT) AS total_output,
+         |  coalesce(sd.ins, '') AS $inAlias,
+         |  coalesce(sd.outs, '') AS $outAlias,
+         |  (coalesce(s.no_inputs, 0) >= 2 AND coalesce(cj.max_eq, 0) >= 2) AS coinjoin
+         |FROM tx t
+         |JOIN cb USING (tx_id)
+         |LEFT JOIN iostats s USING (tx_id)
+         |LEFT JOIN cj USING (tx_id)
+         |LEFT JOIN sides sd USING (tx_id)""".stripMargin)
 }

