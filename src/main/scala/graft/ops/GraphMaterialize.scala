@@ -68,6 +68,22 @@ object GraphMaterialize {
     s.read.parquet(root)
   }
 
+  /** (src, dst, block_id) TIMED flow edges — the distinct flow edge set
+    * with the block each flow occurred in, the candidate set for
+    * temporal motifs (round trips, and any future burst/velocity
+    * sweep). Parked like the siblings: the derivation re-runs the io
+    * explode + input⋈output self-join per referencing plan, while the
+    * parked tier is a three-column pruned scan. */
+  def timedEdgeTable(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = s"${base(dir)}_te"
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
+
   /** (src, dst, b) PEEL-HOP edges (input address → strict-majority
     * output address, at block b) — the peel-chain sweep's candidate
     * set. Parked like the siblings: deriving it re-runs two per-tx

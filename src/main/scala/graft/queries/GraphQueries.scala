@@ -40,6 +40,7 @@ object GraphQueries {
     graft.ops.Tiers.buildConcurrently(Seq(
       () => { flowEdges(s, dir).count(); () },
       () => { valueEdges(s, dir).count(); () },
+      () => { timedEdges(s, dir).count(); () },
       () => { peelHops(s, dir).count(); () }))
 
   /** Synchronous label-propagation rounds for graph_labelprop. */
@@ -129,6 +130,24 @@ object GraphQueries {
     * per edge, zero-value edges dropped. Parked once per fixture by
     * [[graft.ops.GraphMaterialize.valueEdgeTable]] so taint consumers
     * start from a three-column pruned scan. */
+  /** (src, dst, block_id) timed flow edges — the distinct flow edges
+    * with the block of each occurrence, parked once per fixture by
+    * [[graft.ops.GraphMaterialize.timedEdgeTable]] so temporal-motif
+    * consumers (graph_round_trips) start from a three-column pruned
+    * scan instead of re-running the io explode + self-join. */
+  private def timedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphMaterialize.timedEdgeTable(s, dir) {
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val ia = ioAddresses(s, dir).filter(col("is_input"))
+        .select(col("tx_id"), col("address").as("src")).distinct()
+      val oa = ioAddresses(s, dir).filter(!col("is_input"))
+        .select(col("tx_id"), col("address").as("dst")).distinct()
+      ia.join(oa, Seq("tx_id"))
+        .filter(col("src") =!= col("dst"))
+        .join(t, Seq("tx_id"))
+        .select(col("src"), col("dst"), col("block_id")).distinct()
+    }
+
   /** (src, dst, b) peel-hop edges: input address → strict-majority
     * output address at block b (2·ov > tv makes the dominant output
     * unique per tx, so the set is tx-bounded). Parked once per fixture
@@ -249,18 +268,11 @@ object GraphQueries {
     // and the reversed edge rows, so candidate volume is edge-set-sized
     // (never pairs² and never per-(x,y) combination expansion — the
     // later-block condition is a post-filter feeding min/count aggs).
-    // At deployment scale the timed edge set parks next to the flow
-    // tier; everything downstream is one join + two hash-aggs.
+    // The timed edge set parks next to the flow tier
+    // ([[timedEdges]] / graph_build), so each invocation is a
+    // three-column scan + one join + two hash-aggs.
     "graph_round_trips" -> ((s, dir) => {
-      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
-      val ia = ioAddresses(s, dir).filter(col("is_input"))
-        .select(col("tx_id"), col("address").as("src")).distinct()
-      val oa = ioAddresses(s, dir).filter(!col("is_input"))
-        .select(col("tx_id"), col("address").as("dst")).distinct()
-      val te = ia.join(oa, Seq("tx_id"))
-        .filter(col("src") =!= col("dst"))
-        .join(t, Seq("tx_id"))
-        .select(col("src"), col("dst"), col("block_id")).distinct()
+      val te = timedEdges(s, dir)
       val dagg = te.groupBy(col("src"), col("dst"))
         .agg(min(col("block_id")).as("first_out"),
           countDistinct(col("block_id")).as("n_out_blocks"))
