@@ -25,6 +25,11 @@ object StreamQueries {
   /** Reference confirmation depth (conf/btc.cfg:20 `maxBlockNum: -6`). */
   private val TipMargin = 6L
 
+  /** Simulated reorg depth: the fork point sits this many blocks below
+    * the sink max when the guard trips (deep for a real chain — chosen
+    * so the orphaned range spans several tx buckets at sf0.01). */
+  private val ReorgDepth = 40L
+
   private def readBack(s: SparkSession, out: String): DataFrame =
     graft.chain.ChainStore.readTransactions(s, out)
       .groupBy(col("block_id"))
@@ -86,6 +91,36 @@ object StreamQueries {
       IncrementalIngest.dedupedIngestBounded(s, dir, out, Watermark,
         checkpoint = Some(s"$out-ckpt"))
       consumeEphemeral(s, Seq(out, s"$out-ckpt"))(readBack(s, out))
+    }),
+
+    // ST4 end-to-end: ingest, then a simulated reorg moves the chain
+    // tip BELOW the sink max. The guard must trip; recovery is a
+    // bucket-scoped rollback of the orphaned range plus a re-ingest of
+    // the replacement blocks from a fresh checkpoint in a fresh epoch
+    // namespace. The emitted per-block rollup carries max(ingest_epoch)
+    // as `ingest_generation`, so the oracle proves BOTH that the store
+    // converged to the post-reorg chain AND that exactly the orphaned
+    // range was rewritten by the recovery run (generation 1) while
+    // every surviving block kept its original epoch (generation 0).
+    "stream_reorg_recover" -> ((s, dir) => {
+      val out = tmp("store")
+      IncrementalIngest.ingestToStore(s, dir, out, Watermark,
+        checkpoint = Some(s"$out-ckpt"))
+      // watermark read (A5-style, 1 row) + the simulated fork point
+      val sinkMax = graft.chain.ChainStore.readTransactions(s, out)
+        .agg(max(col("block_id"))).head().getLong(0)
+      val newTip = sinkMax - ReorgDepth
+      val tripped =
+        try { IncrementalIngest.reorgGuard(newTip, sinkMax); false }
+        catch { case _: IllegalArgumentException => true }
+      require(tripped, "reorg guard failed to trip with sink ahead of tip")
+      IncrementalIngest.recoverFromReorg(s, dir, out, newTip,
+        checkpoint = Some(s"$out-ckpt2"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt", s"$out-ckpt2"))(
+        s.read.parquet(s"$out/transaction")
+          .groupBy(col("block_id"))
+          .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"),
+            max(col("ingest_epoch").cast("long")).as("ingest_generation")))
     }),
 
     // stream-STREAM join: views ⋈ purchases on user + 24 h event-time
@@ -253,6 +288,19 @@ object StreamQueries {
          |FROM tx
          |WHERE block_id > $Watermark
          |  AND block_id <= (SELECT max(block_id) FROM tx) - $TipMargin
+         |GROUP BY block_id""".stripMargin),
+
+    // converged post-reorg state from the SOURCE: every block above the
+    // watermark present exactly once; generation 1 (the recovery run's
+    // epoch namespace) for the re-ingested orphaned range, generation 0
+    // (the original run's epoch) for every surviving block
+    "stream_reorg_recover" -> withCtes(ChainSql.tx)(
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+         |  max(tx_id) AS max_tx_id,
+         |  CAST(CASE WHEN block_id >
+         |      (SELECT max(block_id) FROM tx) - $ReorgDepth
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ingest_generation
+         |FROM tx WHERE block_id > $Watermark
          |GROUP BY block_id""".stripMargin),
 
     "stream_dedup" -> withCtes(ChainSql.tx)(

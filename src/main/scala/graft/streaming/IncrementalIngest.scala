@@ -139,7 +139,8 @@ object IncrementalIngest {
   def ingestToStore(s: SparkSession, dir: String, out: String,
       watermark: Long, tipMargin: Long = 0L,
       maxFilesPerTrigger: Option[Int] = None,
-      checkpoint: Option[String] = None): Unit = {
+      checkpoint: Option[String] = None,
+      epochBase: Long = 0L): Unit = {
     resumeGuard(s, out, watermark)
     val schema = s.read.parquet(s"$dir/orders.parquet").schema
     val reader = s.readStream.schema(schema)
@@ -152,14 +153,117 @@ object IncrementalIngest {
     val q = tx.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         // ST5 inside the epoch: the margin cut is a broadcast join on the
-        // (static) batch frame — the epoch stays fully distributed
+        // (static) batch frame — the epoch stays fully distributed.
+        // epochBase offsets the landed epoch ids so a RECOVERY run (its
+        // own checkpoint restarts batch numbering at 0) lands in fresh
+        // partitions instead of dynamic-overwriting a prior run's epoch-0
+        // sub-partitions; within one checkpoint, replays of batch `epoch`
+        // still rewrite exactly (bucket, epochBase+epoch) — idempotent.
         graft.chain.ChainStore.writeTransactionsEpoch(
-          belowTip(batch.toDF(), tip, tipMargin), out, epoch)
+          belowTip(batch.toDF(), tip, tipMargin), out, epochBase + epoch)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  /** ST4 recovery, step 1 — bucket-scoped rollback of an orphaned block
+    * range: remove every landed row with `block_id > tip`, rewriting ONLY
+    * the (tx_id_group, ingest_epoch) partitions that contain such rows.
+    * The affected-partition list is partition-level metadata (buckets ×
+    * epochs, never row-scale), so collecting it is a catalog operation;
+    * the surviving rows of each affected partition are staged to a side
+    * directory first and swapped in afterwards, so a crash at any point
+    * leaves either the pre-rollback store (staging incomplete, discarded
+    * on retry) or a resumable swap (staging complete — the next call
+    * finishes moving it before recomputing). Untouched partitions are
+    * never read, rewritten, or listed beyond partition pruning —
+    * at 100 TB a 6-block reorg touches a handful of directories. */
+  def rollbackAbove(s: SparkSession, out: String, tip: Long): Unit = {
+    val live = s"$out/transaction"
+    val staging = s"$out/transaction__rollback"
+    val conf = s.sparkContext.hadoopConfiguration
+    val stPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stPath.getFileSystem(conf)
+
+    // resume a swap that a previous crash left half-done: staging is
+    // only marked _SUCCESS after every kept row is safely off the live
+    // tree, so finishing the swap first is always correct
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")))
+      finishRollbackSwap(fs, staging, live)
+    else fs.delete(stPath, true) // incomplete staging from a dead run
+
+    val df = s.read.parquet(live)
+    require(df.schema.fieldNames.contains("ingest_epoch"),
+      s"store at $live is not epoch-keyed; bucket-scoped rollback " +
+        "needs the streaming layout (a batch store is rebuilt, not " +
+        "rolled back)")
+    // partition columns come back integer-inferred from the directory
+    // names — normalize to long before collecting the partition list
+    val affected = df.filter(col("block_id") > tip)
+      .select(col("tx_id_group").cast("long").as("tx_id_group"),
+        col("ingest_epoch").cast("long").as("ingest_epoch")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (affected.isEmpty) return
+
+    // stage the survivors of the affected partitions (rows ≤ tip) —
+    // the live tree is untouched until staging is complete
+    import s.implicits._
+    val affDf = affected.toSeq.toDF("tx_id_group", "ingest_epoch")
+    df.join(broadcast(affDf), Seq("tx_id_group", "ingest_epoch"))
+      .filter(col("block_id") <= tip)
+      .repartition(col("tx_id_group"))
+      .sortWithinPartitions(col("tx_id"))
+      .write.mode("overwrite")
+      .partitionBy("tx_id_group", "ingest_epoch")
+      .parquet(staging)
+
+    // drop the orphan-bearing partitions, then swap the staged
+    // survivors into place
+    affected.foreach { case (g, e) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$live/tx_id_group=$g/ingest_epoch=$e"), true)
+    }
+    finishRollbackSwap(fs, staging, live)
+  }
+
+  /** Move every staged survivor partition into the live tree (a swap
+    * target left by a crashed previous attempt is replaced — staged
+    * content is authoritative), then discard staging. */
+  private def finishRollbackSwap(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String, live: String): Unit = {
+    val stRoot = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stRoot).filter(_.isDirectory).foreach { gDir =>
+      fs.listStatus(gDir.getPath).filter(_.isDirectory).foreach { eDir =>
+        val target = new org.apache.hadoop.fs.Path(
+          s"$live/${gDir.getPath.getName}/${eDir.getPath.getName}")
+        fs.delete(target, true)
+        fs.mkdirs(target.getParent)
+        fs.rename(eDir.getPath, target)
+      }
+    }
+    fs.delete(stRoot, true)
+  }
+
+  /** ST4 recovery, step 2 — the full reorg-recovery path the reference
+    * operator runs after the guard trips (blocksci_export.py:492-495
+    * refuses; the documented manual remedy is "roll the keyspace back
+    * below the fork point and re-export"): roll the sink back to the
+    * surviving tip, then re-ingest the replacement range from the
+    * post-reorg source with a FRESH checkpoint, landing in an epoch
+    * namespace above everything already in the store so the recovery
+    * run can never dynamic-overwrite a surviving partition. */
+  def recoverFromReorg(s: SparkSession, dir: String, out: String,
+      newTip: Long, checkpoint: Option[String] = None): Unit = {
+    rollbackAbove(s, out, newTip)
+    val base = {
+      val r = s.read.parquet(s"$out/transaction")
+        .agg(max(col("ingest_epoch").cast("long"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
+    ingestToStore(s, dir, out, watermark = newTip,
+      checkpoint = checkpoint, epochBase = base)
   }
 
   /** Stateful streaming dedup (W2 in motion): the source re-delivers

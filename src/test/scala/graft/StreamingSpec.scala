@@ -235,4 +235,72 @@ class StreamingSpec extends SparkSpec {
       IncrementalIngest.reorgGuard(sourceTip = 100L, sinkMax = 101L)
     }
   }
+
+  test("reorg rollback is bucket-scoped and recovery converges") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val out = tmpDir("reorg_")
+    // two-epoch history, the long-lived-store shape: epoch 0 is the old
+    // chain body (everything at least 1000 blocks below tip), epoch 1
+    // the recent range — a shallow reorg then only touches the recent
+    // epoch's partitions
+    val tip = Chain.transactions(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("block_id")))
+      .head().getLong(0)
+    IncrementalIngest.ingestToStore(spark, dir, out, 0L, tipMargin = 1000L,
+      checkpoint = Some(s"$out-ckpt0"))
+    IncrementalIngest.ingestToStore(spark, dir, out, tip - 1000L,
+      checkpoint = Some(s"$out-ckpt1"), epochBase = 1L)
+    val store = s"$out/transaction"
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    val full = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newTip = tip - 3
+    // the guard trips with the sink ahead of the post-reorg tip
+    intercept[IllegalArgumentException] {
+      IncrementalIngest.reorgGuard(newTip, sinkMax = tip)
+    }
+    // rollback removes exactly the orphaned range...
+    IncrementalIngest.rollbackAbove(spark, out, newTip)
+    val after = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === full.filter(_._2 <= newTip))
+    // ...and is BUCKET-SCOPED: every parquet file of an unaffected
+    // (tx_id_group, ingest_epoch) partition is the same file (same
+    // path, same mtime) — only orphan-bearing partitions (all in the
+    // recent epoch here) were rewritten
+    val untouched = before.filter { case (p, _) =>
+      !p.contains("ingest_epoch=1") }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, m) =>
+      assert(files().get(p).contains(m), s"unaffected file rewritten: $p")
+    }
+    // rollback is idempotent
+    IncrementalIngest.rollbackAbove(spark, out, newTip)
+    // recovery re-ingests the replacement range in a fresh epoch
+    // namespace and converges to the full chain
+    IncrementalIngest.recoverFromReorg(spark, dir, out, newTip,
+      checkpoint = Some(s"$out-ckpt2"))
+    val recovered = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recovered === full)
+    // the recovered range landed ABOVE the surviving epochs, so the
+    // recovery run cannot have dynamic-overwritten surviving partitions
+    val gens = spark.read.parquet(store)
+      .groupBy((col("block_id") > newTip).as("replaced"))
+      .agg(countDistinct(col("ingest_epoch")).as("n"),
+        max(col("ingest_epoch").cast("long")).as("mx"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(gens(true)._2 > gens(false)._2)
+  }
 }
