@@ -450,11 +450,12 @@ object RefQueries {
 
     // as-of join (J4 variant): rates published only ~1/3 of days; each block
     // takes the latest rate at-or-before it. Segmented-scan form — NO
-    // global window: the per-row window partitions by a bounded time
-    // bucket, and the cross-bucket carry is computed on the per-bucket
-    // rate summary (one row per bucket), which is broadcast back. The
-    // only unpartitioned window runs over that tiny summary, so the plan
-    // survives a fact-sized left side at 100 TB.
+    // global window ANYWHERE: the per-row window partitions by a bounded
+    // time bucket, and the cross-bucket carry over the per-bucket rate
+    // summary runs through PrefixCarry's two-phase distributed scan
+    // (range-partitioned windows + a one-row-per-partition driver
+    // prefix), then re-enters via broadcast — no single-partition sort
+    // exists in the plan at any chain length.
     "rate_asof" -> ((s, dir) => {
       val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
         .select(col("block_id"), col("usdx16"))
@@ -473,14 +474,13 @@ object RefQueries {
       val perBucket = pub
         .groupBy(floor(col("block_id") / BlockBucketSize).as("b"))
         .agg(max(struct(col("block_id"), col("usdx16"))).as("lastr"))
-      // cumulative carry over the summary: the global orderBy here sorts
-      // #buckets rows (|facts| / BlockBucketSize aggregated), not facts
-      val wCarry = Window.orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = u.select(col("b")).distinct()
-        .join(perBucket, Seq("b"), "left")
-        .withColumn("carryr", last(col("lastr"), ignoreNulls = true).over(wCarry))
-        .select(col("b"), col("carryr").getField("usdx16").as("carry_usdx16"))
+      // cumulative carry over the summary via the two-phase distributed
+      // scan (range-partitioned window + one-edge-row-per-partition
+      // driver prefix) — no single-partition sort at ANY chain length
+      val carry = graft.operators.PrefixCarry.exclusiveCarry(
+          u.select(col("b")).distinct()
+            .join(perBucket, Seq("b"), "left"), "b", "lastr")
+        .select(col("b"), col("carry").getField("usdx16").as("carry_usdx16"))
       inBucket.filter(col("ord") === 1)
         .join(broadcast(carry), Seq("b"), "left")
         .select(col("block_id"),
@@ -493,8 +493,8 @@ object RefQueries {
     // earliest rate at-or-after it — the mirror of rate_asof with every
     // direction flipped (first-ignore-nulls over FOLLOWING frames,
     // per-bucket EARLIEST rate, carry from the buckets AHEAD). Same
-    // scale posture: bounded bucket partitions, the only global window
-    // runs over the per-bucket summary, carry re-enters via broadcast.
+    // scale posture: bounded bucket partitions, PrefixCarry's forward
+    // two-phase scan for the cross-bucket carry, broadcast re-entry.
     "rate_asof_forward" -> ((s, dir) => {
       val pub = rates(s, dir).filter(col("usdx16") % 3 === 0)
         .select(col("block_id"), col("usdx16"))
@@ -513,13 +513,12 @@ object RefQueries {
       val perBucket = pub
         .groupBy(floor(col("block_id") / BlockBucketSize).as("b"))
         .agg(min(struct(col("block_id"), col("usdx16"))).as("firstr"))
-      val wCarry = Window.orderBy(col("b"))
-        .rowsBetween(1, Window.unboundedFollowing)
-      val carry = u.select(col("b")).distinct()
-        .join(perBucket, Seq("b"), "left")
-        .withColumn("carryr",
-          first(col("firstr"), ignoreNulls = true).over(wCarry))
-        .select(col("b"), col("carryr").getField("usdx16").as("carry_usdx16"))
+      // suffix carry = the same two-phase scan run forward
+      val carry = graft.operators.PrefixCarry.exclusiveCarry(
+          u.select(col("b")).distinct()
+            .join(perBucket, Seq("b"), "left"), "b", "firstr",
+          forward = true)
+        .select(col("b"), col("carry").getField("usdx16").as("carry_usdx16"))
       inBucket.filter(col("ord") === 0)
         .join(broadcast(carry), Seq("b"), "left")
         .select(col("block_id"),

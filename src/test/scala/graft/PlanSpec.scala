@@ -182,31 +182,29 @@ class PlanSpec extends SparkSpec {
       s"degree dist still scans the raw io rows:\n$plan")
   }
 
-  test("segmented rate_asof windows by bucket, never over the facts") {
+  test("segmented rate_asof has NO unpartitioned window in either direction") {
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     // disable AQE for this run so the executed plan is a plain tree the
     // assertions can traverse (query-stage leaves hide their subtrees)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("rate_asof")(spark, sf("sf0.001"))
-      df.collect()
-      val plan = df.queryExecution.executedPlan
-      val wins = plan.collect { case w: WindowExec => w }
-      val (globalWins, partedWins) = wins.partition(_.partitionSpec.isEmpty)
-      // the fact-side window must partition by the time bucket b
-      assert(partedWins.nonEmpty &&
-        partedWins.forall(_.partitionSpec.exists(_.toString.contains("b#"))),
-        s"fact-side window not bucket-partitioned:\n$plan")
-      // an unpartitioned window is only legal over the per-bucket carry
-      // summary, i.e. inside the subtree that gets broadcast back
-      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
-      globalWins.foreach { w =>
-        assert(bcasts.exists(_.find(_ eq w).isDefined),
-          s"unpartitioned window over fact rows (not in the broadcast " +
-            s"carry subtree):\n$plan")
+      Seq("rate_asof", "rate_asof_forward").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        df.collect()
+        val plan = df.queryExecution.executedPlan
+        val wins = plan.collect { case w: WindowExec => w }
+        val (globalWins, partedWins) = wins.partition(_.partitionSpec.isEmpty)
+        // every window — fact-side bucket scan AND PrefixCarry's
+        // within-range carry — must be partitioned; the cross-range
+        // carry travels through the driver prefix + broadcast, so no
+        // single-partition sort exists anywhere in the plan
+        assert(globalWins.isEmpty,
+          s"$name: unpartitioned window in the plan:\n$plan")
+        assert(partedWins.nonEmpty &&
+          partedWins.forall(_.partitionSpec.exists(e =>
+            e.toString.contains("b#") || e.toString.contains("__pid"))),
+          s"$name: window not bucket/range-partitioned:\n$plan")
       }
-      assert(globalWins.size <= 1, s"multiple global windows:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
