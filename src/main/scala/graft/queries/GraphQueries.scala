@@ -568,26 +568,63 @@ object GraphQueries {
     // addresses as singleton entities. One left join against the parked
     // label tier + one hash-agg on the entity key; the tag table is
     // list-sized, the rollup entity-sized.
-    "entity_tags" -> ((s, dir) => {
-      val labels = entityLabels(s, dir, Some(EntityWindow))
-      val addrs = ioAddresses(s, dir).select(col("address")).distinct()
-      val tagged = addrs.filter(expr(
+    "entity_tags" -> ((s, dir) =>
+      tagRollup(s, dir, hashTagList(s, dir))),
+
+    // the SAME rollup fed from an external file-based attribution
+    // source: the tag list lands as a TagPack-shaped CSV (address,
+    // category + curation metadata columns, explicit schema on read —
+    // GraphSense's real TagPack ingestion path) and the rollup joins
+    // that file table. Shares entity_tags' oracle, so the driver
+    // compare proves the external-dim join path end to end.
+    "entity_tags_src" -> ((s, dir) => {
+      val out = "target/tmp/tagpack_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      hashTagList(s, dir)
+        .select(col("address"), col("category"),
+          concat(lit("actor-"), col("category")).as("label"),
+          lit("tagpack-fixture").as("source"),
+          lit("BTC").as("currency"))
+        .write.mode("overwrite").format("csv")
+        .option("header", "true").save(out)
+      val tags = s.read
+        .schema("address STRING, category STRING, label STRING, " +
+          "source STRING, currency STRING")
+        .format("csv").option("header", "true").load(out)
+        .select(col("address"), col("category"))
+      tagRollup(s, dir, tags)
+    }))
+
+  /** Deterministic hash-selected address tag list — plays the
+    * externally-curated attribution source (TagPack) in a form both
+    * engines can regenerate. */
+  private def hashTagList(s: SparkSession, dir: String): DataFrame =
+    ioAddresses(s, dir).select(col("address")).distinct()
+      .filter(expr(
         s"CAST(conv(substr(md5(address), 1, 10), 16, 10) AS BIGINT)" +
           s" % $TagMod = 0"))
-        .withColumn("category", expr(
-          "element_at(array('exchange','gambling','miner','mixer'), " +
-            "CAST(CAST(conv(substr(md5(address), 11, 2), 16, 10) AS BIGINT)" +
-            " % 4 AS INT) + 1)"))
-      addrs.join(labels, Seq("address"), "left")
-        .select(coalesce(col("entity"), col("address")).as("entity"),
-          col("address"))
-        .join(tagged, Seq("address"), "left")
-        .groupBy(col("entity"))
-        .agg(count(lit(1)).as("n_addresses"),
-          count(col("category")).as("n_tagged"),
-          min(col("category")).as("top_category"))
-        .filter(col("n_tagged") > 0)
-    }))
+      .withColumn("category", expr(
+        "element_at(array('exchange','gambling','miner','mixer'), " +
+          "CAST(CAST(conv(substr(md5(address), 11, 2), 16, 10) AS BIGINT)" +
+          " % 4 AS INT) + 1)"))
+
+  /** Attribution-tag rollup at entity grain over any (address,
+    * category) tag table: one left join against the parked label tier
+    * + one hash-agg on the entity key; the tag table is list-sized,
+    * the rollup entity-sized. */
+  private def tagRollup(s: SparkSession, dir: String,
+      tagged: DataFrame): DataFrame = {
+    val labels = entityLabels(s, dir, Some(EntityWindow))
+    val addrs = ioAddresses(s, dir).select(col("address")).distinct()
+    addrs.join(labels, Seq("address"), "left")
+      .select(coalesce(col("entity"), col("address")).as("entity"),
+        col("address"))
+      .join(tagged, Seq("address"), "left")
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_addresses"),
+        count(col("category")).as("n_tagged"),
+        min(col("category")).as("top_category"))
+      .filter(col("n_tagged") > 0)
+  }
 
   /** Distinct symmetrized (src, dst) edge set — both directions of
     * every undirected edge, so per-src counts are full degrees. */
@@ -810,6 +847,29 @@ object GraphQueries {
       |               JOIN wtx USING (tx_id) WHERE NOT is_input) o
       |         LEFT JOIN cc ON cc.address = o.address)""".stripMargin)
 
+  /** Shared by entity_tags and its file-sourced twin: the hash-selected
+    * tag list rolled through the recursive-walk clustering mirror;
+    * singleton entities via the left-join coalesce. */
+  private lazy val entityTagsOracle: String =
+    ChainSql.withRecursiveCtes(entityFlowCtes ++ Seq(
+      "eaddrs AS (SELECT DISTINCT address FROM ioa)",
+      s"""etagged AS (
+         |  SELECT address,
+         |    (['exchange','gambling','miner','mixer'])[
+         |      CAST(('0x' || substr(md5(address), 11, 2))::BIGINT
+         |           % 4 AS BIGINT) + 1] AS category
+         |  FROM eaddrs
+         |  WHERE ('0x' || substr(md5(address), 1, 10))::BIGINT
+         |        % $TagMod = 0)""".stripMargin): _*)(
+      """SELECT coalesce(cc.entity, a.address) AS entity,
+        |  CAST(count(*) AS BIGINT) AS n_addresses,
+        |  CAST(count(t.category) AS BIGINT) AS n_tagged,
+        |  min(t.category) AS top_category
+        |FROM eaddrs a
+        |LEFT JOIN cc ON cc.address = a.address
+        |LEFT JOIN etagged t ON t.address = a.address
+        |GROUP BY 1 HAVING count(t.category) > 0""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "address_stats" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr)(
       """SELECT address,
@@ -1030,24 +1090,11 @@ object GraphQueries {
 
     // same hash-selected tag list rolled through the recursive-walk
     // clustering mirror; singleton entities via the left-join coalesce.
-    "entity_tags" -> ChainSql.withRecursiveCtes(entityFlowCtes ++ Seq(
-      "eaddrs AS (SELECT DISTINCT address FROM ioa)",
-      s"""etagged AS (
-         |  SELECT address,
-         |    (['exchange','gambling','miner','mixer'])[
-         |      CAST(('0x' || substr(md5(address), 11, 2))::BIGINT
-         |           % 4 AS BIGINT) + 1] AS category
-         |  FROM eaddrs
-         |  WHERE ('0x' || substr(md5(address), 1, 10))::BIGINT
-         |        % $TagMod = 0)""".stripMargin): _*)(
-      """SELECT coalesce(cc.entity, a.address) AS entity,
-        |  CAST(count(*) AS BIGINT) AS n_addresses,
-        |  CAST(count(t.category) AS BIGINT) AS n_tagged,
-        |  min(t.category) AS top_category
-        |FROM eaddrs a
-        |LEFT JOIN cc ON cc.address = a.address
-        |LEFT JOIN etagged t ON t.address = a.address
-        |GROUP BY 1 HAVING count(t.category) > 0""".stripMargin),
+    "entity_tags" -> entityTagsOracle,
+
+    // the file-sourced rollup must agree with the in-memory one — one
+    // oracle proves the TagPack CSV write→read→join path lossless
+    "entity_tags_src" -> entityTagsOracle,
 
     // unrolled haircut rounds: same per-tx value attribution,
     // proportional floor split, and >0 pruning as the Spark loop
