@@ -3,10 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time the materialized-tier BUILDS cold (tier root wiped
   * first) at an arbitrary sf dir — the per-build scale datapoints for
-  * SCALE.md. Usage: runMain graft.BuildBench [sfDir] */
+  * SCALE.md. Usage:
+  *   runMain graft.BuildBench [--repeat=N] [sfDir] [buildName...]
+  * Build names filter which tiers build (default: all); --repeat wipes
+  * and rebuilds N times INSIDE one session — the flatness probe for the
+  * Materialize.release discipline (a leaking session drifts upward
+  * round over round). */
 object BuildBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val (flags, rest) = args.partition(_.startsWith("--"))
+    val repeat = flags.find(_.startsWith("--repeat="))
+      .map(_.drop("--repeat=".length).toInt).getOrElse(1)
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = rest.drop(1).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -14,35 +23,39 @@ object BuildBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    graft.ops.Tiers.wipe()
-    def timed(name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      body
-      println(f"[buildbench] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    timed("dedup_materialize_bands") {
-      graft.ops.DedupMaterialize.bandTable(spark, sfDir).count(); ()
-    }
-    timed("dedup_materialize_components") {
-      graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
-    }
-    timed("dedup_materialize_base") {
-      graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
-    }
-    timed("text_winfp_build") {
-      graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
-    }
-    timed("text_segment_build") {
-      graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
-    }
-    timed("entity_build") {
-      graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
-    }
-    timed("graph_build") {
-      graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
-    }
-    timed("ann_build") {
-      graft.ops.AnnMaterialize.buildAll(spark, sfDir)
+    def timed(name: String, round: Int)(body: => Unit): Unit =
+      if (only.isEmpty || only(name)) {
+        val t0 = System.nanoTime()
+        body
+        val tag = if (repeat > 1) s" round$round" else ""
+        println(f"[buildbench] $name$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    for (r <- 1 to repeat) {
+      graft.ops.Tiers.wipe()
+      timed("dedup_materialize_bands", r) {
+        graft.ops.DedupMaterialize.bandTable(spark, sfDir).count(); ()
+      }
+      timed("dedup_materialize_components", r) {
+        graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
+      }
+      timed("dedup_materialize_base", r) {
+        graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
+      }
+      timed("text_winfp_build", r) {
+        graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
+      }
+      timed("text_segment_build", r) {
+        graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
+      }
+      timed("entity_build", r) {
+        graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
+      }
+      timed("graph_build", r) {
+        graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
+      }
+      timed("ann_build", r) {
+        graft.ops.AnnMaterialize.buildAll(spark, sfDir)
+      }
     }
     spark.stop()
   }

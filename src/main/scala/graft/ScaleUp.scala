@@ -30,9 +30,10 @@ object ScaleUp {
     * warning: replica tx_ids then enter the injected-dup range, so the
     * bip30_dedup family's numbers are NOT meaningful at those dirs
     * (every other family is untouched — the injection is internal to
-    * those two queries). */
+    * those two queries). Factors up to 100 serve the chain-only scale
+    * probes (entity_build / graph_build another decade up). */
   def checkFactor(factor: Int): Unit = {
-    require(factor >= 1 && factor <= 30, s"factor $factor outside [1, 30]")
+    require(factor >= 1 && factor <= 100, s"factor $factor outside [1, 100]")
     if (factor * KeyOffset > 10000000L)
       System.err.println(s"[scaleup] WARNING: factor $factor puts replica " +
         "keys in the BIP30 dup-injection range - exclude bip30_dedup* " +
@@ -43,10 +44,22 @@ object ScaleUp {
     * (1e6, TextCorpus.DupOffset); 30 × 10k ids clears it comfortably. */
   val DocOffset = 10000L
 
+  /** Hot-address skew (mode=skew): this fraction of each REPLICA's
+    * lineitem rows is rewired to supplier 1, so ONE address accrues
+    * ~10% of the amplified utxo history — the single-hot-exchange
+    * stress for the per-address running-balance windows. */
+  val SkewDenom = 10
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sfx10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // full: amplify every fact table (the per-round scale sweep).
+    // chain: amplify orders+lineitem only, copy the rest — the cheap
+    //        fixture for 100x-class chain-build probes.
+    // skew:  chain + hot-supplier rewrite on replica lineitems.
+    val mode = args.lift(3).getOrElse("full")
+    require(Seq("full", "chain", "skew").contains(mode), s"bad mode $mode")
     checkFactor(factor)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,8 +75,16 @@ object ScaleUp {
     }
     amplify("orders", (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOffset)))
-    amplify("lineitem", (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset)))
+    amplify("lineitem", (df, i) => {
+      val shifted =
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset))
+      if (mode == "skew" && i > 0)
+        shifted.withColumn("l_suppkey",
+          when(col("l_orderkey") % SkewDenom === 0, lit(1))
+            .otherwise(col("l_suppkey")))
+      else shifted
+    })
+    if (mode == "full") {
     amplify("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * KeyOffset))
         .withColumn("user_id", col("user_id") + lit(i * KeyOffset)))
@@ -80,11 +101,16 @@ object ScaleUp {
       else df.withColumn("doc_id", col("doc_id") + lit(i * DocOffset))
         .withColumn("text", expr(
           s"array_join(transform(split(text, ' '), x -> concat(x, 'r$i')), ' ')")))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "embeddings"))
+    }
+    val copied =
+      if (mode == "full")
+        Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      else Seq("region", "nation", "customer", "supplier", "part",
+        "embeddings", "events", "documents")
+    for (t <- copied)
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    println(s"[scaleup] wrote $out at ${factor}x of $src")
+    println(s"[scaleup] wrote $out at ${factor}x of $src (mode=$mode)")
     spark.stop()
   }
 }

@@ -30,6 +30,18 @@ class BottomKPairsAgg(k: Int)
 
   private val ord = Ordering.Tuple2[Long, Double]
 
+  /** Payload normalization so JVM pair equality (`distinct`) matches SQL
+    * comparison semantics in the oracle engine: -0.0 folds to 0.0 (equal
+    * in SQL, unequal under Double.equals), NaN payloads are refused
+    * (SQL's NULL-like comparison rules for NaN have no JVM-equality
+    * mirror — callers filter them alongside nulls). */
+  private def norm(p: (Long, Double)): (Long, Double) = {
+    require(!p._2.isNaN, "NaN payload: filter NaN rows before sampling " +
+      "(SQL DISTINCT/comparison semantics for NaN diverge from JVM " +
+      "equality, so the sample would not be engine-portable)")
+    if (p._2 == 0.0) (p._1, 0.0) else p
+  }
+
   private def prune(
       b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
     val kept = b.distinct.sorted(ord).take(k)
@@ -39,7 +51,7 @@ class BottomKPairsAgg(k: Int)
   override def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
   override def reduce(b: ArrayBuffer[(Long, Double)],
       p: (Long, Double)): ArrayBuffer[(Long, Double)] = {
-    b += p
+    b += norm(p)
     if (b.size > 4 * k) prune(b) else b
   }
   override def merge(b1: ArrayBuffer[(Long, Double)],

@@ -403,6 +403,20 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("BottomKPairsAgg folds -0.0 to 0.0 and refuses NaN payloads") {
+    val agg = new graft.functions.BottomKPairsAgg(4)
+    // -0.0 and 0.0 are one pair under SQL comparison — the sample must
+    // keep one copy, not two JVM-distinct ones
+    val b = agg.reduce(agg.reduce(agg.zero, (1L, -0.0)), (1L, 0.0))
+    val out = agg.finish(b)
+    assert(out === Seq((1L, 0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(out.head._2) == 0L,
+      "-0.0 normalized to +0.0")
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, (1L, Double.NaN))
+    }
+  }
+
   test("peel-chain DP equals brute-force increasing-block path depth") {
     val hopGen = Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7),
       Gen.choose(1L, 6L)).suchThat { case (u, v, _) => u != v }
