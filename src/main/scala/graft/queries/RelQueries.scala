@@ -310,16 +310,21 @@ object RelQueries {
         .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"))
     }),
 
-    // month-over-month revenue growth: month totals (decimal-exact) +
-    // lag window + one final double division. The lag window is over
-    // the tiny month dimension, not the fact rows.
+    // month-over-month revenue growth: month totals (decimal-exact),
+    // then the PREVIOUS CALENDAR month re-enters via an equi-join on
+    // month arithmetic instead of an unpartitioned lag window — the
+    // last global-sort window outside PrefixCarry is gone, and the
+    // join key makes the "previous month" semantics explicit (a gap
+    // month yields null growth, which lag would silently bridge).
     "orders_mom_growth" -> ((s, dir) => {
-      val w = Window.orderBy(col("month"))
-      table(s, dir, "orders")
+      val m = table(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
           .as("revenue"))
-        .withColumn("prev", lag(col("revenue"), 1).over(w))
+      m.join(
+          m.select(add_months(col("month"), 1).as("month"),
+            col("revenue").as("prev")),
+          Seq("month"), "left")
         .select(unix_timestamp(col("month")).as("month_ts"),
           col("revenue").cast("double").as("revenue"),
           (col("revenue").cast("double") / col("prev").cast("double") - 1)
@@ -922,12 +927,12 @@ object RelQueries {
         |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT CAST(date_diff('second', TIMESTAMP '1970-01-01',
-        |       CAST(month AS TIMESTAMP)) AS BIGINT) AS month_ts,
-        |  CAST(revenue AS DOUBLE) AS revenue,
-        |  CAST(revenue AS DOUBLE)
-        |    / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) - 1
+        |       CAST(c.month AS TIMESTAMP)) AS BIGINT) AS month_ts,
+        |  CAST(c.revenue AS DOUBLE) AS revenue,
+        |  CAST(c.revenue AS DOUBLE) / CAST(p.revenue AS DOUBLE) - 1
         |    AS mom_growth
-        |FROM m""".stripMargin,
+        |FROM m c
+        |LEFT JOIN m p ON p.month + INTERVAL 1 MONTH = c.month""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_custkey, o_orderkey,

@@ -23,9 +23,10 @@ class SmokeSpec extends SparkSpec {
 
   test("scale-up factor guard admits the documented range") {
     ScaleUp.checkFactor(1)
-    ScaleUp.checkFactor(10) // the default invocation and SCALE.md's curve
-    ScaleUp.checkFactor(30) // stress ceiling (bip30 family excluded there)
+    ScaleUp.checkFactor(10)  // the default invocation and SCALE.md's curve
+    ScaleUp.checkFactor(30)  // stress runs (bip30 family excluded there)
+    ScaleUp.checkFactor(100) // chain-build decade-up probes
     intercept[IllegalArgumentException] { ScaleUp.checkFactor(0) }
-    intercept[IllegalArgumentException] { ScaleUp.checkFactor(31) }
+    intercept[IllegalArgumentException] { ScaleUp.checkFactor(101) }
   }
 }
