@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed exclusive carry ("latest non-null payload strictly before
   * me" in `ord` order) with NO single-partition sort at any input size —
@@ -29,6 +29,46 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * summary job and the result plan see the identical partitioning.
   */
 object PrefixCarry {
+
+  /** Append column `prefix_sum` = the EXCLUSIVE running sum of `value`
+    * (long) in `ord` order — the serial cumsum made distributed with
+    * the same two-phase shape as [[exclusiveCarry]]: range-partition by
+    * `ord`, partitioned window for the within-range exclusive sum, one
+    * total per partition collected and prefix-summed on the driver,
+    * broadcast back. No single-partition sort at any input size. */
+  def exclusivePrefixSum(df: DataFrame, ord: String,
+      value: String): DataFrame = {
+    val s = df.sparkSession
+    val ranged = df
+      .repartitionByRange(col(ord))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(value)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val nParts = ranged.rdd.getNumPartitions
+    var acc = 0L
+    val baseRows = (0 until nParts).map { pid =>
+      val row = Row(pid, acc)
+      acc += totals.getOrElse(pid, 0L)
+      row
+    }
+    val base = s.createDataFrame(
+      s.sparkContext.parallelize(baseRows, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__base", LongType, nullable = false))))
+
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(ord).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__in",
+        coalesce(sum(col(value)).over(wIn), lit(0L)))
+      .join(broadcast(base), Seq("__pid"))
+      .withColumn("prefix_sum", col("__in") + col("__base"))
+      .drop("__pid", "__in", "__base")
+  }
 
   /** Append column `carry` = the latest (backward) / earliest (forward)
     * non-null `payload` over rows strictly before / after the current

@@ -554,6 +554,24 @@ object TextQueries {
             .as("shard_id"))
     }),
 
+    // the EXACT global form of the packing above: one contiguous token
+    // stream in doc_id order, cut into token-budget shards — the serial
+    // greedy cumsum, but computed by PrefixCarry's two-phase scan
+    // (range-partitioned windows + a one-total-per-partition driver
+    // prefix, broadcast back), so the "inherently sequential" packing
+    // runs with NO single-partition sort at any corpus size. Emits the
+    // stream offset of each doc, so downstream loaders can seek.
+    "pipeline_shards_global" -> ((s, dir) => {
+      val budget = 2000L
+      val toks = docWords(s, dir)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      graft.operators.PrefixCarry.exclusivePrefixSum(toks, "doc_id",
+          "n_tokens")
+        .select(col("doc_id"), col("n_tokens"),
+          col("prefix_sum").as("stream_offset"),
+          floor(col("prefix_sum") / lit(budget)).cast("long").as("shard_id"))
+    }),
+
     // per-stratum percentile thresholding (the quality-cut step of a
     // data recipe expressed as a DISTRIBUTION cut, not an absolute
     // one): keep each source's top half by average word length.
@@ -1265,6 +1283,20 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum
         |  FROM words)""".stripMargin),
+
+    // the serial global cumsum IS the oracle: DuckDB runs it as one
+    // ordered window, Spark reproduces it with the two-phase scan
+    "pipeline_shards_global" -> withCtes(docWordsSql)(
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(len(w)) OVER (
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS stream_offset,
+        |  CAST(floor(coalesce(sum(len(w)) OVER (
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2000.0) AS BIGINT) AS shard_id
+        |FROM words""".stripMargin),
 
     "text_quality_filter" -> withCtes(docWordsSql)(
       s"""SELECT doc_id, source, avg_word_len, pr FROM (

@@ -42,6 +42,18 @@ class PrefixCarrySpec extends SparkSpec {
     }
   }
 
+  test("exclusive prefix sum equals the serial cumsum") {
+    val df = (0L until 500L).map(i => (i, i % 13)).toDF("ord", "v")
+    val got = PrefixCarry.exclusivePrefixSum(df, "ord", "v")
+      .select("ord", "prefix_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    (0L until 500L).foreach { i =>
+      assert(got(i) === acc, s"ord $i")
+      acc += i % 13
+    }
+  }
+
   test("all-null payloads carry nothing; original columns survive") {
     val df = (0L until 50L).map(i => (i, s"k$i")).toDF("ord", "tag")
       .withColumn("payload",
