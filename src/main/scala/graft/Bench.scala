@@ -98,6 +98,12 @@ object Bench {
       timed("text_segment_base_build") {
         graft.ops.DedupMaterialize.segFreqBaseTable(spark, sfDir).count()
         graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir).count(); ()
+      },
+      // pre-batch packed-stream manifest consumed by the incremental
+      // shard-packing maintenance query
+      timed("pack_manifest_build") {
+        graft.ops.DedupMaterialize.packManifestBaseTable(spark, sfDir)
+          .count(); ()
       })
     val bucketEntry = timed("bucketed_build") {
       graft.queries.RefQueries.buildBucketedTables(spark, sfDir)

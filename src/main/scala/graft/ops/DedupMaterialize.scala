@@ -139,6 +139,36 @@ object DedupMaterialize {
     s.read.parquet(s"$root/$sub")
   }
 
+  /** (doc_id, n_tokens, stream_offset) — the packed-stream MANIFEST of
+    * the corpus EXCLUDING the arriving batch: pre-batch state for
+    * incremental shard packing. A training-data pipeline keeps exactly
+    * this manifest as shards land (offsets are immutable once written);
+    * a new batch appends at the parked total, so maintenance is
+    * batch-sized while the manifest itself was built with the two-phase
+    * PrefixCarry scan (no single-partition sort). */
+  def packManifestBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"pack_manifest_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        // the PLAIN document stream (no injected dedup twins — packing
+        // runs downstream of dedup, so the manifest never sees them)
+        val plain = graft.chain.Chain.table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val toks = words(plain)
+          .filter(col("doc_id") % IncrementalBatchMod =!= 0)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(col("w")).cast("long")
+              .as("n_tokens"))
+        graft.operators.PrefixCarry.exclusivePrefixSum(toks, "doc_id",
+            "n_tokens")
+          .withColumnRenamed("prefix_sum", "stream_offset")
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
   /** Segment-dedup output over the corpus EXCLUDING the arriving
     * batch — the pre-batch result tier incremental maintenance keeps
     * verbatim for untouched docs. */

@@ -572,6 +572,35 @@ object TextQueries {
           floor(col("prefix_sum") / lit(budget)).cast("long").as("shard_id"))
     }),
 
+    // INCREMENTAL maintenance of the global packing: the pre-batch
+    // stream's manifest is parked (offsets are immutable once shards
+    // are written — the append-only property of training shards); the
+    // arriving batch (the shared doc_id % mod convention) appends AT
+    // the parked total, its within-batch offsets from the same
+    // two-phase scan. Work is batch-sized: one 1-row total off the
+    // manifest tier + the batch's own token counts. Emits batch rows
+    // only; the oracle recomputes both sides from the corpus, so
+    // "parked + appended == serial repack of the whole stream" is
+    // driver-proven.
+    "pipeline_shards_incremental" -> ((s, dir) => {
+      val budget = 2000L
+      val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+      val parkedTotal = graft.ops.DedupMaterialize
+        .packManifestBaseTable(s, dir)
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+        .withColumn("one", lit(1))
+      val batch = docWords(s, dir).filter(col("doc_id") % mod === 0)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      graft.operators.PrefixCarry.exclusivePrefixSum(batch, "doc_id",
+          "n_tokens")
+        .withColumn("one", lit(1))
+        .join(broadcast(parkedTotal), Seq("one"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("prefix_sum") + col("t")).as("stream_offset"),
+          floor((col("prefix_sum") + col("t")) / lit(budget)).cast("long")
+            .as("shard_id"))
+    }),
+
     // per-stratum percentile thresholding (the quality-cut step of a
     // data recipe expressed as a DISTRIBUTION cut, not an absolute
     // one): keep each source's top half by average word length.
@@ -1297,6 +1326,26 @@ object TextQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2000.0) AS BIGINT) AS shard_id
         |FROM words""".stripMargin),
+
+    // both sides recomputed from the corpus: the batch docs' offsets
+    // must equal (total pre-batch tokens) + the within-batch cumsum —
+    // i.e. parked-manifest append == serial repack, per doc
+    "pipeline_shards_incremental" -> withCtes(docWordsSql,
+      s"""base AS (
+         |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS t
+         |  FROM words
+         |  WHERE doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} != 0)""".stripMargin)(
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(base.t + coalesce(sum(len(w)) OVER (
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS stream_offset,
+         |  CAST(floor((base.t + coalesce(sum(len(w)) OVER (
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         |    / 2000.0) AS BIGINT) AS shard_id
+         |FROM words, base
+         |WHERE doc_id % ${graft.ops.DedupMaterialize.IncrementalBatchMod} = 0""".stripMargin),
 
     "text_quality_filter" -> withCtes(docWordsSql)(
       s"""SELECT doc_id, source, avg_word_len, pr FROM (
