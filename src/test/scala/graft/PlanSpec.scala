@@ -23,6 +23,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"))
     assert(!plan.contains("SinglePartition"),
       "the packing cumsum must run per pack group, never globally")
+    // the EXACT global packing runs the serial cumsum through the
+    // two-phase PrefixCarry scan — same guarantee, no global funnel
+    val global = executedPlan("pipeline_shards_global")
+    assert(global.contains("Window"))
+    assert(!global.contains("SinglePartition"),
+      "the global packing must use the two-phase scan, never one partition")
   }
 
   test("corpus_mix broadcasts the per-source quota table") {
