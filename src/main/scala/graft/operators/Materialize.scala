@@ -74,7 +74,12 @@ object Materialize {
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(
               df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true); ()
+            .delete(path, true)
+          // the delete is destructive on contract misuse (releasing a
+          // round a later frame still reads) — name the path so a
+          // FileNotFoundException post-mortem is a grep, not a hunt
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"released checkpoint $p")
         }
         rdd.unpersist(blocking = false); ()
       case _ => ()
