@@ -168,6 +168,9 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
   }
 
+  /** Staging-complete marker for [[rollbackAbove]]'s swap protocol. */
+  private val StagedMarker = "_GRAFT_STAGED"
+
   /** ST4 recovery, step 1 — bucket-scoped rollback of an orphaned block
     * range: remove every landed row with `block_id > tip`, rewriting ONLY
     * the (tx_id_group, ingest_epoch) partitions that contain such rows.
@@ -179,18 +182,26 @@ object IncrementalIngest {
     * on retry) or a resumable swap (staging complete — the next call
     * finishes moving it before recomputing). Untouched partitions are
     * never read, rewritten, or listed beyond partition pruning —
-    * at 100 TB a 6-block reorg touches a handful of directories. */
-  def rollbackAbove(s: SparkSession, out: String, tip: Long): Unit = {
+    * at 100 TB a 6-block reorg touches a handful of directories.
+    *
+    * `crashAfterStaging` is a test failpoint: return once staging is
+    * complete but before any live partition is touched — the worst
+    * crash window; StreamingSpec proves a retry converges from it. */
+  def rollbackAbove(s: SparkSession, out: String, tip: Long,
+      crashAfterStaging: Boolean = false): Unit = {
     val live = s"$out/transaction"
     val staging = s"$out/transaction__rollback"
     val conf = s.sparkContext.hadoopConfiguration
     val stPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stPath.getFileSystem(conf)
 
-    // resume a swap that a previous crash left half-done: staging is
-    // only marked _SUCCESS after every kept row is safely off the live
-    // tree, so finishing the swap first is always correct
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")))
+    // resume a swap that a previous crash left half-done: the explicit
+    // marker is written only after the staging write returned (Spark's
+    // own _SUCCESS is committer-config-dependent under dynamic
+    // partition overwrite, so it is not the contract here) — every
+    // kept row is safely off the live tree, finishing the swap first
+    // is always correct
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$staging/$StagedMarker")))
       finishRollbackSwap(fs, staging, live)
     else fs.delete(stPath, true) // incomplete staging from a dead run
 
@@ -218,6 +229,10 @@ object IncrementalIngest {
       .write.mode("overwrite")
       .partitionBy("tx_id_group", "ingest_epoch")
       .parquet(staging)
+    fs.create(new org.apache.hadoop.fs.Path(s"$staging/$StagedMarker"),
+      true).close()
+
+    if (crashAfterStaging) return // failpoint: die before touching live
 
     // drop the orphan-bearing partitions, then swap the staged
     // survivors into place

@@ -236,6 +236,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rollback retry converges after a crash in the worst window") {
+    val dir = sf("sf0.001")
+    val out = tmpDir("reorgcrash_")
+    IncrementalIngest.ingestToStore(spark, dir, out, 0L,
+      checkpoint = Some(s"$out-ckpt"))
+    val full = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newTip = full.map(_._2).max - 3
+    // die after staging completed but before any live partition moved:
+    // the live store must be byte-identical to pre-rollback state
+    IncrementalIngest.rollbackAbove(spark, out, newTip,
+      crashAfterStaging = true)
+    assert(new java.io.File(
+      s"$out/transaction__rollback/_GRAFT_STAGED").exists())
+    val mid = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mid === full, "crash before the swap must leave live intact")
+    // the retry resumes the swap first, then completes the rollback
+    IncrementalIngest.rollbackAbove(spark, out, newTip)
+    val after = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === full.filter(_._2 <= newTip))
+    assert(!new java.io.File(s"$out/transaction__rollback").exists(),
+      "staging discarded after the completed retry")
+  }
+
   test("reorg rollback is bucket-scoped and recovery converges") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
