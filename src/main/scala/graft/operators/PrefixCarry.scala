@@ -37,10 +37,18 @@ object PrefixCarry {
     * total per partition collected and prefix-summed on the driver,
     * broadcast back. No single-partition sort at any input size. */
   def exclusivePrefixSum(df: DataFrame, ord: String,
+      value: String): DataFrame =
+    exclusivePrefixSum(df, Seq(ord), value)
+
+  /** Multi-column ordering form: `ords` together must be a total order
+    * (ties across the boundary columns would make tied rows' sums
+    * partition-placement-dependent). */
+  def exclusivePrefixSum(df: DataFrame, ords: Seq[String],
       value: String): DataFrame = {
     val s = df.sparkSession
+    val ordCols = ords.map(col)
     val ranged = df
-      .repartitionByRange(col(ord))
+      .repartitionByRange(ordCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
 
@@ -60,7 +68,8 @@ object PrefixCarry {
       StructType(Seq(StructField("__pid", IntegerType, nullable = false),
         StructField("__base", LongType, nullable = false))))
 
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(ord).asc)
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(ordCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .withColumn("__in",
@@ -69,6 +78,14 @@ object PrefixCarry {
       .withColumn("prefix_sum", col("__in") + col("__base"))
       .drop("__pid", "__in", "__base")
   }
+
+  /** Global 1-based rank under the total order `ords` — the terasort
+    * primitive (deterministic global positions with NO single-partition
+    * sort): an exclusive prefix COUNT plus one. */
+  def globalRank(df: DataFrame, ords: Seq[String]): DataFrame =
+    exclusivePrefixSum(df.withColumn("__one", lit(1L)), ords, "__one")
+      .withColumn("rank", col("prefix_sum") + 1L)
+      .drop("__one", "prefix_sum")
 
   /** Append column `carry` = the latest (backward) / earliest (forward)
     * non-null `payload` over rows strictly before / after the current

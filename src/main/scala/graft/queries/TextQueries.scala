@@ -572,6 +572,28 @@ object TextQueries {
           floor(col("prefix_sum") / lit(budget)).cast("long").as("shard_id"))
     }),
 
+    // deterministic GLOBAL SHUFFLE for training order: every doc gets a
+    // pseudo-random position (md5-derived key — reproducible in both
+    // engines and stable under re-runs/appends, never random()) and the
+    // 1-based rank under (key, doc_id) comes from PrefixCarry.globalRank
+    // — the terasort primitive: range-partition on the uniform key,
+    // within-range row-number, cross-range counts via the driver prefix.
+    // No single-partition sort at any corpus size; shuffle_shard groups
+    // positions into training shards a loader reads sequentially.
+    "corpus_shuffle" -> ((s, dir) => {
+      val key = expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)" +
+          " AS BIGINT)")
+      val docs = docWords(s, dir)
+        .select(col("doc_id"), key.as("shuffle_key"))
+      graft.operators.PrefixCarry.globalRank(docs,
+          Seq("shuffle_key", "doc_id"))
+        .select(col("doc_id"), col("shuffle_key"),
+          col("rank").as("pos"),
+          floor((col("rank") - 1) / lit(100L)).cast("long")
+            .as("shuffle_shard"))
+    }),
+
     // INCREMENTAL maintenance of the global packing: the pre-batch
     // stream's manifest is parked (offsets are immutable once shards
     // are written — the append-only property of training shards); the
@@ -1325,6 +1347,20 @@ object TextQueries {
         |    ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2000.0) AS BIGINT) AS shard_id
+        |FROM words""".stripMargin),
+
+    // the serial rank IS the oracle: one ordered window in DuckDB,
+    // reproduced distributed by the two-phase rank
+    "corpus_shuffle" -> withCtes(docWordsSql)(
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+        |    AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT,
+        |    doc_id) AS BIGINT) AS pos,
+        |  CAST(floor((row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT,
+        |    doc_id) - 1) / 100.0) AS BIGINT) AS shuffle_shard
         |FROM words""".stripMargin),
 
     // both sides recomputed from the corpus: the batch docs' offsets

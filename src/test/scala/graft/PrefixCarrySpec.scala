@@ -42,6 +42,18 @@ class PrefixCarrySpec extends SparkSpec {
     }
   }
 
+  test("global rank equals the serial row_number, ties broken by the second key") {
+    // many ties on the leading key — the rank must still be a total
+    // order because the tie-break column completes it
+    val df = (0L until 300L).map(i => (i % 7, i)).toDF("k", "id")
+    val got = PrefixCarry.globalRank(df, Seq("k", "id"))
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (0L until 300L).map(i => (i % 7, i)).sorted.zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+    assert(got === want)
+  }
+
   test("exclusive prefix sum equals the serial cumsum") {
     val df = (0L until 500L).map(i => (i, i % 13)).toDF("ord", "v")
     val got = PrefixCarry.exclusivePrefixSum(df, "ord", "v")
