@@ -261,6 +261,41 @@ object GraphQueries {
       deltas.withColumn("balance", sum(col("delta")).over(w))
     }),
 
+    // the SKEW-PROOF form of the balance timeline — the remedy SCALE.md
+    // documents for a hot exchange address: the running sum segments
+    // per (address, block-bucket), so the per-row window partition is
+    // bucket-bounded; the cross-bucket carry is an exclusive prefix
+    // over per-bucket TOTALS (one row per (address, bucket) — the hot
+    // address's carry partition shrinks from its full history to
+    // #buckets), re-entering via an equi-join on the bucket key.
+    // Shares address_balance_history's oracle: the segmented plan is
+    // proven bit-identical to the straight window.
+    "address_balance_history_segmented" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ioa = ioAddresses(s, dir)
+      val t = transactions(s, dir).select(col("tx_id"), col("block_id"))
+      val deltas = ioa.join(t, Seq("tx_id"))
+        .groupBy(col("address"), col("block_id"), col("tx_id"))
+        .agg(sum(when(col("is_input"), -col("value"))
+          .otherwise(col("value"))).as("delta"))
+        .withColumn("bb", floor(col("block_id") / Chain.BlockBucketSize))
+      val wIn = Window.partitionBy(col("address"), col("bb"))
+        .orderBy(col("block_id"), col("tx_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCarry = Window.partitionBy(col("address")).orderBy(col("bb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = deltas.groupBy(col("address"), col("bb"))
+        .agg(sum(col("delta")).as("bt"))
+        .withColumn("carry",
+          coalesce(sum(col("bt")).over(wCarry), lit(0L)))
+        .select(col("address"), col("bb"), col("carry"))
+      deltas
+        .withColumn("cum_in", sum(col("delta")).over(wIn))
+        .join(carry, Seq("address", "bb"))
+        .select(col("address"), col("block_id"), col("tx_id"),
+          col("delta"), (col("cum_in") + col("carry")).as("balance"))
+    }),
+
     // temporal round-trip sweep — the wash-trading motif: funds flow
     // a→b in some block and return b→a in a LATER block. Timed flow
     // edges (src, dst, block) dedup per block; then ONE equi-join on
@@ -870,6 +905,20 @@ object GraphQueries {
         |LEFT JOIN etagged t ON t.address = a.address
         |GROUP BY 1 HAVING count(t.category) > 0""".stripMargin)
 
+  /** Shared by the straight-window and segmented balance timelines. */
+  private lazy val addressBalanceOracle: String =
+    withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr)(
+      """SELECT address, block_id, tx_id, delta,
+        |  CAST(sum(delta) OVER (PARTITION BY address
+        |         ORDER BY block_id, tx_id ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS balance
+        |FROM (
+        |  SELECT address, t.block_id, i.tx_id,
+        |    CAST(sum(CASE WHEN is_input THEN -value ELSE value END)
+        |         AS BIGINT) AS delta
+        |  FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
+        |  GROUP BY address, t.block_id, i.tx_id)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "address_stats" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr)(
       """SELECT address,
@@ -889,18 +938,10 @@ object GraphQueries {
         |FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
         |GROUP BY address""".stripMargin),
 
-    "address_balance_history" -> withCtes(ChainSql.tx, ChainSql.io,
-      ChainSql.ioAddr)(
-      """SELECT address, block_id, tx_id, delta,
-        |  CAST(sum(delta) OVER (PARTITION BY address
-        |         ORDER BY block_id, tx_id ROWS UNBOUNDED PRECEDING)
-        |       AS BIGINT) AS balance
-        |FROM (
-        |  SELECT address, t.block_id, i.tx_id,
-        |    CAST(sum(CASE WHEN is_input THEN -value ELSE value END)
-        |         AS BIGINT) AS delta
-        |  FROM ioa i JOIN tx t ON t.tx_id = i.tx_id
-        |  GROUP BY address, t.block_id, i.tx_id)""".stripMargin),
+    "address_balance_history" -> addressBalanceOracle,
+
+    // the segmented plan must be bit-identical to the straight window
+    "address_balance_history_segmented" -> addressBalanceOracle,
 
     "graph_round_trips" -> withCtes(ChainSql.tx, ChainSql.io,
       ChainSql.ioAddr,
