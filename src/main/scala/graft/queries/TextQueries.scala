@@ -841,6 +841,38 @@ object TextQueries {
         .select(col("source"), col("doc_id"), col("rn"), col("quota"))
     }),
 
+    // TEMPERATURE-style mixing under a fixed token-budget analog: each
+    // source's share of the total doc budget is proportional to a
+    // SUBLINEAR function of its size (floor(sqrt n) — the α<1 sampling
+    // that keeps big sources from drowning small ones), allocated with
+    // integer arithmetic (T·w_i div Σw — exact in both engines, unlike
+    // a pow() whose last ulp differs across libms) and floored at 1 so
+    // every source survives. Selection inside a source is the same
+    // deterministic hash rank as corpus_mix. The Σw total re-enters as
+    // a broadcast 1-row dim; everything else is the per-source window.
+    "corpus_mix_temperature" -> ((s, dir) => {
+      val budget = 200L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      val weights = docWords(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", floor(sqrt(col("n_docs").cast("double")))
+          .cast("long"))
+      val totalW = weights.agg(sum(col("wt")).as("tw"))
+      val quotas = weights
+        .crossJoin(broadcast(totalW))
+        .withColumn("quota",
+          greatest(lit(1L), expr(s"($budget * wt) div tw")))
+        .select(col("source"), col("n_docs"), col("quota"))
+      docWords(s, dir)
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rn"), col("quota"))
+    }),
+
     // provenance quality profile: the per-domain distribution a data
     // recipe is negotiated over — how much each source contributes, how
     // its docs score, and what fraction survives the quality gate. All
@@ -1494,6 +1526,26 @@ object TextQueries {
         |  FROM words)""".stripMargin)(
       """SELECT r.source, r.doc_id, r.rn, CAST(c.quota AS BIGINT) AS quota
         |FROM rk r JOIN cnt c USING (source)
+        |WHERE r.rn <= c.quota""".stripMargin),
+
+    // same hash-rank selection, budget-proportional integer quotas
+    "corpus_mix_temperature" -> withCtes(docWordsSql,
+      """wts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS wt
+        |  FROM words GROUP BY source)""".stripMargin,
+      "tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM wts)",
+      """tq AS (
+        |  SELECT source, n_docs,
+        |    greatest(1, (200 * wt) // tw) AS quota
+        |  FROM wts, tot)""".stripMargin,
+      """trk AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM words)""".stripMargin)(
+      """SELECT r.source, r.doc_id, r.rn, CAST(c.quota AS BIGINT) AS quota
+        |FROM trk r JOIN tq c USING (source)
         |WHERE r.rn <= c.quota""".stripMargin),
 
     "source_quality_profile" -> withCtes(docWordsSql,
