@@ -29,6 +29,10 @@ class PlanSpec extends SparkSpec {
     assert(global.contains("Window"))
     assert(!global.contains("SinglePartition"),
       "the global packing must use the two-phase scan, never one partition")
+    // and the global training-order shuffle (rank over the whole corpus)
+    val shuffle = executedPlan("corpus_shuffle")
+    assert(!shuffle.contains("SinglePartition"),
+      "the global rank must use the two-phase scan, never one partition")
   }
 
   test("corpus_mix broadcasts the per-source quota table") {
