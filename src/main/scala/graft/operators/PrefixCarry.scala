@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * ("earliest non-null strictly after me") for next-quote semantics.
   *
   * The range-partitioned frame is pinned (eager localCheckpoint) so the
-  * summary job and the result plan see the identical partitioning.
+  * summary job and the result plan see the identical partitioning —
+  * i.e. the operator MATERIALIZES its input once. Callers pass either a
+  * bounded summary (the as-of carries: one row per time bucket) or a
+  * frame that is itself the product being built (the shard manifest,
+  * the shuffle order), where one materialization is the job's cost
+  * anyway; blocks free when the returned plan is garbage-collected.
   */
 object PrefixCarry {
 
