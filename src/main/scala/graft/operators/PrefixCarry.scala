@@ -25,15 +25,57 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * nearest preceding range that has one. Works symmetrically forward
   * ("earliest non-null strictly after me") for next-quote semantics.
   *
-  * The range-partitioned frame is pinned (eager localCheckpoint) so the
-  * summary job and the result plan see the identical partitioning —
-  * i.e. the operator MATERIALIZES its input once. Callers pass either a
-  * bounded summary (the as-of carries: one row per time bucket) or a
+  * The range-partitioned frame is pinned through
+  * [[Materialize.truncate]] so the summary job and the result plan see
+  * the identical partitioning — i.e. the operator MATERIALIZES its
+  * input once. On a session with a checkpoint directory configured the
+  * pin is a reliable `checkpoint()` (survives executor loss — the
+  * cluster-deployment requirement); otherwise an eager local
+  * checkpoint, like every iterative operator here. Callers pass either
+  * a bounded summary (the as-of carries: one row per time bucket) or a
   * frame that is itself the product being built (the shard manifest,
   * the shuffle order), where one materialization is the job's cost
-  * anyway; blocks free when the returned plan is garbage-collected.
+  * anyway.
+  *
+  * Freeing the pin: the `*Carried` variants return the pinned frame
+  * alongside the result, so a caller that materializes the result can
+  * [[Materialize.release]] the input deterministically —
+  * [[Carried.seal]] does both for SMALL results (the as-of carries),
+  * keeping a session that runs many carries storage-flat instead of
+  * GC-dependent. Product-sized consumers keep the lazy result over the
+  * single pinned copy (footprint-optimal: sealing would just swap an
+  * input-sized copy for a result-sized one) and release post-
+  * consumption where a consumption point exists (the parked-tier
+  * builds do; harness-returned query frames free on GC).
   */
 object PrefixCarry {
+
+  /** A two-phase-scan result plus the operator's pinned input. The
+    * result plan READS the pinned frame — release the pin only after
+    * the result is materialized (written, collected, or sealed). */
+  final case class Carried(result: DataFrame, pinned: DataFrame) {
+
+    /** For SMALL results (bounded summaries): collapse the result to a
+      * driver-local relation, then free the pinned input NOW —
+      * deterministic release instead of waiting for the driver to GC
+      * the operator's checkpoint (on a large heap: possibly never),
+      * and ZERO block-manager residue, so a session running many
+      * carries is storage-flat. The result must fit on the driver —
+      * the same bound its consumers already assume (they `broadcast()`
+      * it), and the returned LocalRelation makes that broadcast a
+      * local no-shuffle build. */
+    def seal(): DataFrame = {
+      val s = result.sparkSession
+      val rows = result.collect() // before release: the plan reads the pin
+      Materialize.release(pinned)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
+    /** Release the pinned input after the caller has fully consumed
+      * `result` (written it to a table, collected it). The result
+      * plan must not be re-executed afterwards. */
+    def releasePinned(): Unit = Materialize.release(pinned)
+  }
 
   /** Append column `prefix_sum` = the EXCLUSIVE running sum of `value`
     * (long) in `ord` order — the serial cumsum made distributed with
@@ -49,16 +91,23 @@ object PrefixCarry {
     * (ties across the boundary columns would make tied rows' sums
     * partition-placement-dependent). */
   def exclusivePrefixSum(df: DataFrame, ords: Seq[String],
-      value: String): DataFrame = {
+      value: String): DataFrame =
+    exclusivePrefixSumCarried(df, ords, value).result
+
+  /** [[exclusivePrefixSum]] exposing the pinned input for deterministic
+    * release (see [[Carried]]). */
+  def exclusivePrefixSumCarried(df: DataFrame, ords: Seq[String],
+      value: String): Carried = {
     val s = df.sparkSession
     val ordCols = ords.map(col)
-    val ranged = df
+    val ranged = Materialize.truncate(df
       .repartitionByRange(ordCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
 
+    // null-safe total per range: a range whose values are all NULL
+    // sums to NULL — carry 0 for it instead of NPE-ing the driver scan
     val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(value)).as("t"))
+      .agg(coalesce(sum(col(value)), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     val nParts = ranged.rdd.getNumPartitions
@@ -76,33 +125,48 @@ object PrefixCarry {
     val wIn = Window.partitionBy(col("__pid"))
       .orderBy(ordCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val result = ranged
       .withColumn("__in",
         coalesce(sum(col(value)).over(wIn), lit(0L)))
       .join(broadcast(base), Seq("__pid"))
       .withColumn("prefix_sum", col("__in") + col("__base"))
       .drop("__pid", "__in", "__base")
+    Carried(result, ranged)
   }
 
   /** Global 1-based rank under the total order `ords` — the terasort
     * primitive (deterministic global positions with NO single-partition
     * sort): an exclusive prefix COUNT plus one. */
   def globalRank(df: DataFrame, ords: Seq[String]): DataFrame =
-    exclusivePrefixSum(df.withColumn("__one", lit(1L)), ords, "__one")
-      .withColumn("rank", col("prefix_sum") + 1L)
-      .drop("__one", "prefix_sum")
+    globalRankCarried(df, ords).result
+
+  /** [[globalRank]] exposing the pinned input for deterministic release
+    * (see [[Carried]]). */
+  def globalRankCarried(df: DataFrame, ords: Seq[String]): Carried = {
+    val c = exclusivePrefixSumCarried(
+      df.withColumn("__one", lit(1L)), ords, "__one")
+    Carried(
+      c.result.withColumn("rank", col("prefix_sum") + 1L)
+        .drop("__one", "prefix_sum"),
+      c.pinned)
+  }
 
   /** Append column `carry` = the latest (backward) / earliest (forward)
     * non-null `payload` over rows strictly before / after the current
     * row in `ord` order. `ord` must be non-null; ties within `ord` are
     * not supported (callers pass distinct-keyed summaries). */
   def exclusiveCarry(df: DataFrame, ord: String, payload: String,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false): DataFrame =
+    exclusiveCarryCarried(df, ord, payload, forward).result
+
+  /** [[exclusiveCarry]] exposing the pinned input for deterministic
+    * release (see [[Carried]]). */
+  def exclusiveCarryCarried(df: DataFrame, ord: String, payload: String,
+      forward: Boolean = false): Carried = {
     val s = df.sparkSession
-    val ranged = df
+    val ranged = Materialize.truncate(df
       .repartitionByRange(col(ord))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
 
     // one row per range: that range's boundary payload (latest for the
     // backward scan, earliest for the forward one)
@@ -136,10 +200,11 @@ object PrefixCarry {
     val wIn = Window.partitionBy(col("__pid"))
       .orderBy(if (forward) col(ord).desc else col(ord).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val result = ranged
       .withColumn("__in", last(col(payload), ignoreNulls = true).over(wIn))
       .join(broadcast(cross), Seq("__pid"), "left")
       .withColumn("carry", coalesce(col("__in"), col("__cross")))
       .drop("__pid", "__in", "__cross")
+    Carried(result, ranged)
   }
 }

@@ -160,10 +160,15 @@ object DedupMaterialize {
           .select(col("doc_id"),
             org.apache.spark.sql.functions.size(col("w")).cast("long")
               .as("n_tokens"))
-        graft.operators.PrefixCarry.exclusivePrefixSum(toks, "doc_id",
-            "n_tokens")
+        // park the manifest, then free the scan's pinned input — the
+        // parquet write IS the consumption point, so release is
+        // deterministic here (no GC dependence)
+        val c = graft.operators.PrefixCarry.exclusivePrefixSumCarried(
+          toks, Seq("doc_id"), "n_tokens")
+        c.result
           .withColumnRenamed("prefix_sum", "stream_offset")
           .write.mode("overwrite").parquet(s"$root/$sub")
+        c.releasePinned()
       }
     }
     s.read.parquet(s"$root/$sub")

@@ -476,10 +476,13 @@ object RefQueries {
         .agg(max(struct(col("block_id"), col("usdx16"))).as("lastr"))
       // cumulative carry over the summary via the two-phase distributed
       // scan (range-partitioned window + one-edge-row-per-partition
-      // driver prefix) — no single-partition sort at ANY chain length
-      val carry = graft.operators.PrefixCarry.exclusiveCarry(
+      // driver prefix) — no single-partition sort at ANY chain length.
+      // The summary is one row per bucket, so seal(): materialize the
+      // tiny carry and free the operator's pinned input NOW — repeated
+      // as-of queries stay storage-flat instead of GC-dependent
+      val carry = graft.operators.PrefixCarry.exclusiveCarryCarried(
           u.select(col("b")).distinct()
-            .join(perBucket, Seq("b"), "left"), "b", "lastr")
+            .join(perBucket, Seq("b"), "left"), "b", "lastr").seal()
         .select(col("b"), col("carry").getField("usdx16").as("carry_usdx16"))
       inBucket.filter(col("ord") === 1)
         .join(broadcast(carry), Seq("b"), "left")
@@ -513,11 +516,12 @@ object RefQueries {
       val perBucket = pub
         .groupBy(floor(col("block_id") / BlockBucketSize).as("b"))
         .agg(min(struct(col("block_id"), col("usdx16"))).as("firstr"))
-      // suffix carry = the same two-phase scan run forward
-      val carry = graft.operators.PrefixCarry.exclusiveCarry(
+      // suffix carry = the same two-phase scan run forward; seal() as in
+      // rate_asof — bucket-summary-sized result, deterministic release
+      val carry = graft.operators.PrefixCarry.exclusiveCarryCarried(
           u.select(col("b")).distinct()
             .join(perBucket, Seq("b"), "left"), "b", "firstr",
-          forward = true)
+          forward = true).seal()
         .select(col("b"), col("carry").getField("usdx16").as("carry_usdx16"))
       inBucket.filter(col("ord") === 0)
         .join(broadcast(carry), Seq("b"), "left")

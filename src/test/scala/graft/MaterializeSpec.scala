@@ -11,6 +11,7 @@ import graft.operators.{ConnectedComponents, Materialize}
 class MaterializeSpec extends SparkSpec {
 
   test("no checkpoint dir → localCheckpoint; dir set → reliable checkpoint files") {
+    CheckpointDirLock.synchronized {
     import spark.implicits._
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty,
@@ -46,6 +47,7 @@ class MaterializeSpec extends SparkSpec {
       }
       rm(new java.io.File(dir))
     }
+    }
   }
 
   test("iterative fixpoints release prior rounds' checkpoint blocks") {
@@ -66,6 +68,7 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("release deletes reliable checkpoint FILES, not just blocks") {
+    CheckpointDirLock.synchronized {
     import spark.implicits._
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel_")
@@ -91,6 +94,7 @@ class MaterializeSpec extends SparkSpec {
     } finally {
       sc.setCheckpointDir(null)
       graft.ops.Tiers.deleteRecursively(new java.io.File(dir))
+    }
     }
   }
 }

@@ -449,4 +449,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("exclusivePrefixSum under heavy leading-key ties equals the serial cumsum") {
+    import graft.operators.PrefixCarry
+    // ~6 distinct leading keys over 400 rows: range-partition boundaries
+    // MUST fall inside tie runs, so correctness rides entirely on the
+    // tie-break column completing the total order (the documented
+    // multi-column contract, PrefixCarry.scala) — the partition-boundary
+    // stress for the two-phase scan. Occasional null values exercise the
+    // null-safe per-range totals.
+    samples(Gen.listOfN(400,
+      Gen.zip(Gen.choose(0L, 5L), Gen.option(Gen.choose(0L, 20L)))), 5)
+      .foreach { rows0 =>
+        val rows = rows0.zipWithIndex.map { case ((k, v), i) =>
+          (k, i.toLong, v)
+        }
+        val df = rows.toDF("k", "id", "v")
+        val got = PrefixCarry.exclusivePrefixSum(df, Seq("k", "id"), "v")
+          .select("k", "id", "prefix_sum").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got.size === rows.size)
+        var acc = 0L
+        rows.sortBy(t => (t._1, t._2)).foreach { case (k, id, v) =>
+          assert(got((k, id)) === acc, s"row ($k,$id) of $rows0")
+          acc += v.getOrElse(0L)
+        }
+      }
+  }
 }

@@ -19,3 +19,8 @@ trait SparkSpec extends AnyFunSuite {
 
   def sf(name: String): String = s"/root/testdata/$name"
 }
+
+/** Suites run in parallel on the ONE shared session; tests that set the
+  * session-global checkpoint dir (MaterializeSpec, PrefixCarrySpec)
+  * serialize on this lock so they never see each other's dir. */
+object CheckpointDirLock
