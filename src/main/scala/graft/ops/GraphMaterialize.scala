@@ -98,4 +98,23 @@ object GraphMaterialize {
     }
     s.read.parquet(root)
   }
+
+  /** TagPack-shaped external attribution CSV — the FILE fixture the
+    * entity_tags_src query ingests (GraphSense's TagPack path: curated
+    * address tags arrive as files, not tables). Parked once per fixture
+    * like the edge tiers, so the QUERY path is read-only: a query entry
+    * with a write side effect is a bench-and-semantics smell (it times
+    * fixture generation and re-writes on every invocation). Returns the
+    * directory to point a schema-on-read CSV reader at; `build`
+    * provides the tag rows (the query module owns their shape). */
+  def tagPackFile(s: SparkSession, dir: String)(
+      build: => DataFrame): String = {
+    val root = s"${base(dir)}_tp"
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").format("csv")
+          .option("header", "true").save(root)
+    }
+    root
+  }
 }

@@ -41,7 +41,8 @@ object GraphQueries {
       () => { flowEdges(s, dir).count(); () },
       () => { valueEdges(s, dir).count(); () },
       () => { timedEdges(s, dir).count(); () },
-      () => { peelHops(s, dir).count(); () }))
+      () => { peelHops(s, dir).count(); () },
+      () => { tagPackSource(s, dir); () }))
 
   /** Synchronous label-propagation rounds for graph_labelprop. */
   private val LpIters = 3
@@ -125,11 +126,6 @@ object GraphQueries {
         .select(col("src"), col("dst")).distinct()
     }
 
-  /** (src, dst, v) value-weighted flow edges — per-tx output values
-    * attribute floor(ov / n_inputs) to each input-output pair, summed
-    * per edge, zero-value edges dropped. Parked once per fixture by
-    * [[graft.ops.GraphMaterialize.valueEdgeTable]] so taint consumers
-    * start from a three-column pruned scan. */
   /** (src, dst, block_id) timed flow edges — the distinct flow edges
     * with the block of each occurrence, parked once per fixture by
     * [[graft.ops.GraphMaterialize.timedEdgeTable]] so temporal-motif
@@ -172,6 +168,11 @@ object GraphQueries {
         .select(col("src"), col("dst"), col("block_id").as("b")).distinct()
     }
 
+  /** (src, dst, v) value-weighted flow edges — per-tx output values
+    * attribute floor(ov / n_inputs) to each input-output pair, summed
+    * per edge, zero-value edges dropped. Parked once per fixture by
+    * [[graft.ops.GraphMaterialize.valueEdgeTable]] so taint consumers
+    * start from a three-column pruned scan. */
   private def valueEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.GraphMaterialize.valueEdgeTable(s, dir) {
       val ia = ioAddresses(s, dir).filter(col("is_input"))
@@ -611,23 +612,27 @@ object GraphQueries {
     // category + curation metadata columns, explicit schema on read —
     // GraphSense's real TagPack ingestion path) and the rollup joins
     // that file table. Shares entity_tags' oracle, so the driver
-    // compare proves the external-dim join path end to end.
+    // compare proves the external-dim join path end to end. The CSV is
+    // a parked per-fixture tier (GraphMaterialize.tagPackFile, built by
+    // graph_build) — the query path only READS it.
     "entity_tags_src" -> ((s, dir) => {
-      val out = "target/tmp/tagpack_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tags = s.read
+        .schema("address STRING, category STRING, label STRING, " +
+          "source STRING, currency STRING")
+        .format("csv").option("header", "true")
+        .load(tagPackSource(s, dir))
+        .select(col("address"), col("category"))
+      tagRollup(s, dir, tags)
+    }))
+
+  /** Parked TagPack CSV fixture dir (see GraphMaterialize.tagPackFile). */
+  private def tagPackSource(s: SparkSession, dir: String): String =
+    graft.ops.GraphMaterialize.tagPackFile(s, dir)(
       hashTagList(s, dir)
         .select(col("address"), col("category"),
           concat(lit("actor-"), col("category")).as("label"),
           lit("tagpack-fixture").as("source"),
-          lit("BTC").as("currency"))
-        .write.mode("overwrite").format("csv")
-        .option("header", "true").save(out)
-      val tags = s.read
-        .schema("address STRING, category STRING, label STRING, " +
-          "source STRING, currency STRING")
-        .format("csv").option("header", "true").load(out)
-        .select(col("address"), col("category"))
-      tagRollup(s, dir, tags)
-    }))
+          lit("BTC").as("currency")))
 
   /** Deterministic hash-selected address tag list — plays the
     * externally-curated attribution source (TagPack) in a form both
