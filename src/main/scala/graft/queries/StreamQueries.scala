@@ -30,6 +30,11 @@ object StreamQueries {
     * so the orphaned range spans several tx buckets at sf0.01). */
   private val ReorgDepth = 40L
 
+  /** stream_reorg_multi_epoch: the second ingest run lands this many
+    * top blocks, so ReorgDepth (> this) forks BELOW the epoch boundary
+    * and the rollback's partition listing must cross epochs. */
+  private val SecondRunDepth = 20L
+
   private def readBack(s: SparkSession, out: String): DataFrame =
     graft.chain.ChainStore.readTransactions(s, out)
       .groupBy(col("block_id"))
@@ -97,11 +102,15 @@ object StreamQueries {
     // tip BELOW the sink max. The guard must trip; recovery is a
     // bucket-scoped rollback of the orphaned range plus a re-ingest of
     // the replacement blocks from a fresh checkpoint in a fresh epoch
-    // namespace. The emitted per-block rollup carries max(ingest_epoch)
-    // as `ingest_generation`, so the oracle proves BOTH that the store
-    // converged to the post-reorg chain AND that exactly the orphaned
-    // range was rewritten by the recovery run (generation 1) while
-    // every surviving block kept its original epoch (generation 0).
+    // namespace. The emitted per-block rollup carries a RUN-RELATIVE
+    // `ingest_generation`: membership of the block's newest epoch in
+    // the recovery namespace (>= the base recoverFromReorg returns) —
+    // never a literal epoch value, which would silently depend on how
+    // many micro-batches each run happened to land. The oracle proves
+    // BOTH that the store converged to the post-reorg chain AND that
+    // exactly the orphaned range was rewritten by the recovery run
+    // (generation 1) while every surviving block kept its pre-recovery
+    // epoch (generation 0).
     "stream_reorg_recover" -> ((s, dir) => {
       val out = tmp("store")
       IncrementalIngest.ingestToStore(s, dir, out, Watermark,
@@ -114,13 +123,54 @@ object StreamQueries {
         try { IncrementalIngest.reorgGuard(newTip, sinkMax); false }
         catch { case _: IllegalArgumentException => true }
       require(tripped, "reorg guard failed to trip with sink ahead of tip")
-      IncrementalIngest.recoverFromReorg(s, dir, out, newTip,
-        checkpoint = Some(s"$out-ckpt2"))
+      val recoveryBase = IncrementalIngest.recoverFromReorg(s, dir, out,
+        newTip, checkpoint = Some(s"$out-ckpt2"))
       consumeEphemeral(s, Seq(out, s"$out-ckpt", s"$out-ckpt2"))(
         s.read.parquet(s"$out/transaction")
           .groupBy(col("block_id"))
           .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"),
-            max(col("ingest_epoch").cast("long")).as("ingest_generation")))
+            (max(col("ingest_epoch").cast("long")) >= recoveryBase)
+              .cast("long").as("ingest_generation")))
+    }),
+
+    // the same recovery with the reorg SPANNING AN EPOCH BOUNDARY: two
+    // sequential ingest runs land the chain in two epoch namespaces
+    // (the lower range in the first run's epochs, the top
+    // SecondRunDepth blocks in the second run's — a catch-up run
+    // followed by a sync run, the normal life of a store), then a
+    // reorg deeper than the
+    // second run's range orphans blocks from BOTH runs. rollbackAbove's
+    // partition listing must therefore cross epochs; recovery re-lands
+    // the whole orphaned range in a fresh namespace. Shares the oracle
+    // shape: converged chain + run-relative recovery generation.
+    "stream_reorg_multi_epoch" -> ((s, dir) => {
+      val out = tmp("store")
+      // run 1: everything except the top SecondRunDepth blocks
+      IncrementalIngest.ingestToStore(s, dir, out, Watermark,
+        tipMargin = SecondRunDepth, checkpoint = Some(s"$out-ckpt"))
+      val run1Max = s.read.parquet(s"$out/transaction")
+        .agg(max(col("block_id")), max(col("ingest_epoch").cast("long")))
+        .head()
+      // run 2: resume at the sink max, land the top blocks in an epoch
+      // namespace above run 1's (a fresh checkpoint restarts batch
+      // numbering, so the base offset keeps the runs' partitions apart)
+      IncrementalIngest.ingestToStore(s, dir, out,
+        watermark = run1Max.getLong(0), checkpoint = Some(s"$out-ckpt2"),
+        epochBase = run1Max.getLong(1) + 1L)
+      val sinkMax = graft.chain.ChainStore.readTransactions(s, out)
+        .agg(max(col("block_id"))).head().getLong(0)
+      // ReorgDepth > SecondRunDepth: the orphaned range crosses the
+      // epoch boundary between the two runs
+      val newTip = sinkMax - ReorgDepth
+      val recoveryBase = IncrementalIngest.recoverFromReorg(s, dir, out,
+        newTip, checkpoint = Some(s"$out-ckpt3"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt", s"$out-ckpt2",
+        s"$out-ckpt3"))(
+        s.read.parquet(s"$out/transaction")
+          .groupBy(col("block_id"))
+          .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id"),
+            (max(col("ingest_epoch").cast("long")) >= recoveryBase)
+              .cast("long").as("ingest_generation")))
     }),
 
     // stream-STREAM join: views ⋈ purchases on user + 24 h event-time
@@ -291,10 +341,22 @@ object StreamQueries {
          |GROUP BY block_id""".stripMargin),
 
     // converged post-reorg state from the SOURCE: every block above the
-    // watermark present exactly once; generation 1 (the recovery run's
-    // epoch namespace) for the re-ingested orphaned range, generation 0
-    // (the original run's epoch) for every surviving block
+    // watermark present exactly once; generation 1 (newest epoch in the
+    // recovery run's namespace) for the re-ingested orphaned range,
+    // generation 0 (a pre-recovery epoch) for every surviving block
     "stream_reorg_recover" -> withCtes(ChainSql.tx)(
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
+         |  max(tx_id) AS max_tx_id,
+         |  CAST(CASE WHEN block_id >
+         |      (SELECT max(block_id) FROM tx) - $ReorgDepth
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ingest_generation
+         |FROM tx WHERE block_id > $Watermark
+         |GROUP BY block_id""".stripMargin),
+
+    // identical converged shape for the epoch-boundary-spanning reorg:
+    // the two-run ingest history changes WHICH partitions roll back,
+    // never the converged chain or the recovery-namespace membership
+    "stream_reorg_multi_epoch" -> withCtes(ChainSql.tx)(
       s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
          |  max(tx_id) AS max_tx_id,
          |  CAST(CASE WHEN block_id >

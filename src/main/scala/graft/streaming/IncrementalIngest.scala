@@ -268,17 +268,30 @@ object IncrementalIngest {
     * surviving tip, then re-ingest the replacement range from the
     * post-reorg source with a FRESH checkpoint, landing in an epoch
     * namespace above everything already in the store so the recovery
-    * run can never dynamic-overwrite a surviving partition. */
+    * run can never dynamic-overwrite a surviving partition.
+    *
+    * Returns the recovery run's epoch base: every row with
+    * `ingest_epoch >= base` was landed BY the recovery (the namespace
+    * membership test callers use to verify exactly the orphaned range
+    * was rewritten — epoch VALUES are run-relative, never stable
+    * constants: a multi-batch or multi-run history shifts them). */
   def recoverFromReorg(s: SparkSession, dir: String, out: String,
-      newTip: Long, checkpoint: Option[String] = None): Unit = {
+      newTip: Long, checkpoint: Option[String] = None): Long = {
     rollbackAbove(s, out, newTip)
-    val base = {
-      val r = s.read.parquet(s"$out/transaction")
-        .agg(max(col("ingest_epoch").cast("long"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
-    }
+    // the deepest reorg (fork below every landed block) leaves an EMPTY
+    // store — the read then fails schema inference, which means base 0,
+    // the same empty-store handling resumeGuard uses
+    val base =
+      try {
+        val r = s.read.parquet(s"$out/transaction")
+          .agg(max(col("ingest_epoch").cast("long"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
     ingestToStore(s, dir, out, watermark = newTip,
       checkpoint = checkpoint, epochBase = base)
+    base
   }
 
   /** Stateful streaming dedup (W2 in motion): the source re-delivers

@@ -332,4 +332,26 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(gens(true)._2 > gens(false)._2)
   }
+
+  test("deepest reorg (fork below every landed block) recovers from an empty store") {
+    val dir = sf("sf0.001")
+    val out = tmpDir("reorgdeep_")
+    IncrementalIngest.ingestToStore(spark, dir, out, 0L,
+      checkpoint = Some(s"$out-ckpt"))
+    val full = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fork point below the earliest landed block: rollback EMPTIES the
+    // store, so the recovery epoch-base read must treat the unreadable
+    // (schema-less) store as base 0 instead of failing
+    val newTip = full.map(_._2).min - 1
+    val base = IncrementalIngest.recoverFromReorg(spark, dir, out, newTip,
+      checkpoint = Some(s"$out-ckpt2"))
+    assert(base === 0L, "empty store must restart the epoch namespace at 0")
+    val recovered = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recovered === full.filter(_._2 > newTip),
+      "recovery from the deepest reorg must re-land the whole chain")
+  }
 }
