@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight through to stdout/stderr instead of
+// the sbt logger: the logger prefixes every line with "[info] ", which
+// breaks any consumer parsing a runMain's final JSON line (the bench
+// contract) — and can interleave long lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,8 +58,11 @@ object ScaleUp {
     // chain: amplify orders+lineitem only, copy the rest — the cheap
     //        fixture for 100x-class chain-build probes.
     // skew:  chain + hot-supplier rewrite on replica lineitems.
+    // text:  amplify documents only, copy the rest — the cheap fixture
+    //        for 100x-class dedup/text-build probes.
     val mode = args.lift(3).getOrElse("full")
-    require(Seq("full", "chain", "skew").contains(mode), s"bad mode $mode")
+    require(Seq("full", "chain", "skew", "text").contains(mode),
+      s"bad mode $mode")
     checkFactor(factor)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,21 +76,23 @@ object ScaleUp {
       (0 until factor).map(i => shift(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    amplify("orders", (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOffset)))
-    amplify("lineitem", (df, i) => {
-      val shifted =
-        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset))
-      if (mode == "skew" && i > 0)
-        shifted.withColumn("l_suppkey",
-          when(col("l_orderkey") % SkewDenom === 0, lit(1))
-            .otherwise(col("l_suppkey")))
-      else shifted
-    })
-    if (mode == "full") {
-    amplify("events", (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * KeyOffset))
-        .withColumn("user_id", col("user_id") + lit(i * KeyOffset)))
+    if (mode != "text") {
+      amplify("orders", (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOffset)))
+      amplify("lineitem", (df, i) => {
+        val shifted =
+          df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset))
+        if (mode == "skew" && i > 0)
+          shifted.withColumn("l_suppkey",
+            when(col("l_orderkey") % SkewDenom === 0, lit(1))
+              .otherwise(col("l_suppkey")))
+        else shifted
+      })
+    }
+    if (mode == "full")
+      amplify("events", (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * KeyOffset))
+          .withColumn("user_id", col("user_id") + lit(i * KeyOffset)))
     // documents amplify with per-replica WORD mutation (every token of
     // replica i>0 gets an 'r<i>' suffix): replicas share no words, hence
     // no shingles, window fingerprints, or minhash bands with the base —
@@ -95,18 +100,21 @@ object ScaleUp {
     // measuring a replication artifact (a verbatim copy would put every
     // base doc in a 30-deep LSH bucket and every window fingerprint at
     // 30× frequency). doc_id offsets stay below the corpus
-    // dup-injection range.
-    amplify("documents", (df, i) =>
-      if (i == 0) df
-      else df.withColumn("doc_id", col("doc_id") + lit(i * DocOffset))
-        .withColumn("text", expr(
-          s"array_join(transform(split(text, ' '), x -> concat(x, 'r$i')), ' ')")))
+    // dup-injection range (at factor 100 the max replica id is
+    // 99·10000 + 9999 = 999 999, one short of the 1e6 offset).
+    if (mode == "full" || mode == "text")
+      amplify("documents", (df, i) =>
+        if (i == 0) df
+        else df.withColumn("doc_id", col("doc_id") + lit(i * DocOffset))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), x -> concat(x, 'r$i')), ' ')")))
+    val dims = Seq("region", "nation", "customer", "supplier", "part",
+      "embeddings")
+    val copied = mode match {
+      case "full" => dims
+      case "text" => dims ++ Seq("orders", "lineitem", "events")
+      case _ => dims ++ Seq("events", "documents")
     }
-    val copied =
-      if (mode == "full")
-        Seq("region", "nation", "customer", "supplier", "part", "embeddings")
-      else Seq("region", "nation", "customer", "supplier", "part",
-        "embeddings", "events", "documents")
     for (t <- copied)
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -69,19 +69,36 @@ object Materialize {
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        val rdd = l.rdd
-        rdd.getCheckpointFile.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(
-              df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-          // the delete is destructive on contract misuse (releasing a
-          // round a later frame still reads) — name the path so a
-          // FileNotFoundException post-mortem is a grep, not a hunt
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .info(s"released checkpoint $p")
-        }
-        rdd.unpersist(blocking = false); ()
+        releaseRdd(df, l)
       case _ => ()
     }
+
+  /** Release EVERY checkpointed leaf inside a consumed plan — the
+    * consumer-side free for operators that pin their inputs under a
+    * product-sized lazy result (PrefixCarry's shard manifest / global
+    * shuffle): once the result has been fully materialized (written,
+    * counted into a sink), the pins it reads are dead weight until the
+    * driver GCs them. Only for plans the caller OWNS end to end: a leaf
+    * shared with a still-live frame must not be released. */
+  def releasePinnedLeaves(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.foreach(releaseRdd(df, _))
+
+  private def releaseRdd(df: DataFrame,
+      l: org.apache.spark.sql.execution.LogicalRDD): Unit = {
+    val rdd = l.rdd
+    rdd.getCheckpointFile.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+      // the delete is destructive on contract misuse (releasing a
+      // round a later frame still reads) — name the path so a
+      // FileNotFoundException post-mortem is a grep, not a hunt
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"released checkpoint $p")
+    }
+    rdd.unpersist(blocking = false); ()
+  }
 }
