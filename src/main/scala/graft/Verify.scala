@@ -22,9 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val frame = fn(spark, sfDir)
+        frame.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // post-consumption free of any operator-pinned inputs (the
+        // PrefixCarry product consumers): a ~200-query session stays
+        // storage-flat instead of parking one checkpoint per pin
+        // until driver GC
+        graft.operators.Materialize.releasePinnedLeaves(frame)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -49,7 +49,11 @@ object StreamQueries {
     * are per-invocation by construction, so without this every
     * bench/correctness round leaves two more directories in target/tmp.
     * A real deployment keeps ONE long-lived store + checkpoint and
-    * never takes this path. */
+    * never takes this path. The pin is DELIBERATELY a local checkpoint
+    * (not Materialize.truncate): the result is block-group-sized, its
+    * backing store is deleted on the next line so lineage must die with
+    * the pin either way, and a reliable checkpoint here would leak its
+    * rdd-N files (nothing ever releases a harness-returned frame). */
   private def consumeEphemeral(s: SparkSession, dirs: Seq[String])(
       read: => DataFrame): DataFrame = {
     val res = read.localCheckpoint(true)

@@ -67,6 +67,29 @@ class MaterializeSpec extends SparkSpec {
         "block manager (expected at most the final round)")
   }
 
+  test("releasePinnedLeaves frees every checkpointed leaf of a consumed plan") {
+    import spark.implicits._
+    val a = Materialize.truncate(Seq(1, 2, 3).toDF("x"))
+    val b = Materialize.truncate(Seq(2, 3, 4).toDF("x"))
+    def leafId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        case other => fail(s"not a LogicalRDD: $other")
+      }
+    val ids = Set(leafId(a), leafId(b))
+    assert(ids.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "truncated frames must be pinned before release")
+    val joined = a.join(b, Seq("x"))
+    assert(joined.count() === 2)
+    Materialize.releasePinnedLeaves(joined)
+    // unpersist is async (blocking=false) — poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (ids.exists(spark.sparkContext.getPersistentRDDs.contains) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ids.forall(i => !spark.sparkContext.getPersistentRDDs.contains(i)),
+      "both checkpointed leaves must leave the block manager")
+  }
+
   test("release deletes reliable checkpoint FILES, not just blocks") {
     CheckpointDirLock.synchronized {
     import spark.implicits._
