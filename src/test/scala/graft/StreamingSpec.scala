@@ -265,6 +265,41 @@ class StreamingSpec extends SparkSpec {
       "staging discarded after the completed retry")
   }
 
+  test("rollback retry converges after a crash HALFWAY through the swap") {
+    val dir = sf("sf0.001")
+    val out = tmpDir("reorgmidswap_")
+    IncrementalIngest.ingestToStore(spark, dir, out, 0L,
+      checkpoint = Some(s"$out-ckpt"))
+    val full = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newTip = full.map(_._2).max - 3
+    IncrementalIngest.rollbackAbove(spark, out, newTip,
+      crashAfterStaging = true)
+    // simulate dying mid-swap: move exactly ONE staged partition into
+    // the live tree (delete target + rename, what finishRollbackSwap
+    // does per partition) and leave the marker + the rest staged
+    val staging = new java.io.File(s"$out/transaction__rollback")
+    val staged = for {
+      g <- staging.listFiles().toSeq if g.isDirectory
+      e <- g.listFiles().toSeq if e.isDirectory
+    } yield (g.getName, e.getName)
+    assert(staged.nonEmpty, "fixture must stage at least one partition")
+    val (g0, e0) = staged.head
+    val target = new java.io.File(s"$out/transaction/$g0/$e0")
+    graft.ops.Tiers.deleteRecursively(target)
+    assert(new java.io.File(s"$staging/$g0/$e0")
+      .renameTo(target), "manual partial swap failed")
+    // the retry must finish the remaining swaps and converge
+    IncrementalIngest.rollbackAbove(spark, out, newTip)
+    val after = graft.chain.ChainStore.readTransactions(spark, out)
+      .select("tx_id", "block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === full.filter(_._2 <= newTip),
+      "mid-swap crash retry must converge to the rolled-back store")
+    assert(!staging.exists(), "staging discarded after the completed retry")
+  }
+
   test("reorg rollback is bucket-scoped and recovery converges") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
