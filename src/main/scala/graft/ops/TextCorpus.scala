@@ -15,6 +15,19 @@ import graft.chain.Chain.table
 object TextCorpus {
   val DupOffset = 1000000L
 
+  /** The documents table parked as JSONL — the standard LLM-corpus
+    * interchange format (one JSON object per line). Parked once per
+    * fixture ([[FileFixtures.parked]]), so the query path is read-only;
+    * consumers read it back schema-on-read and must produce results
+    * bit-identical to the parquet path (the shared-oracle proof of the
+    * JSONL ingestion seam). Returns the directory to point a JSON
+    * reader at. */
+  def jsonlFile(s: SparkSession, dir: String): String =
+    FileFixtures.parked(dir, "documents", "docs_jsonl_v1") { root =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").json(root)
+    }
+
   /** documents + injected exact duplicates. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")

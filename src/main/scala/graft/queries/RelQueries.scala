@@ -597,14 +597,18 @@ object RelQueries {
     * schema, aggregate — the shared body of the two source queries. */
   private def sourceRoundtrip(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
-    val src = table(s, dir, "orders").select(
-      col("o_orderkey").cast("long").as("o_orderkey"),
-      col("o_custkey").cast("long").as("o_custkey"),
-      col("o_totalprice"), col("o_orderstatus"))
-    val out = s"target/tmp/source_${fmt}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    src.write.mode("overwrite").format(fmt)
-      .option("header", "true").save(out)
+    // the text-format extract is a parked per-fixture tier — the query
+    // path only READS it (same convention as the TagPack CSV / JSONL
+    // corpus fixtures)
+    val out = graft.ops.FileFixtures.parked(dir, "orders",
+      s"orders_$fmt") { root =>
+      table(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").format(fmt)
+        .option("header", "true").save(root)
+    }
     s.read.schema("o_orderkey LONG, o_custkey LONG, " +
         "o_totalprice DOUBLE, o_orderstatus STRING")
       .format(fmt).option("header", "true").load(out)

@@ -39,6 +39,19 @@ object TextQueries {
       col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"),
       col("source"), split(col("text"), " ").as("w"))
 
+  /** Per-source token/char accounting — ONE definition shared by the
+    * parquet and JSONL source paths, so the two queries can only differ
+    * in their scan. */
+  private def tokenCountOver(words: DataFrame): DataFrame =
+    words.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w"))).cast("long").as("total_tokens"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        sum(ceil(length(col("text")) / 4.0)).cast("long")
+          .as("approx_bpe_tokens"),
+        (sum(size(col("w"))).cast("double") / count(lit(1)))
+          .as("avg_tokens_per_doc"))
+
   /** Shared decontamination sub-plan (every 100th doc plays the eval
     * set; training docs flagged on ANY shared word-trigram): ONE
     * definition for text_decontaminate and pipeline_corpus, so the rule
@@ -287,16 +300,25 @@ object TextQueries {
     "text_quality" -> ((s, dir) => graft.api.Text.quality(docWords(s, dir))),
 
     // token counting per source: whitespace tokens + chars/4 BPE-ish bound
-    "token_count" -> ((s, dir) =>
-      docWords(s, dir)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("w"))).cast("long").as("total_tokens"),
-          sum(length(col("text"))).cast("long").as("total_chars"),
-          sum(ceil(length(col("text")) / 4.0)).cast("long")
-            .as("approx_bpe_tokens"),
-          (sum(size(col("w"))).cast("double") / count(lit(1)))
-            .as("avg_tokens_per_doc"))),
+    "token_count" -> ((s, dir) => tokenCountOver(docWords(s, dir))),
+
+    // the SAME accounting fed from a JSONL source — the standard LLM-
+    // corpus interchange format (one JSON object per line), read back
+    // schema-on-read from the parked per-fixture JSONL tier
+    // (TextCorpus.jsonlFile; the query path is read-only). Shares
+    // token_count's oracle, so the driver compare proves the JSONL
+    // ingestion seam end to end: parse, explicit schema, null field
+    // omission, and string round-tripping must all be lossless or the
+    // hash breaks.
+    "token_count_jsonl" -> ((s, dir) => {
+      val docs = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG")
+        .json(graft.ops.TextCorpus.jsonlFile(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          split(col("text"), " ").as("w"))
+      tokenCountOver(docs)
+    }),
 
     // frequent-token discovery via a bounded Misra-Gries summary
     // (candidates) + exact counts of candidates only (verify): the
@@ -1208,6 +1230,16 @@ object TextQueries {
          |FROM words""".stripMargin),
 
     "token_count" -> withCtes(docWordsSql)(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |    AS approx_bpe_tokens,
+        |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
+        |FROM words GROUP BY source""".stripMargin),
+
+    // same oracle body: the JSONL round-trip must be invisible
+    "token_count_jsonl" -> withCtes(docWordsSql)(
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
