@@ -28,6 +28,18 @@ object TextCorpus {
         .write.mode("overwrite").json(root)
     }
 
+  /** The same corpus as GZIP-compressed JSONL — how LLM corpora
+    * actually ship. Gzip is NOT splittable: one .gz file = one task at
+    * any file size, so the fixture is written pre-sharded (8 files
+    * here; a 100 TB corpus keeps shards at a few hundred MB compressed
+    * so the read parallelism is the shard count, not 1). */
+  def jsonlGzFile(s: SparkSession, dir: String): String =
+    FileFixtures.parked(dir, "documents", "docs_jsonl_gz_v1") { root =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(8)
+        .write.mode("overwrite").option("compression", "gzip").json(root)
+    }
+
   /** documents + injected exact duplicates. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")

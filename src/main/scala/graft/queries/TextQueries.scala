@@ -320,6 +320,21 @@ object TextQueries {
       tokenCountOver(docs)
     }),
 
+    // GZIP-compressed JSONL — how LLM corpora actually ship. Gzip is
+    // not splittable (one .gz file = one task), so the parked fixture
+    // is pre-sharded and the read's parallelism is its shard count —
+    // the codec consideration a 100 TB ingest plans around. Same
+    // oracle: compression must be invisible to the results.
+    "token_count_jsonl_gz" -> ((s, dir) => {
+      val docs = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG")
+        .json(graft.ops.TextCorpus.jsonlGzFile(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          split(col("text"), " ").as("w"))
+      tokenCountOver(docs)
+    }),
+
     // frequent-token discovery via a bounded Misra-Gries summary
     // (candidates) + exact counts of candidates only (verify): the
     // 100 TB heavy-hitter shape. The exact `GROUP BY token HAVING`
@@ -1240,6 +1255,16 @@ object TextQueries {
 
     // same oracle body: the JSONL round-trip must be invisible
     "token_count_jsonl" -> withCtes(docWordsSql)(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |    AS approx_bpe_tokens,
+        |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avg_tokens_per_doc
+        |FROM words GROUP BY source""".stripMargin),
+
+    // and again through gzip: the codec must be invisible too
+    "token_count_jsonl_gz" -> withCtes(docWordsSql)(
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

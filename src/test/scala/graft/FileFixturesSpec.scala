@@ -12,7 +12,8 @@ class FileFixturesSpec extends SparkSpec {
   private val cases = Seq(
     ("source_csv_roundtrip", "orders", "orders_csv"),
     ("source_jsonl_roundtrip", "orders", "orders_json"),
-    ("token_count_jsonl", "documents", "docs_jsonl_v1"))
+    ("token_count_jsonl", "documents", "docs_jsonl_v1"),
+    ("token_count_jsonl_gz", "documents", "docs_jsonl_gz_v1"))
 
   test("file-source queries are read-only over parked fixtures") {
     val dir = sf("sf0.001")
