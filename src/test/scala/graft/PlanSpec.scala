@@ -10,6 +10,46 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("every single-partition exchange in the headline plans is a scalar funnel") {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+      ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    // deep traversal that descends through AQE wrappers and query stages
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case r: ReusedExchangeExec => Seq(r) // audited at its original site
+      case other => other +: other.children.flatMap(flatten)
+    }
+    // a SinglePartition exchange is benign iff what it funnels is
+    // row-bounded by construction: a scalar (no-grouping) aggregate or
+    // a limit — one row (or k rows) per upstream partition, never data
+    def benign(e: ShuffleExchangeExec): Boolean =
+      flatten(e.child).exists {
+        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+        case _: GlobalLimitExec | _: CollectLimitExec |
+             _: TakeOrderedAndProjectExec => true
+        case _ => false
+      }
+    PlanDump.headlinePlans.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      df.collect() // run so AQE finalizes its stages
+      val offenders = flatten(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition && !benign(e) => e
+      }
+      assert(offenders.isEmpty,
+        s"$name funnels non-scalar data through ONE partition — the " +
+          s"global-sort smell this engine bans:\n${offenders.headOption}")
+    }
+  }
+
   test("rate_join broadcasts the rates dimension") {
     assert(executedPlan("rate_join").contains("BroadcastHashJoin"))
   }
