@@ -40,13 +40,20 @@ class PlanSpec extends SparkSpec {
     PlanDump.headlinePlans.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // run so AQE finalizes its stages
-      val offenders = flatten(df.queryExecution.executedPlan).collect {
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val offenders = nodes.collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning == SinglePartition && !benign(e) => e
       }
       assert(offenders.isEmpty,
         s"$name funnels non-scalar data through ONE partition — the " +
           s"global-sort smell this engine bans:\n${offenders.headOption}")
+      // and the zero-UDF claim, structurally: interpreted black-box
+      // functions break whole-stage codegen in exactly the plans that
+      // must stay fused at 100 TB
+      val udfs = nodes.flatMap(_.expressions).filter(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+      assert(udfs.isEmpty, s"$name contains a ScalaUDF: ${udfs.headOption}")
     }
   }
 
