@@ -63,6 +63,30 @@ object Dedup {
     h.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** Candidate probability of the b×r LSH banding at Jaccard
+    * similarity `s`: 1 − (1 − s^r)^b — the S-curve every banding
+    * trade-off reads off (MMDS §3.4.2). */
+  def scurve(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
+
+  /** Band planner: among the divisor layouts b·r = seeds, the
+    * (bands, rows) whose S-curve inflection (1/b)^(1/r) sits closest
+    * to the target Jaccard `threshold` — the standard banding tuning
+    * rule. More bands = higher recall below the inflection, fewer =
+    * fewer false candidates above it; ties break toward more bands
+    * (recall over candidate cost, since `candidatePairs`' maxBucket
+    * cap already bounds the cost side). Deterministic, so the chosen
+    * layout can be pinned by an oracle. */
+  def planBands(seeds: Int, threshold: Double): (Int, Int) = {
+    require(seeds >= 1, s"seeds $seeds < 1")
+    require(threshold > 0 && threshold < 1, s"threshold $threshold not in (0,1)")
+    (1 to seeds).filter(seeds % _ == 0)
+      .map(b => (b, seeds / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+      }
+  }
+
   /** LSH band keys: `bands` bands of `seeds / bands` signature rows each
     * (the classic b×r banding; default 2 × 4 over 8 signatures). */
   def lshBands(sigs: DataFrame, seeds: Int = 8, bands: Int = 2): DataFrame = {

@@ -179,6 +179,29 @@ object DedupQueries {
         graft.ops.DedupMaterialize.bandTable(s, dir),
         maxBucket = Some(MaxBucket))),
 
+    // the band PLANNER made driver-checkable: for 32 minhash seeds at
+    // target Jaccard 0.5 the planner picks the divisor layout whose
+    // S-curve inflection (1/b)^(1/r) sits nearest the threshold, and
+    // the query emits that layout plus the exact S-curve it buys —
+    // candidate probability at similarity i/10, scaled to the integer
+    // p·10^32 = 10^32 − (10^r − i^r)^b (r·b = 32 clears every
+    // denominator) and computed in DECIMAL(38,0), so both engines
+    // produce the identical digits with no floating point anywhere.
+    // The oracle hardcodes (8, 4): a planner change breaks the hash —
+    // the layout is pinned, not just typed.
+    "dedup_band_plan" -> ((s, dir) => {
+      val (b, r) = graft.api.Dedup.planBands(32, 0.5)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ir = (1 until r).foldLeft(col("id")) { (acc, _) => acc * col("id") }
+      val j = (lit(math.pow(10, r.toDouble).toLong) - ir).cast(dec)
+      val jb = (1 until b).foldLeft(j) { (acc, _) => (acc * j).cast(dec) }
+      s.range(1, 10).select(
+        col("id").as("sim_decile"),
+        lit(b).as("bands"), lit(r).as("rows_per_band"),
+        (lit(BigDecimal(10).pow(32)).cast(dec) - jb).cast("string")
+          .as("p_scaled"))
+    }),
+
     // exact word-trigram Jaccard over the LSH candidates (verify stage);
     // both the pair set and the shingle sets come from the materialized
     // tier — the corpus is exploded exactly once per fixture
@@ -530,6 +553,16 @@ object DedupQueries {
          |  WHERE a.band1 IN (SELECT band1 FROM bands
          |                    GROUP BY band1 HAVING count(*) <= $MaxBucket))""".stripMargin: _*)(
       "SELECT doc_a, doc_b FROM pairs_capped"),
+
+    // exact-integer S-curve for the planner-chosen 8×4 layout over 32
+    // seeds: HUGEINT mirrors Spark's DECIMAL(38,0) digit for digit
+    "dedup_band_plan" ->
+      """SELECT CAST(i AS BIGINT) AS sim_decile,
+        |  8 AS bands, 4 AS rows_per_band,
+        |  CAST(CAST('100000000000000000000000000000000' AS HUGEINT)
+        |       - j*j*j*j*j*j*j*j AS VARCHAR) AS p_scaled
+        |FROM (SELECT i, CAST(10000 - i*i*i*i AS HUGEINT) AS j
+        |      FROM range(1, 10) t(i))""".stripMargin,
 
     "dedup_jaccard_verify" -> withCtes(
       sigSqlCtes ++ Seq(pairsSqlCte) ++ overlapSqlCtes: _*)(

@@ -552,6 +552,13 @@ object RelQueries {
     // line-oriented source).
     "source_jsonl_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "json")),
 
+    // and through ORC — Spark's other built-in columnar format (the
+    // lakehouse-migration source: Hive-era warehouses land ORC). Same
+    // parquet-side oracle, so equality proves the vectorized ORC
+    // reader path returns the identical values; explicit schema skips
+    // the footer-merge schema inference pass, like the text formats.
+    "source_orc_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "orc")),
+
     // MERGE INTO semantics (the lakehouse CDC apply) as one declarative
     // plan: a change batch of updates / deletes / inserts (here
     // hash-derived from the base so the oracle regenerates it) lands on
@@ -593,8 +600,9 @@ object RelQueries {
           sum(col("m_price")).cast("double").as("sum_price"))
     }))
 
-  /** Write orders through a text format, read back with explicit
-    * schema, aggregate — the shared body of the two source queries. */
+  /** Write orders through an alternate source format (CSV / JSONL /
+    * ORC), read back with explicit schema, aggregate — the shared body
+    * of the source-roundtrip queries. */
   private def sourceRoundtrip(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
     // the text-format extract is a parked per-fixture tier — the query
@@ -1002,7 +1010,8 @@ object RelQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin
-    Map("source_csv_roundtrip" -> rt, "source_jsonl_roundtrip" -> rt)
+    Map("source_csv_roundtrip" -> rt, "source_jsonl_roundtrip" -> rt,
+      "source_orc_roundtrip" -> rt)
   } + ("cdc_merge" ->
     """WITH b AS (
       |  SELECT CAST(o_orderkey AS BIGINT) AS k,

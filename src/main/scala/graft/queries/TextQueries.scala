@@ -854,6 +854,58 @@ object TextQueries {
           (col("score") > 0).as("label"))
     }),
 
+    // classifier TRAINING in-engine — the stage that produces the
+    // weight artifact text_classifier_score consumes: batch perceptron
+    // over 64 hashed bag-of-words buckets, label = (lang = 'en'). Each
+    // epoch is one broadcast join + two hash-aggs (score every doc
+    // against the current weights; sum the label pulses of the
+    // misclassified set per bucket), and the 64-long weight vector is
+    // collected and re-broadcast as a literal table — the k-means
+    // centroid pattern — so every epoch's plan is independent and
+    // lineage stays flat however long training runs. Integer weights +
+    // unit learning rate make every epoch exact in both engines; at
+    // 100 TB the feature matrix would be a parked tier and the epoch
+    // loop is unchanged (model size never leaves kilobytes).
+    "text_classifier_train" -> ((s, dir) => {
+      val nBuckets = 64
+      val epochs = 3
+      val feats = docWords(s, dir)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          explode(col("w")).as("word"))
+        .select(col("doc_id"), col("y"),
+          expr("CAST(conv(substr(md5(word), 1, 10), 16, 10) AS BIGINT)" +
+            s" % $nBuckets").as("bucket"))
+        .distinct()
+      def wdf(w: Map[Long, Long]): DataFrame = {
+        import s.implicits._
+        w.toSeq.sorted.toDF("bucket", "wt")
+      }
+      def scores(w: Map[Long, Long]): DataFrame =
+        feats.join(broadcast(wdf(w)), Seq("bucket"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("wt")).as("score"))
+      var wts: Map[Long, Long] = (0L until nBuckets).map(_ -> 0L).toMap
+      for (_ <- 1 to epochs) {
+        val upd = scores(wts)
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id")
+          .join(feats, Seq("doc_id"))
+          .groupBy(col("bucket")).agg(sum(col("y")).as("d"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        wts = wts.map { case (b, v) => b -> (v + upd.getOrElse(b, 0L)) }
+      }
+      val nDocs = feats.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val finalErr = scores(wts)
+        .filter(col("y") * col("score") <= 0)
+        .agg(count(lit(1)).as("final_errors"))
+      wdf(wts).join(nDocs, Seq("bucket"), "left")
+        .select(col("bucket"), col("wt"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .crossJoin(broadcast(finalErr))
+    }),
+
     // temperature-rebalanced source mixing (the multinomial-mixture
     // resampling step of a pretraining data recipe, α = 1/2): each
     // source's quota ∝ √n_docs, members chosen by hash rank — small
@@ -1570,6 +1622,49 @@ object TextQueries {
         |  CAST(sum(wt) AS BIGINT) AS score, sum(wt) > 0 AS label
         |FROM feats JOIN wt USING (bucket)
         |GROUP BY doc_id""".stripMargin),
+
+    // the perceptron epochs unrolled as CTEs: epoch 1 from zero weights
+    // misclassifies everything, epochs 2-3 score against the previous
+    // weight vector — all integer arithmetic, so the chain is exact
+    "text_classifier_train" -> withCtes(docWordsSql,
+      """feats AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    ('0x' || substr(md5(word), 1, 10))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(w) AS word FROM words))""".stripMargin,
+      """u1 AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS d
+        |       FROM feats GROUP BY bucket)""".stripMargin,
+      """w1 AS (SELECT i AS bucket, COALESCE(d, 0) AS wt
+        |       FROM (SELECT unnest(range(0, 64)) AS i) r
+        |       LEFT JOIN u1 ON r.i = u1.bucket)""".stripMargin,
+      """s2 AS (SELECT f.doc_id, f.y, sum(w1.wt) AS score
+        |       FROM feats f JOIN w1 USING (bucket)
+        |       GROUP BY f.doc_id, f.y)""".stripMargin,
+      """u2 AS (SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS d
+        |       FROM feats f JOIN s2 ON f.doc_id = s2.doc_id
+        |         AND s2.y * s2.score <= 0
+        |       GROUP BY f.bucket)""".stripMargin,
+      """w2 AS (SELECT w1.bucket, w1.wt + COALESCE(u2.d, 0) AS wt
+        |       FROM w1 LEFT JOIN u2 USING (bucket))""".stripMargin,
+      """s3 AS (SELECT f.doc_id, f.y, sum(w2.wt) AS score
+        |       FROM feats f JOIN w2 USING (bucket)
+        |       GROUP BY f.doc_id, f.y)""".stripMargin,
+      """u3 AS (SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS d
+        |       FROM feats f JOIN s3 ON f.doc_id = s3.doc_id
+        |         AND s3.y * s3.score <= 0
+        |       GROUP BY f.bucket)""".stripMargin,
+      """w3 AS (SELECT w2.bucket, w2.wt + COALESCE(u3.d, 0) AS wt
+        |       FROM w2 LEFT JOIN u3 USING (bucket))""".stripMargin,
+      """nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM feats GROUP BY bucket)""".stripMargin,
+      """s4 AS (SELECT f.doc_id, f.y, sum(w3.wt) AS score
+        |       FROM feats f JOIN w3 USING (bucket)
+        |       GROUP BY f.doc_id, f.y)""".stripMargin,
+      """fe AS (SELECT CAST(count(*) AS BIGINT) AS final_errors
+        |       FROM s4 WHERE y * score <= 0)""".stripMargin)(
+      """SELECT w3.bucket, CAST(w3.wt AS BIGINT) AS wt,
+        |  COALESCE(nd.n_docs, 0) AS n_docs, fe.final_errors
+        |FROM w3 LEFT JOIN nd USING (bucket) CROSS JOIN fe""".stripMargin),
 
     "corpus_mix" -> withCtes(docWordsSql,
       """cnt AS (

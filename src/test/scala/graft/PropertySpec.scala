@@ -476,4 +476,48 @@ class PropertySpec extends SparkSpec {
         }
       }
   }
+
+  test("planBands picks the divisor layout with S-curve inflection " +
+      "nearest the threshold") {
+    import graft.api.Dedup
+    for (seeds <- Seq(8, 16, 32, 64, 128);
+         t <- Seq(0.1, 0.25, 0.4, 0.5, 0.6, 0.75, 0.9)) {
+      val (b, r) = Dedup.planBands(seeds, t)
+      assert(b * r === seeds, s"b=$b r=$r seeds=$seeds")
+      val layouts = (1 to seeds).filter(seeds % _ == 0)
+        .map(bb => (bb, seeds / bb))
+      def err(l: (Int, Int)): Double =
+        math.abs(math.pow(1.0 / l._1, 1.0 / l._2) - t)
+      val best = layouts.map(err).min
+      assert(err((b, r)) === best, s"($b,$r) not optimal for n=$seeds t=$t")
+      // tie-break toward more bands (recall side)
+      layouts.filter(l => err(l) == best).foreach { l =>
+        assert(b >= l._1, s"tie at n=$seeds t=$t broke toward fewer bands")
+      }
+    }
+    // lower thresholds need more bands (catch lower-similarity pairs)
+    val picks = Seq(0.2, 0.5, 0.8).map(Dedup.planBands(32, _)._1)
+    assert(picks === picks.sorted.reverse, s"bands not antitone: $picks")
+  }
+
+  test("scurve is monotone in similarity and matches brute-force " +
+      "band-collision probability") {
+    import graft.api.Dedup
+    val grid = (1 to 19).map(_ / 20.0)
+    for ((b, r) <- Seq((2, 4), (8, 4), (4, 8), (16, 2))) {
+      val ps = grid.map(Dedup.scurve(b, r, _))
+      assert(ps === ps.sorted, s"S-curve not monotone for ($b,$r)")
+      assert(ps.head > 0 && ps.last < 1)
+      // definition check at s=0.5 against direct evaluation
+      val direct = 1.0 - math.pow(1.0 - math.pow(0.5, r.toDouble), b.toDouble)
+      assert(Dedup.scurve(b, r, 0.5) === direct)
+    }
+    // the dedup_band_plan query's scaled integers ARE this curve:
+    // p·10^32 for (8,4) at s=i/10 equals 10^32 − (10^4 − i^4)^8
+    for (i <- 1 to 9) {
+      val j = BigInt(10000 - i * i * i * i)
+      val scaled = (BigInt(10).pow(32) - j.pow(8)).toDouble / 1e32
+      assert(math.abs(scaled - Dedup.scurve(8, 4, i / 10.0)) < 1e-12)
+    }
+  }
 }
