@@ -520,6 +520,46 @@ object GraphQueries {
           coalesce(col("t2"), lit(0L)).as("taint_r2"))
     }),
 
+    // TIME-RESPECTING taint — the forensic semantics the hop-count BFS
+    // ignores: funds can only traverse an edge whose block is at or
+    // after the taint's arrival at the source (money moves forward in
+    // time; a 2019 payment cannot launder through a 2017 transaction).
+    // State = min arrival block per address (seeds start at block 0);
+    // each round is one join against the parked (src, dst, block_id)
+    // timed-edge tier with the time gate as a join predicate, then a
+    // min hash-agg — the same co-partitionable loop shape as
+    // graph_taint. Arrivals only tighten, so the bounded unroll is
+    // exact in both engines; convergence witnesses the reach count AND
+    // the arrival sum (a reach-stable round can still tighten
+    // arrivals through a newly usable later edge).
+    "graph_taint_timed" -> ((s, dir) => {
+      val te = timedEdges(s, dir)
+      val nodes = te.select(col("src").as("node"))
+        .unionByName(te.select(col("dst").as("node"))).distinct()
+      var st = nodes.filter(expr(
+        s"CAST(conv(substr(md5(node), 1, 10), 16, 10) AS BIGINT) % $TaintSeedMod = 0"))
+        .withColumn("a", lit(0L))
+      var prev = st
+      for (_ <- 1 to TaintRounds) {
+        val dead = prev
+        prev = st
+        val step = te.join(st.withColumnRenamed("node", "src"), Seq("src"))
+          .filter(col("block_id") >= col("a"))
+          .select(col("dst").as("node"), col("block_id").cast("long").as("a"))
+        st = st.unionByName(step)
+          .groupBy(col("node")).agg(min(col("a")).as("a"))
+          .transform(graft.operators.Materialize.truncate)
+        if (!(dead eq prev)) graft.operators.Materialize.release(dead)
+      }
+      st.crossJoin(broadcast(prev.agg(count(lit(1)).as("n_prev"),
+          sum(col("a")).as("s_prev"))))
+        .crossJoin(broadcast(st.agg(count(lit(1)).as("n_cur"),
+          sum(col("a")).as("s_cur"))))
+        .select(col("node").as("address"), col("a").as("taint_block"),
+          (col("n_prev") === col("n_cur") &&
+            col("s_prev") === col("s_cur")).as("converged"))
+    }),
+
     // link prediction by common-neighbor Jaccard: for every 2-hop pair
     // not already connected, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
     // classic graph-ML feature for "these addresses will transact".
@@ -949,14 +989,7 @@ object GraphQueries {
     "address_balance_history_segmented" -> addressBalanceOracle,
 
     "graph_round_trips" -> withCtes(ChainSql.tx, ChainSql.io,
-      ChainSql.ioAddr,
-      """te AS (
-        |  SELECT DISTINCT i.address AS src, o.address AS dst, t.block_id
-        |  FROM (SELECT DISTINCT tx_id, address FROM ioa WHERE is_input) i
-        |  JOIN (SELECT DISTINCT tx_id, address FROM ioa
-        |        WHERE NOT is_input) o ON o.tx_id = i.tx_id
-        |  JOIN tx t ON t.tx_id = i.tx_id
-        |  WHERE i.address <> o.address)""".stripMargin,
+      ChainSql.ioAddr, teCte,
       """dagg AS (
         |  SELECT src, dst, min(block_id) AS first_out,
         |    CAST(count(DISTINCT block_id) AS BIGINT) AS n_out_blocks
@@ -1102,6 +1135,23 @@ object GraphQueries {
          |  (SELECT count(*) FROM t${TaintRounds - 1}) AS converged
          |FROM t$TaintRounds""".stripMargin),
 
+    // same unrolled shape over the timed edges, min-arrival state with
+    // the block gate in the join; converged compares count AND sum
+    "graph_taint_timed" -> withCtes(
+      Seq(ChainSql.tx, ChainSql.io, ChainSql.ioAddr, teCte,
+        """ttnodes AS (SELECT src AS node FROM te
+          |            UNION SELECT dst FROM te)""".stripMargin,
+        s"""tt0 AS (SELECT node, CAST(0 AS BIGINT) AS a FROM ttnodes
+           |        WHERE ('0x' || substr(md5(node), 1, 10))::BIGINT
+           |              % $TaintSeedMod = 0)""".stripMargin) ++
+      (1 to TaintRounds).map(timedTaintIterCte): _*)(
+      s"""SELECT node AS address, a AS taint_block,
+         |  (SELECT count(*) FROM tt$TaintRounds) =
+         |    (SELECT count(*) FROM tt${TaintRounds - 1})
+         |  AND (SELECT sum(a) FROM tt$TaintRounds) =
+         |    (SELECT sum(a) FROM tt${TaintRounds - 1}) AS converged
+         |FROM tt$TaintRounds""".stripMargin),
+
     "graph_links_jaccard" -> linksOracle,
 
     // same strict-majority hop set, same unrolled min-end-block DP.
@@ -1220,6 +1270,29 @@ object GraphQueries {
 
   /** One BFS round as a CTE (reads t{r-1}, defines t{r}) — exact mirror
     * of [[taintPropagate]]'s loop body. */
+  /** (src, dst, block_id) timed-edge CTE — the SQL mirror of the
+    * timedEdges tier, shared by graph_round_trips and
+    * graph_taint_timed. */
+  private def teCte: String =
+    """te AS (
+      |  SELECT DISTINCT i.address AS src, o.address AS dst, t.block_id
+      |  FROM (SELECT DISTINCT tx_id, address FROM ioa WHERE is_input) i
+      |  JOIN (SELECT DISTINCT tx_id, address FROM ioa
+      |        WHERE NOT is_input) o ON o.tx_id = i.tx_id
+      |  JOIN tx t ON t.tx_id = i.tx_id
+      |  WHERE i.address <> o.address)""".stripMargin
+
+  /** One time-respecting taint round: candidates flow through timed
+    * edges usable at the source's arrival block, min-arrival per node. */
+  private def timedTaintIterCte(r: Int): String =
+    s"""tt$r AS (SELECT node, CAST(min(a) AS BIGINT) AS a FROM (
+       |  SELECT node, a FROM tt${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, e.block_id AS a
+       |  FROM te e JOIN tt${r - 1} p
+       |    ON p.node = e.src AND e.block_id >= p.a)
+       |GROUP BY node)""".stripMargin
+
   private def taintIterCte(r: Int): String =
     s"""t$r AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
        |  SELECT node, d FROM t${r - 1}

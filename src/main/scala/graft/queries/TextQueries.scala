@@ -877,6 +877,10 @@ object TextQueries {
           expr("CAST(conv(substr(md5(word), 1, 10), 16, 10) AS BIGINT)" +
             s" % $nBuckets").as("bucket"))
         .distinct()
+        // the feature matrix is read twice per epoch plus twice at the
+        // end — materialize once (released post-consumption like every
+        // pinned leaf); at 100 TB this is the parked-tier slot
+        .transform(graft.operators.Materialize.truncate)
       def wdf(w: Map[Long, Long]): DataFrame = {
         import s.implicits._
         w.toSeq.sorted.toDF("bucket", "wt")
