@@ -208,6 +208,29 @@ object EventQueries {
       StatefulSessionize.sessionize(ev, GapSeconds).toDF()
     }),
 
+    // the same sessions through Spark's NATIVE session_window operator
+    // — the declarative form the streaming engine can merge
+    // incrementally. Each event opens [ts, ts+gap) and an event AT the
+    // previous session's end still extends it (closed merge boundary,
+    // pinned by the oracle: a diff of exactly GapSeconds merges), so
+    // gap = GapSeconds agrees with the lag rule "ets − prev >
+    // GapSeconds splits" on integer-second timestamps. Session identity
+    // is its start time (the ordinal session_no is a window-function
+    // artifact that doesn't survive merged-interval semantics); the
+    // oracle replays the lag chain and projects the same columns, so
+    // the two formulations are proven equivalent by the driver.
+    "events_sessionize_native" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("tsc", timestamp_seconds(col("ets")))
+        .groupBy(col("user_id"),
+          session_window(col("tsc"), s"$GapSeconds seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ets")).as("session_start"),
+          (max(col("ets")) - min(col("ets"))).as("duration"))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("duration"))
+    }),
+
     // cohort retention: users grouped by first-activity day, then the
     // classic (cohort_day × age_days → active users) retention triangle.
     // Two hash-aggs on user_id + one on the (cohort, age) pair — the
@@ -555,6 +578,33 @@ object EventQueries {
         |  FROM s)
         |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ets) AS session_start, max(ets) - min(ets) AS duration
+        |FROM s2 GROUP BY user_id, session_no""".stripMargin,
+
+    // identical lag-rule replay, session keyed by start instead of
+    // ordinal — equality proves session_window's merged intervals
+    // reproduce the gap rule
+    "events_sessionize_native" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ets,
+        |    CASE WHEN lag(ets) OVER w IS NULL
+        |              OR ets - lag(ets) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ets,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ets, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_no
+        |  FROM s)
+        |SELECT user_id, min(ets) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ets) - min(ets) AS duration
         |FROM s2 GROUP BY user_id, session_no""".stripMargin,
 
     "events_cohort" ->

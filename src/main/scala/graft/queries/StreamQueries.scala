@@ -205,6 +205,16 @@ object StreamQueries {
       consumeEphemeral(s, Seq(out, s"$out-ckpt"))(s.read.parquet(out))
     }),
 
+    // native session_window sessionization as a STREAM: merging-
+    // interval state + watermark eviction, complete-mode overwrite —
+    // shares the batch events_sessionize_native oracle, so the
+    // streaming session merge is proven equal to the batch gap rule.
+    "stream_sessionize" -> ((s, dir) => {
+      val out = tmp("sess")
+      IncrementalIngest.sessionizedEvents(s, dir, out)
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(s.read.parquet(out))
+    }),
+
     // LSH dedup AT THE DOOR of a streaming corpus ingest: each arriving
     // micro-batch is minhash-banded and probed against the parked band
     // tier; only docs colliding with no tier bucket land. The batch
@@ -401,6 +411,8 @@ object StreamQueries {
 
     // shares the batch oracle verbatim: stream == batch, proven
     "stream_window_agg" -> EventQueries.oracles("events_window_agg"),
+
+    "stream_sessionize" -> EventQueries.oracles("events_sessionize_native"),
 
     // the stream must land exactly the batch docs with no band
     // collision against the pre-batch tier

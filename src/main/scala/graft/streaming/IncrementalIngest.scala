@@ -447,6 +447,42 @@ object IncrementalIngest {
     s.table(name)
   }
 
+  /** Gap-based sessionization on the streaming events source through
+    * the NATIVE session_window operator — the merging-interval state
+    * the engine maintains incrementally (an arriving event extends any
+    * session whose end it touches, merging neighbors; watermark evicts
+    * sessions once no event can reach them). Same complete-mode
+    * foreachBatch overwrite deployment as [[windowedEventAgg]], and
+    * AvailableNow makes the final overwrite equal the batch answer —
+    * it shares `events_sessionize_native`'s oracle, so stream == batch
+    * is driver-proven. Projection mirrors the batch query exactly. */
+  def sessionizedEvents(s: SparkSession, dir: String, out: String): Unit = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val frame = stream
+      .withColumn("ets", graft.functions.TimeColumns.epochSeconds(stream))
+      .withColumn("tsc", timestamp_seconds(col("ets")))
+      .withWatermark("tsc", "1 hour")
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        session_window(col("tsc"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ets")).as("session_start"),
+        (max(col("ets")) - min(col("ets"))).as("duration"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration"))
+    val q = frame.writeStream
+      .outputMode("complete")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", s"$out-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   /** Per-micro-batch bottom-k (priority, value) quantile samples through
     * the idempotent epoch sink — the streaming face of
     * `events_quantile_sketch`. Each epoch lands its batch's per-type
