@@ -83,6 +83,19 @@ object ChainStore extends ChainSink {
         "travel read cannot be served. Read it with readTransactions, " +
         "or keep the epoch layout (skip compaction) where as-of reads " +
         "are needed.")
+    // expired-snapshot guard: after a history vacuum the earliest
+    // serveable snapshot is the fold epoch — a request below it would
+    // silently return a partial (or empty) table. Directory listing
+    // only (the same partition discovery the read itself performs).
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val epochs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$out/transaction", "*/ingest_epoch=*"))
+      .map(_.getPath.getName.stripPrefix("ingest_epoch=").toLong)
+    require(epochs.isEmpty || epoch >= epochs.min,
+      s"snapshot $epoch expired: history below epoch ${epochs.min} was " +
+        "vacuumed from the store — the oldest serveable snapshot is " +
+        s"${epochs.min}")
     df.filter(col("ingest_epoch") <= epoch)
       .drop("ingest_epoch")
   }
@@ -102,41 +115,75 @@ object ChainStore extends ChainSink {
     * rename (a concurrent epoch would otherwise be dropped). The result
     * is the batch layout: "sealed" — `resumeGuard` refuses further
     * epoch ingest into it by design. */
-  def compactTransactions(s: SparkSession, out: String): Unit = {
+  def compactTransactions(s: SparkSession, out: String): Unit =
+    stagedRewrite(s, out) { (df, staged) =>
+      df.drop("ingest_epoch")
+        .repartition(col("tx_id_group"))
+        .sortWithinPartitions(col("tx_id"))
+        .write.mode("overwrite")
+        .partitionBy("tx_id_group")
+        .parquet(staged)
+    }
+
+  /** Maintenance: expire time-travel history below `floor` — every
+    * epoch ≤ floor folds into epoch `floor` in one staged rewrite;
+    * epochs above it are carried through intact. As-of reads for
+    * e ≥ floor are unchanged (the fold performs exactly the union the
+    * ≤-filter used to), snapshots below the floor are gone, and
+    * [[readTransactionsAsOf]] refuses them loudly via its min-epoch
+    * guard instead of serving a silently partial table. This is the
+    * retention knob a long-running ingest needs: with compaction the
+    * history is all-or-nothing, with vacuum it is a sliding window —
+    * store cost O(retained epochs), not O(every epoch ever landed) —
+    * and the store stays epoch-keyed, so ingest resume and future
+    * vacuums keep working. */
+  def vacuumTransactionsBelow(s: SparkSession, out: String,
+      floor: Long): Unit =
+    stagedRewrite(s, out) { (df, staged) =>
+      require(df.schema.fieldNames.contains("ingest_epoch"),
+        s"store at $out/transaction is not epoch-keyed: nothing to vacuum")
+      df.withColumn("ingest_epoch",
+          greatest(col("ingest_epoch").cast("long"), lit(floor)))
+        .repartition(col("tx_id_group"))
+        .sortWithinPartitions(col("tx_id"))
+        .write.mode("overwrite")
+        .partitionBy("tx_id_group", "ingest_epoch")
+        .parquet(staged)
+    }
+
+  /** Shared staged-swap protocol for store maintenance (compaction and
+    * history vacuum): read the live table, rewrite through `rewrite`
+    * into a staging dir, then swap via two renames. Crash-safe BEFORE
+    * any destructive step — a crash between the renames leaves `old`
+    * holding the only copy, restored on the next call; leftover staged
+    * dirs are always incomplete work and discarded. Requires the
+    * ingest QUIESCED: a changed partition listing between read and
+    * swap aborts before any rename (a concurrent epoch would otherwise
+    * be dropped silently). */
+  private def stagedRewrite(s: SparkSession, out: String)(
+      rewrite: (DataFrame, String) => Unit): Unit = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(root, "transaction")
     val staged = new org.apache.hadoop.fs.Path(root, "transaction__compacting")
     val old = new org.apache.hadoop.fs.Path(root, "transaction__old")
-    // crash recovery BEFORE any destructive step: a crash between the
-    // two swap renames leaves live missing and old holding the only
-    // copy — restore it; a leftover staged dir is always incomplete
-    // work and a leftover old dir after a completed swap is garbage.
     if (!fs.exists(live)) {
       require(fs.exists(old),
-        s"compaction: no store at $live and no $old to recover from")
-      require(fs.rename(old, live), s"compaction: cannot recover $old")
+        s"store rewrite: no store at $live and no $old to recover from")
+      require(fs.rename(old, live), s"store rewrite: cannot recover $old")
     }
     fs.delete(staged, true); fs.delete(old, true)
-    // concurrent-writer guard: the swap would silently drop any epoch
-    // landed between the read and the rename — detect and abort instead
-    // (quiesce the ingest first; the compacted result is sealed anyway).
     def snapshot(): Set[String] =
       fs.globStatus(new org.apache.hadoop.fs.Path(live, "*/*"))
         .map(_.getPath.toString).toSet
     val seen = snapshot()
-    readTransactions(s, out)
-      .repartition(col("tx_id_group"))
-      .sortWithinPartitions(col("tx_id"))
-      .write.mode("overwrite")
-      .partitionBy("tx_id_group")
-      .parquet(staged.toString)
+    rewrite(s.read.parquet(live.toString), staged.toString)
     require(snapshot() == seen,
-      s"compaction: store at $live changed while compacting — quiesce " +
+      s"store rewrite: store at $live changed while rewriting — quiesce " +
         "the ingest and re-run (nothing was swapped; staged output kept " +
         s"at $staged until the next run)")
-    require(fs.rename(live, old), s"compaction: cannot stage out $live")
-    require(fs.rename(staged, live), s"compaction: cannot swap in $staged")
+    require(fs.rename(live, old), s"store rewrite: cannot stage out $live")
+    require(fs.rename(staged, live), s"store rewrite: cannot swap in $staged")
     fs.delete(old, true)
     ()
   }

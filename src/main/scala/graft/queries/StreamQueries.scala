@@ -283,6 +283,31 @@ object StreamQueries {
           .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id")))
     }),
 
+    // HISTORY VACUUM on the same three-epoch store: retention folds
+    // epochs ≤ 1 into epoch 1 (staged + swapped, never in place), so
+    // the store keeps serving as-of ≥ 1 bit-identically while the
+    // expired epoch-0 directory is gone. The per-epoch rollup read
+    // back AFTER the vacuum is stated by the oracle from the source
+    // table — proving the fold moved every row into the floor epoch
+    // and left the retained epoch untouched (content contract, not
+    // self-consistency). Snapshots below the floor now refuse loudly
+    // (spec-pinned) instead of returning a partial table.
+    "store_vacuum" -> ((s, dir) => {
+      val out = tmp("vac")
+      val tx = graft.chain.Chain.transactions(s, dir)
+      val bounds = Seq(0L, 800L, 1600L, Long.MaxValue)
+      (0 until 3).foreach { e =>
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          tx.filter(col("block_id") >= bounds(e) &&
+            col("block_id") < bounds(e + 1)), out, e.toLong)
+      }
+      graft.chain.ChainStore.vacuumTransactionsBelow(s, out, 1L)
+      consumeEphemeral(s, Seq(out))(
+        s.read.parquet(s"$out/transaction")
+          .groupBy(col("ingest_epoch").cast("long").as("ingest_epoch"))
+          .agg(count(lit(1)).as("n_txs"), max(col("block_id")).as("max_block")))
+    }),
+
     // streaming twin of text_heavy_hitters (shared oracle): per-batch
     // MG candidate sets land through the idempotent epoch sink; the
     // mediant inequality makes their union a superset of the global
@@ -456,5 +481,15 @@ object StreamQueries {
       """SELECT block_id, CAST(count(*) AS BIGINT) AS n_txs,
         |  max(tx_id) AS max_tx_id
         |FROM tx WHERE block_id < 1600
-        |GROUP BY block_id""".stripMargin))
+        |GROUP BY block_id""".stripMargin),
+
+    // post-vacuum layout: everything below block 1600 now lives in the
+    // fold epoch 1, the retained epoch 2 is byte-for-byte the same range
+    "store_vacuum" -> withCtes(ChainSql.tx)(
+      """SELECT CAST(1 AS BIGINT) AS ingest_epoch,
+        |  CAST(count(*) AS BIGINT) AS n_txs, max(block_id) AS max_block
+        |FROM tx WHERE block_id < 1600
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), max(block_id)
+        |FROM tx WHERE block_id >= 1600""".stripMargin))
 }

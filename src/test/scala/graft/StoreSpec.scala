@@ -83,6 +83,42 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$cout/transaction__old").exists())
   }
 
+  test("history vacuum folds epochs below the floor; expired snapshots " +
+      "refuse; retained snapshots are bit-identical") {
+    val dir = sf("sf0.001")
+    val vout = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vacuum_").toString
+    val tx = Chain.transactions(spark, dir)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 0), vout, 0L)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 1), vout, 1L)
+    ChainStore.writeTransactionsEpoch(tx.filter(col("tx_id") % 3 === 2), vout, 2L)
+    val asOf1Before = ChainStore.readTransactionsAsOf(spark, vout, 1L)
+      .select(sum("tx_id")).as[Long].head()
+    ChainStore.vacuumTransactionsBelow(spark, vout, 1L)
+    // retained snapshots serve identically
+    assert(ChainStore.readTransactionsAsOf(spark, vout, 1L)
+      .select(sum("tx_id")).as[Long].head() === asOf1Before)
+    assert(ChainStore.readTransactionsAsOf(spark, vout, 2L).count() ===
+      tx.count())
+    // the expired epoch-0 directories are physically gone
+    val epochDirs = new java.io.File(s"$vout/transaction").listFiles()
+      .filter(_.getName.startsWith("tx_id_group="))
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    assert(!epochDirs.contains("ingest_epoch=0"), s"epoch 0 survived: $epochDirs")
+    assert(epochDirs.contains("ingest_epoch=1"))
+    // a snapshot below the floor refuses loudly instead of serving a
+    // partial table
+    val e = intercept[IllegalArgumentException] {
+      ChainStore.readTransactionsAsOf(spark, vout, 0L)
+    }
+    assert(e.getMessage.contains("expired"),
+      s"unexpected failure shape: ${e.getMessage}")
+    // still epoch-keyed: a later vacuum (or compaction) keeps working
+    ChainStore.vacuumTransactionsBelow(spark, vout, 2L)
+    assert(ChainStore.readTransactionsAsOf(spark, vout, 2L).count() ===
+      tx.count())
+  }
+
   test("as-of read returns each epoch's snapshot and prunes partitions") {
     val dir = sf("sf0.001")
     val tout = Files.createTempDirectory(
