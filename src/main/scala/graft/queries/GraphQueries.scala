@@ -560,6 +560,39 @@ object GraphQueries {
             col("s_prev") === col("s_cur")).as("converged"))
     }),
 
+    // bounded STRONGLY connected components — the directed-cycle
+    // structure CC ignores (and the general form of the 2-cycles
+    // graph_round_trips enumerates): forward/backward min-label
+    // propagation, K rounds each. F(v) = min address reaching v within
+    // K hops, B(v) = min address v reaches within K hops; F(v) = B(v)
+    // = c PROVES v and c mutually reachable — sound at ANY bound, no
+    // convergence needed — and the resolved flag marks exactly the
+    // vertices whose membership the bound could not determine
+    // (completeness explicitly witnessed, the taint convention). Two
+    // taint-shaped loops over the parked edge tier; byte-ordered
+    // string min is identical in both engines. The fixture's flow
+    // graph is one dense component (every address in one SCC — a
+    // vacuous answer), so the query runs on a deterministic 1-in-20
+    // hash-thinned subgraph where all three outcomes occur: multi-node
+    // SCCs, singletons, and bound-undetermined vertices. (PropertySpec
+    // proves the operator against brute-force SCC on random digraphs.)
+    "graph_scc" -> ((s, dir) => {
+      val e = flowEdges(s, dir).filter(expr(
+        "CAST(conv(substr(md5(concat(src, '|', dst)), 1, 10), 16, 10) " +
+          s"AS BIGINT) % $SccEdgeMod = 0"))
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      val fwd = minReach(nodes, e, SccRounds).withColumnRenamed("l", "f")
+      val bwd = minReach(nodes,
+        e.select(col("dst").as("src"), col("src").as("dst")), SccRounds)
+        .withColumnRenamed("l", "b")
+      fwd.join(bwd, Seq("node"))
+        .select(col("node").as("address"),
+          when(col("f") === col("b"), col("f")).otherwise(col("node"))
+            .as("scc_id"),
+          (col("f") === col("b")).as("resolved"))
+    }),
+
     // link prediction by common-neighbor Jaccard: for every 2-hop pair
     // not already connected, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
     // classic graph-ML feature for "these addresses will transact".
@@ -759,6 +792,8 @@ object GraphQueries {
     * addresses by a 40-bit md5 half — the DuckDB-mirrorable hash). */
   private val TaintRounds = 3
   private val TaintSeedMod = 50
+  private val SccRounds = 4
+  private val SccEdgeMod = 20
 
   /** Tag-list selection modulus for entity_tags (~3% of addresses play
     * the externally-curated attribution list). */
@@ -1152,6 +1187,25 @@ object GraphQueries {
          |    (SELECT sum(a) FROM tt${TaintRounds - 1}) AS converged
          |FROM tt$TaintRounds""".stripMargin),
 
+    // the same K-round F/B min-label unroll; CASE mirrors the
+    // resolved/unresolved projection
+    "graph_scc" -> withCtes(
+      Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
+        s"""thin AS (SELECT src, dst FROM fedges
+           |  WHERE ('0x' || substr(md5(src || '|' || dst), 1, 10))::BIGINT
+           |        % $SccEdgeMod = 0)""".stripMargin,
+        """sccn AS (SELECT src AS node FROM thin
+          |         UNION SELECT dst FROM thin)""".stripMargin,
+        "redges AS (SELECT dst AS src, src AS dst FROM thin)",
+        "sf0 AS (SELECT node, node AS l FROM sccn)",
+        "sb0 AS (SELECT node, node AS l FROM sccn)") ++
+      (1 to SccRounds).map(r => sccIterCte("sf", "thin", r)) ++
+      (1 to SccRounds).map(r => sccIterCte("sb", "redges", r)): _*)(
+      s"""SELECT f.node AS address,
+         |  CASE WHEN f.l = b.l THEN f.l ELSE f.node END AS scc_id,
+         |  f.l = b.l AS resolved
+         |FROM sf$SccRounds f JOIN sb$SccRounds b USING (node)""".stripMargin),
+
     "graph_links_jaccard" -> linksOracle,
 
     // same strict-majority hop set, same unrolled min-end-block DP.
@@ -1291,6 +1345,37 @@ object GraphQueries {
        |  SELECT e.dst AS node, e.block_id AS a
        |  FROM te e JOIN tt${r - 1} p
        |    ON p.node = e.src AND e.block_id >= p.a)
+       |GROUP BY node)""".stripMargin
+
+  /** K-round min-label reach: l(v) = min node reaching v within
+    * `rounds` hops along `edges` (v itself included) — graph_scc's
+    * forward scan; on reversed edges, its backward scan. Same
+    * truncate/release loop discipline as [[taintPropagate]]. */
+  private[graft] def minReach(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var lbl = nodes.withColumn("l", col("node"))
+    var prev = lbl
+    for (_ <- 1 to rounds) {
+      val dead = prev
+      prev = lbl
+      lbl = lbl.unionByName(
+          edges.join(lbl.select(col("node").as("src"), col("l")), Seq("src"))
+            .select(col("dst").as("node"), col("l")))
+        .groupBy(col("node")).agg(min(col("l")).as("l"))
+        .transform(graft.operators.Materialize.truncate)
+      if (!(dead eq prev)) graft.operators.Materialize.release(dead)
+    }
+    lbl
+  }
+
+  /** One min-label round of graph_scc's oracle (reads `$pfx{r-1}`,
+    * defines `$pfx$r`, walking `edges`). */
+  private def sccIterCte(pfx: String, edges: String, r: Int): String =
+    s"""$pfx$r AS (SELECT node, min(l) AS l FROM (
+       |  SELECT node, l FROM $pfx${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.l AS l
+       |  FROM $edges e JOIN $pfx${r - 1} p ON p.node = e.src)
        |GROUP BY node)""".stripMargin
 
   private def taintIterCte(r: Int): String =

@@ -477,6 +477,42 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("minReach equals brute-force K-hop min-label reach on random " +
+      "digraphs (graph_scc's F/B scans)") {
+    import graft.queries.GraphQueries
+    val k = 4
+    samples(Gen.listOfN(60, Gen.zip(Gen.choose(0, 19), Gen.choose(0, 19))), 6)
+      .foreach { pairs0 =>
+        val edges = pairs0.filter(p => p._1 != p._2).distinct
+        if (edges.nonEmpty) {
+          def lbl(i: Int) = f"n$i%02d"
+          val eDf = edges.map { case (a, b) => (lbl(a), lbl(b)) }
+            .toDF("src", "dst")
+          val nodesSeq = edges.flatMap(p => Seq(p._1, p._2)).distinct
+          val nDf = nodesSeq.map(lbl).toDF("node")
+          val got = GraphQueries.minReach(nDf, eDf, k).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          // brute force: F*(v) = min label over {u : u reaches v within
+          // k hops} ∪ {v} — BFS from every source
+          val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          def reachFrom(s: Int): Set[Int] = {
+            var frontier = Set(s); var seen = Set(s)
+            for (_ <- 1 to k) {
+              frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+                .diff(seen)
+              seen ++= frontier
+            }
+            seen
+          }
+          val expect = scala.collection.mutable.Map.empty[Int, String]
+          for (u <- nodesSeq; v <- reachFrom(u))
+            expect(v) = Seq(expect.getOrElse(v, lbl(u)), lbl(u)).min
+          for (v <- nodesSeq)
+            assert(got(lbl(v)) === expect(v), s"node $v of $edges")
+        }
+      }
+  }
+
   test("planBands picks the divisor layout with S-curve inflection " +
       "nearest the threshold") {
     import graft.api.Dedup
