@@ -231,6 +231,28 @@ object EventQueries {
           col("duration"))
     }),
 
+    // user-behavior transition matrix (the Markov-chain feature a
+    // sequence model trains on): per user, events in (ets, event_id)
+    // order, each consecutive pair counting one prev_type → event_type
+    // transition. One lag window partitioned by user — scales with
+    // user cardinality, no global order anywhere — one hash-agg, and a
+    // types²-sized result; the row probability is a single division of
+    // exact integers, so both engines produce the identical double.
+    // The per-type total joins back as a broadcast (types² rows).
+    "events_markov" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ets"), col("event_id"))
+      val tr = events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+      tr.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+    }),
+
     // cohort retention: users grouped by first-activity day, then the
     // classic (cohort_day × age_days → active users) retention triangle.
     // Two hash-aggs on user_id + one on the (cohort, age) pair — the
@@ -606,6 +628,29 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  max(ets) - min(ets) AS duration
         |FROM s2 GROUP BY user_id, session_no""".stripMargin,
+
+    // same lag chain; the probability division is exact-integer / exact
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id, event_type,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01',
+        |         CAST(ts AS TIMESTAMP)) AS BIGINT) AS ets
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT event_type,
+        |          lag(event_type) OVER (PARTITION BY user_id
+        |            ORDER BY ets, event_id) AS prev_type
+        |        FROM e)
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |tot AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY prev_type)
+        |SELECT tr.prev_type, tr.event_type, tr.n,
+        |  CAST(tr.n AS DOUBLE) / tot.n_from AS p
+        |FROM tr JOIN tot USING (prev_type)""".stripMargin,
 
     "events_cohort" ->
       """WITH e AS (

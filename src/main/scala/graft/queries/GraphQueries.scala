@@ -325,6 +325,48 @@ object GraphQueries {
           col("n_return_blocks"))
     }),
 
+    // temporal 3-CYCLE motif — the directed generalization of
+    // graph_round_trips' out-and-back: funds a→b→c→a where each leg's
+    // FIRST occurrence is strictly later than the previous leg's (the
+    // first-occurrence ordering convention round_trips established).
+    // Midpoints whose in·out degree product exceeds Cycle3MidCap drop
+    // BEFORE the path expansion — the triangle/links fanout guard: a
+    // hub midpoint's fanout is quadratic and its cycle evidence weak;
+    // the count is a documented lower bound, mirrored in the oracle
+    // and exercised by the fixture (190 of 290 midpoints survive).
+    // Rolled up per apex (each cycle counted once, at its minimum
+    // address) into the cycle-participation score a forensics
+    // dashboard ranks by — the enumeration stays internal and the
+    // result is node-sized.
+    "graph_cycle3" -> ((s, dir) => {
+      val dagg = timedEdges(s, dir)
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("block_id")).cast("long").as("first_out"))
+        .transform(graft.operators.Materialize.truncate)
+      val mids = dagg.groupBy(col("dst").as("v"))
+        .agg(count(lit(1)).as("ind"))
+        .join(dagg.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("outd")), Seq("v"))
+        .filter(col("ind") * col("outd") <= Cycle3MidCap)
+        .select(col("v").as("n2"))
+      val a = dagg.select(col("src").as("n1"), col("dst").as("n2"),
+        col("first_out").as("b1"))
+      val b = dagg.select(col("src").as("n2"), col("dst").as("n3"),
+        col("first_out").as("b2"))
+      val c = dagg.select(col("src").as("n3"), col("dst").as("n1"),
+        col("first_out").as("b3"))
+      a.join(mids, Seq("n2"))
+        .join(b, Seq("n2"))
+        .filter(col("b2") > col("b1") &&
+          col("n1") < col("n2") && col("n1") < col("n3"))
+        .join(c, Seq("n3", "n1"))
+        .filter(col("b3") > col("b2"))
+        .groupBy(col("n1").as("address"))
+        .agg(count(lit(1)).as("n_cycles"),
+          min(col("b1")).as("first_block"),
+          max(col("b3")).as("last_block"))
+    }),
+
     // the same timeline at ENTITY grain over the pinned clustering
     // window — tier consumption: addresses map through the parked
     // labels (outputs never seen as inputs ride as singleton
@@ -794,6 +836,7 @@ object GraphQueries {
   private val TaintSeedMod = 50
   private val SccRounds = 4
   private val SccEdgeMod = 20
+  private val Cycle3MidCap = 3000L
 
   /** Tag-list selection modulus for entity_tags (~3% of addresses play
     * the externally-curated attribution list). */
@@ -1035,6 +1078,29 @@ object GraphQueries {
         |FROM dagg d JOIN te r
         |  ON r.src = d.dst AND r.dst = d.src AND r.block_id > d.first_out
         |GROUP BY d.src, d.dst, d.first_out, d.n_out_blocks""".stripMargin),
+
+    // same first-occurrence edge aggregate, same midpoint cap, three
+    // chained joins, per-apex rollup
+    "graph_cycle3" -> withCtes(ChainSql.tx, ChainSql.io, ChainSql.ioAddr,
+      teCte,
+      """dagg3 AS (SELECT src, dst, min(block_id) AS first_out
+        |          FROM te GROUP BY src, dst)""".stripMargin,
+      s"""mids3 AS (SELECT i.v AS n2 FROM
+         |    (SELECT dst AS v, count(*) AS ind FROM dagg3 GROUP BY dst) i
+         |  JOIN (SELECT src AS v, count(*) AS outd FROM dagg3 GROUP BY src) o
+         |    ON o.v = i.v
+         |  WHERE i.ind * o.outd <= $Cycle3MidCap)""".stripMargin,
+      """c3 AS (SELECT a.src AS n1, a.dst AS n2, b.dst AS n3,
+        |         a.first_out AS b1, b.first_out AS b2, c.first_out AS b3
+        |       FROM dagg3 a
+        |       JOIN mids3 m ON m.n2 = a.dst
+        |       JOIN dagg3 b ON b.src = a.dst AND b.first_out > a.first_out
+        |       JOIN dagg3 c ON c.src = b.dst AND c.dst = a.src
+        |         AND c.first_out > b.first_out
+        |       WHERE a.src < a.dst AND a.src < b.dst)""".stripMargin)(
+      """SELECT n1 AS address, CAST(count(*) AS BIGINT) AS n_cycles,
+        |  min(b1) AS first_block, max(b3) AS last_block
+        |FROM c3 GROUP BY n1""".stripMargin),
 
     "entity_balance_history" -> ChainSql.withRecursiveCtes(
       entityFlowCtes: _*)(
