@@ -26,6 +26,10 @@ object DedupQueries {
     * hash min and identical across engines. */
   private val Seeds = 0 until 8
 
+  /** Signature budget of the planner-driven pair query (banded as
+    * whatever `Dedup.planBands` picks at threshold 0.5 — 8×4). */
+  private val PlannedSeeds = 32
+
   /** The incremental queries' simulated arriving batch (lockstep with
     * the parked pre-batch tier). */
   private val BatchMod = graft.ops.DedupMaterialize.IncrementalBatchMod
@@ -75,20 +79,26 @@ object DedupQueries {
         Seq("doc_b"))
   }
 
-  /** sig + bands CTEs over whatever `shingles` CTE precedes them —
-    * shared with the composite pipeline query, which runs the same
-    * MinHash chain over the plain (no injected dups) document set. */
-  private[queries] val sigBandCtes: Seq[String] = {
-    val consts = graft.api.Dedup.minhashConsts(Seeds.size)
+  /** sig + bands CTE generator over whatever `shingles` CTE precedes
+    * them, for any (seeds, bands) layout — the SQL mirror of
+    * `Dedup.minhashSignatures` + `Dedup.lshBands` at the same
+    * parameters. */
+  private[queries] def sigBandCtesFor(seeds: Int, nBands: Int,
+      sigName: String, bandName: String): Seq[String] = {
+    val consts = graft.api.Dedup.minhashConsts(seeds)
     val m = graft.api.Dedup.MinHashMod
-    val sigCols = Seeds.map { k =>
+    val rows = seeds / nBands
+    val sigCols = (0 until seeds).map { k =>
       val (a, b) = consts(k)
       s"CAST(min((h1 * $a + h2 * $b) % $m) AS BIGINT) AS s$k"
     }.mkString(",\n         ")
     def bandSql(ks: Range): String = ks
       .map(k => s"CAST(s$k AS VARCHAR)").mkString(" || '|' || ")
+    val bandCols = (0 until nBands).map { b =>
+      s"md5(${bandSql(b * rows until (b + 1) * rows)}) AS band$b"
+    }.mkString(",\n         ")
     Seq(
-      s"""sig AS (
+      s"""$sigName AS (
          |  SELECT doc_id,
          |         $sigCols
          |  FROM (SELECT doc_id,
@@ -96,10 +106,29 @@ object DedupQueries {
          |          ('0x' || substr(md5(shingle), 11, 10))::BIGINT AS h2
          |        FROM shingles)
          |  GROUP BY doc_id)""".stripMargin,
-      s"""bands AS (
-         |  SELECT doc_id, md5(${bandSql(0 to 3)}) AS band0,
-         |         md5(${bandSql(4 to 7)}) AS band1
-         |  FROM sig)""".stripMargin)
+      s"""$bandName AS (
+         |  SELECT doc_id, $bandCols
+         |  FROM $sigName)""".stripMargin)
+  }
+
+  /** The default 8-seed / 2-band layout's CTEs — shared with the
+    * composite pipeline query, which runs the same MinHash chain over
+    * the plain (no injected dups) document set. */
+  private[queries] val sigBandCtes: Seq[String] =
+    sigBandCtesFor(Seeds.size, 2, "sig", "bands")
+
+  /** Any-band-key candidate-pair CTE over `bandName` (nBands union
+    * arms, doc_a < doc_b). */
+  private def pairsCteFor(nBands: Int, bandName: String,
+      pairName: String): String = {
+    val arms = (0 until nBands).map { b =>
+      s"""    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM $bandName a JOIN $bandName b
+         |      ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""$pairName AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |$arms))""".stripMargin
   }
 
   private val sigSqlCtes: Seq[String] =
@@ -200,6 +229,22 @@ object DedupQueries {
         lit(b).as("bands"), lit(r).as("rows_per_band"),
         (lit(BigDecimal(10).pow(32)).cast(dec) - jb).cast("string")
           .as("p_scaled"))
+    }),
+
+    // the planner DRIVING a real pair generation: 32 seeds banded as
+    // planBands' 8×4 (vs the default 2×4-over-8) — four-row bands
+    // sharpen per-band selectivity while eight bands hold recall at
+    // the 0.5 inflection dedup_band_plan pins. Same candidate shape as
+    // dedup_minhash_pairs (equal key in any band, doc_a < doc_b); the
+    // oracle regenerates the full 32-permutation chain at the planned
+    // layout, so the planner's wiring — not just its arithmetic — is
+    // driver-checked.
+    "dedup_minhash_planned" -> ((s, dir) => {
+      val (nBands, _) = graft.api.Dedup.planBands(PlannedSeeds, 0.5)
+      val sg = graft.api.Dedup.minhashSignatures(
+        shingles(words(corpus(s, dir))), seeds = PlannedSeeds)
+      graft.api.Dedup.candidatePairs(
+        graft.api.Dedup.lshBands(sg, PlannedSeeds, nBands), nBands)
     }),
 
     // exact word-trigram Jaccard over the LSH candidates (verify stage);
@@ -553,6 +598,14 @@ object DedupQueries {
          |  WHERE a.band1 IN (SELECT band1 FROM bands
          |                    GROUP BY band1 HAVING count(*) <= $MaxBucket))""".stripMargin: _*)(
       "SELECT doc_a, doc_b FROM pairs_capped"),
+
+    // the full 32-permutation chain regenerated at the planned 8×4
+    // layout
+    "dedup_minhash_planned" -> withCtes(
+      Seq(corpusSql, wordsSql, shinglesSql) ++
+        sigBandCtesFor(PlannedSeeds, 8, "sig32", "bands32") :+
+        pairsCteFor(8, "bands32", "pairs32"): _*)(
+      "SELECT doc_a, doc_b FROM pairs32"),
 
     // exact-integer S-curve for the planner-chosen 8×4 layout over 32
     // seeds: HUGEINT mirrors Spark's DECIMAL(38,0) digit for digit
