@@ -456,13 +456,18 @@ object IncrementalIngest {
     * AvailableNow makes the final overwrite equal the batch answer —
     * it shares `events_sessionize_native`'s oracle, so stream == batch
     * is driver-proven. Projection mirrors the batch query exactly. */
-  def sessionizedEvents(s: SparkSession, dir: String, out: String): Unit = {
+  def sessionizedEvents(s: SparkSession, dir: String, out: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "1 hour"): Unit = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val reader = s.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(s"$dir/events*.parquet")
     val frame = stream
       .withColumn("ets", graft.functions.TimeColumns.epochSeconds(stream))
       .withColumn("tsc", timestamp_seconds(col("ets")))
-      .withWatermark("tsc", "1 hour")
+      .withWatermark("tsc", watermarkDelay)
       .groupBy(col("user_id").cast("long").as("user_id"),
         session_window(col("tsc"), "1800 seconds"))
       .agg(count(lit(1)).as("n_events"),

@@ -30,6 +30,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("session windows merge correctly across micro-batches") {
+    val dir = sf("sf0.001")
+    // split the events table into 3 time-range files so sessions SPAN
+    // micro-batch boundaries (maxFilesPerTrigger=1 → three batches):
+    // the merging-interval state must stitch a session whose events
+    // arrive in different batches, and the final complete-mode output
+    // must equal the one-shot batch sessionization exactly.
+    val src = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sessrc_").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.withColumn("__e", graft.functions.TimeColumns.epochSeconds(ev))
+      .repartitionByRange(3, col("__e")).drop("__e")
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+    assert(new java.io.File(s"$src/events.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 3)
+    val out = s"$src/sessout"
+    // huge watermark delay: micro-batch file order is listing-dependent,
+    // and a later-range batch arriving first would otherwise advance the
+    // watermark past earlier batches (late-drop) — this test pins the
+    // cross-batch MERGE, not eviction
+    IncrementalIngest.sessionizedEvents(spark, src, out,
+      maxFilesPerTrigger = Some(1), watermarkDelay = "3650 days")
+    val streamed = spark.read.parquet(out)
+    val batch = SparkEntry.queries("events_sessionize_native")(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("foreachBatch bucket sink is exactly-once under replay") {
     val dir = sf("sf0.001")
     val out = java.nio.file.Files.createTempDirectory(
