@@ -94,6 +94,13 @@ object Graft {
   def compactStore(s: SparkSession, out: String): Unit =
     ChainStore.compactTransactions(s, out)
 
+  /** Maintenance: expire time-travel history below `floor` — epochs at
+    * or below it fold into the floor epoch (same atomic staged swap),
+    * the store stays epoch-keyed, and as-of reads below the floor
+    * refuse loudly. The sliding-retention knob for a perpetual ingest. */
+  def vacuumStore(s: SparkSession, out: String, floor: Long): Unit =
+    ChainStore.vacuumTransactionsBelow(s, out, floor)
+
   /** The keyspace DDL for a connector deployment's bootstrap step,
     * pinned against the reference schema by SchemaSpec. */
   def keyspaceDdl(keyspace: String = "graphsense"): String =

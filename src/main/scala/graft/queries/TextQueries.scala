@@ -631,6 +631,30 @@ object TextQueries {
             .as("shuffle_shard"))
     }),
 
+    // CURRICULUM ordering for training: docs globally ranked
+    // short-to-long (the sequence-length warmup schedule — a trainer
+    // ramps max_seq_len and wants small-context steps first), ties
+    // broken by the deterministic shuffle key so equal-length docs
+    // arrive hash-shuffled rather than id-ordered. The same
+    // PrefixCarry.globalRank two-phase scan as corpus_shuffle — the
+    // "inherently serial" global order with no single-partition sort
+    // at any corpus size; curriculum_shard groups positions into
+    // loader-sequential shards.
+    "corpus_curriculum" -> ((s, dir) => {
+      val key = expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)" +
+          " AS BIGINT)")
+      val docs = docWords(s, dir)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          key.as("tie_key"))
+      graft.operators.PrefixCarry.globalRank(docs,
+          Seq("n_tokens", "tie_key", "doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("rank").as("pos"),
+          floor((col("rank") - 1) / lit(100L)).cast("long")
+            .as("curriculum_shard"))
+    }),
+
     // INCREMENTAL maintenance of the global packing: the pre-batch
     // stream's manifest is parked (offsets are immutable once shards
     // are written — the append-only property of training shards); the
@@ -1506,6 +1530,17 @@ object TextQueries {
         |  CAST(floor((row_number() OVER (ORDER BY
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT,
         |    doc_id) - 1) / 100.0) AS BIGINT) AS shuffle_shard
+        |FROM words""".stripMargin),
+
+    // the serial short-to-long rank as one ordered window
+    "corpus_curriculum" -> withCtes(docWordsSql)(
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(row_number() OVER (ORDER BY len(w),
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT,
+        |    doc_id) AS BIGINT) AS pos,
+        |  CAST(floor((row_number() OVER (ORDER BY len(w),
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT,
+        |    doc_id) - 1) / 100.0) AS BIGINT) AS curriculum_shard
         |FROM words""".stripMargin),
 
     // both sides recomputed from the corpus: the batch docs' offsets
