@@ -569,26 +569,9 @@ object RelQueries {
     // only the change batch; price math stays DECIMAL-exact end to end
     // (a double `+100` would round differently per engine at the sum).
     "cdc_merge" -> ((s, dir) => {
-      val base = table(s, dir, "orders").select(
-        col("o_orderkey").cast("long").as("k"),
-        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
-        col("o_orderstatus").as("status"))
-        .withColumn("hb", expr(
-          "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 10), 16, 10) AS BIGINT) % 10"))
-      val updates = base.filter(col("hb") === 0)
-        .select(col("k"), lit("U").as("op"),
-          (col("price") + 100).cast(DecimalType(12, 2)).as("new_price"),
-          col("status").as("new_status"))
-      val deletes = base.filter(col("hb") === 1)
-        .select(col("k"), lit("D").as("op"),
-          lit(null).cast(DecimalType(12, 2)).as("new_price"),
-          lit(null).cast("string").as("new_status"))
-      val inserts = base.filter(col("hb") === 2)
-        .select((col("k") + 20000000L).as("k"), lit("I").as("op"),
-          col("price").as("new_price"), lit("N").as("new_status"))
-      val changes = updates.unionByName(deletes).unionByName(inserts)
+      val base = cdcBase(s, dir)
       base.select("k", "price", "status")
-        .join(changes, Seq("k"), "full_outer")
+        .join(cdcChanges(base), Seq("k"), "full_outer")
         .filter(col("op").isNull || col("op") =!= "D")
         .select(col("k"),
           when(col("op").isNotNull, col("new_price"))
@@ -599,6 +582,34 @@ object RelQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_key"),
           sum(col("m_price")).cast("double").as("sum_price"))
     }))
+
+  /** cdc_merge's keyed base table (hb = the hash bucket the change ops
+    * derive from) — shared with the streaming CDC apply, which must
+    * converge to the identical merged state. */
+  private[queries] def cdcBase(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+      col("o_orderstatus").as("status"))
+      .withColumn("hb", expr(
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 10), 16, 10) AS BIGINT) % 10"))
+
+  /** cdc_merge's deterministic change batch: updates / deletes / inserts
+    * hash-derived from the base (each key carries at most one op). */
+  private[queries] def cdcChanges(base: DataFrame): DataFrame = {
+    val updates = base.filter(col("hb") === 0)
+      .select(col("k"), lit("U").as("op"),
+        (col("price") + 100).cast(DecimalType(12, 2)).as("new_price"),
+        col("status").as("new_status"))
+    val deletes = base.filter(col("hb") === 1)
+      .select(col("k"), lit("D").as("op"),
+        lit(null).cast(DecimalType(12, 2)).as("new_price"),
+        lit(null).cast("string").as("new_status"))
+    val inserts = base.filter(col("hb") === 2)
+      .select((col("k") + 20000000L).as("k"), lit("I").as("op"),
+        col("price").as("new_price"), lit("N").as("new_status"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
 
   /** Write orders through an alternate source format (CSV / JSONL /
     * ORC), read back with explicit schema, aggregate — the shared body

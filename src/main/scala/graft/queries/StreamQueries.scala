@@ -205,6 +205,31 @@ object StreamQueries {
       consumeEphemeral(s, Seq(out, s"$out-ckpt"))(s.read.parquet(out))
     }),
 
+    // CDC as a STREAM: the cdc_merge change batch split into two
+    // micro-batches (maxFilesPerTrigger=1) and MERGEd into the keyed
+    // store per batch — continuous upsert/delete apply, the streaming
+    // face of the batch MERGE. Sharing cdc_merge's oracle proves the
+    // per-batch merge-on-write CONVERGES to the one-shot merge (each
+    // key carries one op, so batch order cannot matter — and the
+    // compare would catch it if it did).
+    "stream_cdc_apply" -> ((s, dir) => {
+      val out = tmp("cdcs")
+      val base = graft.queries.RelQueries.cdcBase(s, dir)
+      base.select("k", "price", "status")
+        .write.mode("overwrite").parquet(s"$out/store")
+      val ch = graft.queries.RelQueries.cdcChanges(base)
+      ch.filter(col("k") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/changes.parquet")
+      ch.filter(col("k") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/changes2.parquet")
+      IncrementalIngest.cdcApply(s, out, s"$out/store")
+      consumeEphemeral(s, Seq(out))(
+        s.read.parquet(s"$out/store")
+          .groupBy(col("status").as("m_status"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_key"),
+            sum(col("price")).cast("double").as("sum_price")))
+    }),
+
     // native session_window sessionization as a STREAM: merging-
     // interval state + watermark eviction, complete-mode overwrite —
     // shares the batch events_sessionize_native oracle, so the
@@ -438,6 +463,8 @@ object StreamQueries {
     "stream_window_agg" -> EventQueries.oracles("events_window_agg"),
 
     "stream_sessionize" -> EventQueries.oracles("events_sessionize_native"),
+
+    "stream_cdc_apply" -> RelQueries.oracles("cdc_merge"),
 
     // the stream must land exactly the batch docs with no band
     // collision against the pre-batch tier

@@ -488,6 +488,44 @@ object IncrementalIngest {
     try { q.processAllAvailable() } finally { q.stop() }
   }
 
+  /** Streaming CDC apply — the lakehouse MERGE run continuously: each
+    * micro-batch of change rows (op = U/D/I, keyed by k) lands on the
+    * keyed store through ONE full-outer equi-join per batch (matched+U
+    * rewrites, matched+D drops, unmatched-I inserts, unmatched-base
+    * carries over) — merge-on-write. The merged frame is materialized
+    * (lineage severed) BEFORE the overwrite so the store can be
+    * rewritten in place; per-key convergence needs no ordering across
+    * batches because each key carries at most one op. At 100 TB the
+    * join co-partitions with the store's bucketing and only the change
+    * batch shuffles; foreachBatch runs on the cloned session, so the
+    * current state is read through the batch frame's session. */
+  def cdcApply(s: SparkSession, changesDir: String, store: String): Unit = {
+    val schema = s.read.parquet(s"$changesDir/changes.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$changesDir/changes*.parquet")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val b = batch.toDF()
+          val cur = b.sparkSession.read.parquet(store)
+          val merged = cur.join(b, Seq("k"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("k"),
+              when(col("op").isNotNull, col("new_price"))
+                .otherwise(col("price")).as("price"),
+              when(col("op").isNotNull, col("new_status"))
+                .otherwise(col("status")).as("status"))
+          graft.operators.Materialize.truncate(merged)
+            .write.mode("overwrite").parquet(store)
+      }
+      .option("checkpointLocation", s"$store-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   /** Per-micro-batch bottom-k (priority, value) quantile samples through
     * the idempotent epoch sink — the streaming face of
     * `events_quantile_sketch`. Each epoch lands its batch's per-type
