@@ -77,6 +77,46 @@ object MultimodalQueries {
           expr("CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) * 32 AS BIGINT)")
             .as("half_height"))),
 
+    // SCENE-CUT segmentation (shot detection): each sampled frame gets
+    // the same 32-bit aHash the phash dedup uses — here keyed by the
+    // per-frame hash, so a real codec feeds its luma grid into the
+    // identical chain — and a cut is a consecutive-frame Hamming
+    // distance above half the word width. One explode → per-frame
+    // fingerprint (pixel window and group share the (doc, frame)
+    // partitioning: one shuffle) → per-doc lag → rollup to segment
+    // counts; the shuffle carries 8-byte fingerprints, never pixels.
+    "multimodal_scene_cuts" -> ((s, dir) => {
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "frame_no")
+      val frames = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("n_frames", expr(
+          "CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)" +
+            " % 4 + 1 AS BIGINT)"))
+        .withColumn("frame_no", explode(expr("sequence(0L, n_frames - 1)")))
+        .withColumn("h",
+          md5(concat(col("text"), lit("_"), col("frame_no").cast("string"))))
+      val px = frames
+        .select(col("doc_id"), col("n_frames"), col("frame_no"),
+          explode(sequence(lit(1), lit(32))).as("i"), col("h"))
+        .select(col("doc_id"), col("n_frames"), col("frame_no"), col("i"),
+          expr("CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1" +
+            " AS BIGINT)").as("p"))
+      val fp = px.withColumn("tot", sum(col("p")).over(wF))
+        .groupBy(col("doc_id"), col("n_frames"), col("frame_no"))
+        .agg(sum(when(col("p") * 32 > col("tot"),
+            expr("shiftleft(1L, CAST(i - 1 AS INT))")).otherwise(0L))
+          .as("fp"))
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      fp.withColumn("prev", lag(col("fp"), 1).over(wSeq))
+        .withColumn("cut", when(col("prev").isNotNull &&
+          expr("bit_count(fp ^ prev)") > 16, 1L).otherwise(0L))
+        .groupBy(col("doc_id"), col("n_frames"))
+        .agg(sum(col("cut")).as("n_cuts"),
+          (sum(col("cut")) + 1L).as("n_segments"))
+    }),
+
     // cross-modal ANN: decoded media metadata joined onto the embedding
     // table by id, with the modality filter pushed INTO the LSH bucket
     // key — only same-format vectors ever become candidates, so the
@@ -323,6 +363,48 @@ object MultimodalQueries {
         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
         |  max(width) AS max_width
         |FROM decoded GROUP BY format""".stripMargin),
+
+    // same per-frame aHash chain, serial lag + rollup
+    "multimodal_scene_cuts" -> withCtes(
+      """frm AS (
+        |  SELECT doc_id, n_frames, frame_no,
+        |    md5(text || '_' || CAST(frame_no AS VARCHAR)) AS h
+        |  FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |      CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+        |           % 4 + 1 AS BIGINT) AS n_frames,
+        |      unnest(range(0,
+        |        CAST((instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+        |             % 4 + 1 AS BIGINT))) AS frame_no
+        |    FROM documents))""".stripMargin,
+      """fpx AS (
+        |  SELECT doc_id, n_frames, frame_no, i,
+        |    CAST(instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1
+        |         AS BIGINT) AS p
+        |  FROM (SELECT doc_id, n_frames, frame_no, h,
+        |          unnest(generate_series(1, 32)) AS i
+        |        FROM frm))""".stripMargin,
+      """ftot AS (SELECT doc_id, frame_no, sum(p) AS tot
+        |         FROM fpx GROUP BY 1, 2)""".stripMargin,
+      """ffp AS (
+        |  SELECT fpx.doc_id, fpx.n_frames, fpx.frame_no,
+        |    CAST(sum(CASE WHEN p * 32 > tot
+        |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM fpx JOIN ftot ON fpx.doc_id = ftot.doc_id
+        |    AND fpx.frame_no = ftot.frame_no
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      """fcuts AS (
+        |  SELECT doc_id, n_frames,
+        |    CASE WHEN prev IS NOT NULL AND bit_count(xor(fp, prev)) > 16
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM (SELECT doc_id, n_frames, fp,
+        |          lag(fp) OVER (PARTITION BY doc_id ORDER BY frame_no)
+        |            AS prev
+        |        FROM ffp))""".stripMargin)(
+      """SELECT doc_id, n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts,
+        |  CAST(sum(cut) + 1 AS BIGINT) AS n_segments
+        |FROM fcuts GROUP BY doc_id, n_frames""".stripMargin),
 
     "multimodal_phash_pairs" -> withCtes(phashCtes: _*)(
       """SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
