@@ -343,28 +343,7 @@ object GraphQueries {
         .groupBy(col("src"), col("dst"))
         .agg(min(col("block_id")).cast("long").as("first_out"))
         .transform(graft.operators.Materialize.truncate)
-      val mids = dagg.groupBy(col("dst").as("v"))
-        .agg(count(lit(1)).as("ind"))
-        .join(dagg.groupBy(col("src").as("v"))
-          .agg(count(lit(1)).as("outd")), Seq("v"))
-        .filter(col("ind") * col("outd") <= Cycle3MidCap)
-        .select(col("v").as("n2"))
-      val a = dagg.select(col("src").as("n1"), col("dst").as("n2"),
-        col("first_out").as("b1"))
-      val b = dagg.select(col("src").as("n2"), col("dst").as("n3"),
-        col("first_out").as("b2"))
-      val c = dagg.select(col("src").as("n3"), col("dst").as("n1"),
-        col("first_out").as("b3"))
-      a.join(mids, Seq("n2"))
-        .join(b, Seq("n2"))
-        .filter(col("b2") > col("b1") &&
-          col("n1") < col("n2") && col("n1") < col("n3"))
-        .join(c, Seq("n3", "n1"))
-        .filter(col("b3") > col("b2"))
-        .groupBy(col("n1").as("address"))
-        .agg(count(lit(1)).as("n_cycles"),
-          min(col("b1")).as("first_block"),
-          max(col("b3")).as("last_block"))
+      cycle3(dagg, Cycle3MidCap)
     }),
 
     // the same timeline at ENTITY grain over the pinned clustering
@@ -1412,6 +1391,35 @@ object GraphQueries {
        |  FROM te e JOIN tt${r - 1} p
        |    ON p.node = e.src AND e.block_id >= p.a)
        |GROUP BY node)""".stripMargin
+
+  /** graph_cycle3's core over a (src, dst, first_out) first-occurrence
+    * edge aggregate: midpoint-capped temporal 3-cycle enumeration
+    * rolled up per apex (min address of the cycle). Exposed for the
+    * brute-force property test. */
+  private[graft] def cycle3(dagg: DataFrame, midCap: Long): DataFrame = {
+    val mids = dagg.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).as("ind"))
+      .join(dagg.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("outd")), Seq("v"))
+      .filter(col("ind") * col("outd") <= midCap)
+      .select(col("v").as("n2"))
+    val a = dagg.select(col("src").as("n1"), col("dst").as("n2"),
+      col("first_out").as("b1"))
+    val b = dagg.select(col("src").as("n2"), col("dst").as("n3"),
+      col("first_out").as("b2"))
+    val c = dagg.select(col("src").as("n3"), col("dst").as("n1"),
+      col("first_out").as("b3"))
+    a.join(mids, Seq("n2"))
+      .join(b, Seq("n2"))
+      .filter(col("b2") > col("b1") &&
+        col("n1") < col("n2") && col("n1") < col("n3"))
+      .join(c, Seq("n3", "n1"))
+      .filter(col("b3") > col("b2"))
+      .groupBy(col("n1").as("address"))
+      .agg(count(lit(1)).as("n_cycles"),
+        min(col("b1")).as("first_block"),
+        max(col("b3")).as("last_block"))
+  }
 
   /** K-round min-label reach: l(v) = min node reaching v within
     * `rounds` hops along `edges` (v itself included) — graph_scc's

@@ -513,6 +513,40 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("cycle3 equals brute-force temporal 3-cycle enumeration on " +
+      "random timed digraphs") {
+    import graft.queries.GraphQueries
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11), Gen.choose(1L, 6L)))
+    samples(gen, 6).foreach { triples =>
+      // first-occurrence aggregate, self-loops excluded
+      val dagg0 = triples.filter(t => t._1 != t._2)
+        .groupBy(t => (t._1, t._2)).view
+        .mapValues(_.map(_._3).min).toMap
+      if (dagg0.nonEmpty) {
+        def lbl(i: Int) = f"n$i%02d"
+        val dagg = dagg0.toSeq
+          .map { case ((a, b), f) => (lbl(a), lbl(b), f) }
+          .toDF("src", "dst", "first_out")
+        val got = GraphQueries.cycle3(dagg, Long.MaxValue).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        // brute force: all ordered triples with increasing first_out,
+        // counted once at the min vertex
+        val cycles = for {
+          ((a, b), f1) <- dagg0.toSeq
+          ((b2, c), f2) <- dagg0.toSeq if b2 == b && f2 > f1
+          ((c2, a2), f3) <- dagg0.toSeq
+          if c2 == c && a2 == a && f3 > f2 && a < b && a < c
+        } yield (a, f1, f3)
+        val expect = cycles.groupBy(_._1).map { case (apex, cs) =>
+          lbl(apex) -> (cs.size.toLong, cs.map(_._2).min, cs.map(_._3).max)
+        }
+        assert(got === expect, s"edges: $dagg0")
+      }
+    }
+  }
+
   test("planBands picks the divisor layout with S-curve inflection " +
       "nearest the threshold") {
     import graft.api.Dedup
