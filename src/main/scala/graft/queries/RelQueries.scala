@@ -559,6 +559,43 @@ object RelQueries {
     // the footer-merge schema inference pass, like the text formats.
     "source_orc_roundtrip" -> ((s, dir) => sourceRoundtrip(s, dir, "orc")),
 
+    // declarative DATA-QUALITY constraint suite (the validation gate a
+    // corpus passes before training jobs consume it): completeness,
+    // domain-range, primary-key uniqueness, and referential-integrity
+    // checks computed as THREE aggregation passes however many checks
+    // run — the per-table conditional sums share one scan each, the FK
+    // check is one anti-join — then stacked to the (check, metric,
+    // passed) report shape. All metrics are exact integer counts, so
+    // the report is engine-portable.
+    "quality_constraints" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val ord = table(s, dir, "orders")
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .as("null_ok"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_bad"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("disc_bad"))
+      val dup = ord.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("dups"))
+      val orphans = li.select(col("l_orderkey").as("k")).distinct()
+        .join(ord.select(col("o_orderkey").as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      liAgg.crossJoin(broadcast(dup)).crossJoin(broadcast(orphans))
+        .select(expr(
+          "stack(6, " +
+            "'rows_nonempty', n, n > 0, " +
+            "'l_orderkey_not_null', null_ok, null_ok = 0, " +
+            "'quantity_in_range', qty_bad, qty_bad = 0, " +
+            "'discount_in_range', disc_bad, disc_bad = 0, " +
+            "'orders_pk_unique', dups, dups = 0, " +
+            "'lineitem_fk_orders', orphans, orphans = 0" +
+            ") AS (check_name, metric, passed)"))
+    }),
+
     // MERGE INTO semantics (the lakehouse CDC apply) as one declarative
     // plan: a change batch of updates / deletes / inserts (here
     // hash-derived from the base so the oracle regenerates it) lands on
@@ -1023,7 +1060,36 @@ object RelQueries {
         |FROM orders GROUP BY 1""".stripMargin
     Map("source_csv_roundtrip" -> rt, "source_jsonl_roundtrip" -> rt,
       "source_orc_roundtrip" -> rt)
-  } + ("cdc_merge" ->
+  } + ("quality_constraints" ->
+    """WITH la AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS null_ok,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS qty_bad,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS disc_bad
+      |  FROM lineitem),
+      |du AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS dups FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)),
+      |orp AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM (
+      |    SELECT DISTINCT l_orderkey FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+      |SELECT 'rows_nonempty' AS check_name, n AS metric, n > 0 AS passed
+      |FROM la
+      |UNION ALL
+      |SELECT 'l_orderkey_not_null', null_ok, null_ok = 0 FROM la
+      |UNION ALL
+      |SELECT 'quantity_in_range', qty_bad, qty_bad = 0 FROM la
+      |UNION ALL
+      |SELECT 'discount_in_range', disc_bad, disc_bad = 0 FROM la
+      |UNION ALL
+      |SELECT 'orders_pk_unique', dups, dups = 0 FROM du
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders', orphans, orphans = 0 FROM orp""".stripMargin
+  ) + ("cdc_merge" ->
     """WITH b AS (
       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
       |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
