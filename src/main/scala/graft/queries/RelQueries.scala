@@ -623,7 +623,7 @@ object RelQueries {
   /** cdc_merge's keyed base table (hb = the hash bucket the change ops
     * derive from) — shared with the streaming CDC apply, which must
     * converge to the identical merged state. */
-  private[queries] def cdcBase(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cdcBase(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders").select(
       col("o_orderkey").cast("long").as("k"),
       col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
@@ -633,7 +633,7 @@ object RelQueries {
 
   /** cdc_merge's deterministic change batch: updates / deletes / inserts
     * hash-derived from the base (each key carries at most one op). */
-  private[queries] def cdcChanges(base: DataFrame): DataFrame = {
+  private[graft] def cdcChanges(base: DataFrame): DataFrame = {
     val updates = base.filter(col("hb") === 0)
       .select(col("k"), lit("U").as("op"),
         (col("price") + 100).cast(DecimalType(12, 2)).as("new_price"),

@@ -59,6 +59,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("CDC apply replay converges: absolute-assignment merges are " +
+      "idempotent") {
+    val dir = sf("sf0.001")
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cdcrep_").toString
+    val base = graft.queries.RelQueries.cdcBase(spark, dir)
+    base.select("k", "price", "status")
+      .write.mode("overwrite").parquet(s"$out/store")
+    graft.queries.RelQueries.cdcChanges(base).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/changes.parquet")
+    IncrementalIngest.cdcApply(spark, out, s"$out/store")
+    val once = spark.read.parquet(s"$out/store")
+      .agg(sum(col("k")), sum(col("price")), count(lit(1))).collect().toSeq
+    // a fresh checkpoint replays the whole change stream against the
+    // ALREADY-MERGED store — U/D/I rows carry absolute values, so the
+    // re-application must be a fixpoint, not a second increment
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$out/store-ckpt"))
+    IncrementalIngest.cdcApply(spark, out, s"$out/store")
+    val twice = spark.read.parquet(s"$out/store")
+      .agg(sum(col("k")), sum(col("price")), count(lit(1))).collect().toSeq
+    assert(twice === once)
+  }
+
   test("foreachBatch bucket sink is exactly-once under replay") {
     val dir = sf("sf0.001")
     val out = java.nio.file.Files.createTempDirectory(
