@@ -396,6 +396,27 @@ object GraphQueries {
         .select(col("node").as("entity"), col("rank").as("pagerank"))
     }),
 
+    // taint BFS at ENTITY grain — the granularity GraphSense actually
+    // sweeps at: clustering tier → entity edges → the shared frontier
+    // loop, seeds a ~2% hash-selected entity set. Like entity_pagerank,
+    // this is composition proof: the already-verified operators stacked
+    // (materialized labels feed the iterative BFS) with no new moving
+    // parts.
+    "entity_taint" -> ((s, dir) => {
+      val edges = entityFlows(s, dir)
+        .filter(col("src_entity") =!= col("dst_entity"))
+        .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(expr(
+        "CAST(conv(substr(md5(CAST(node AS STRING)), 1, 10), 16, 10)" +
+          s" AS BIGINT) % $EntityTaintSeedMod = 0"))
+      taintPropagate(edges, seeds, TaintRounds)
+        .select(col("node").as("entity"), col("d").as("taint_hops"),
+          col("converged"))
+    }),
+
     // degree distribution of the flow graph (the first thing anyone
     // plots over a transaction graph, and the skew evidence the salting
     // / AQE knobs are sized from): per direction, how many addresses
@@ -816,6 +837,9 @@ object GraphQueries {
   private val SccRounds = 4
   private val SccEdgeMod = 20
   private val Cycle3MidCap = 3000L
+  /** Denser seed selection for the (small) entity graph — ~20% of
+    * entities, so the BFS genuinely spreads at fixture scale. */
+  private val EntityTaintSeedMod = 5
 
   /** Tag-list selection modulus for entity_tags (~3% of addresses play
     * the externally-curated attribution list). */
@@ -1106,10 +1130,7 @@ object GraphQueries {
 
     "entity_pagerank" -> ChainSql.withRecursiveCtes(
       entityFlowCtes ++ Seq(
-        """eedges AS (SELECT DISTINCT s.src_entity AS src,
-          |             d.dst_entity AS dst
-          |           FROM src s JOIN dstf d USING (tx_id)
-          |           WHERE s.src_entity <> d.dst_entity)""".stripMargin,
+        eedgesCte,
         // NOT `A UNION B`: under a WITH RECURSIVE header DuckDB gives
         // any union-shaped CTE body anchor/step semantics and stops
         // deduplicating — DISTINCT over UNION ALL is form-proof
@@ -1122,6 +1143,22 @@ object GraphQueries {
         s"er0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM enodes)") ++
       (1 to PrIters).map(i => prIterCte(i, "enodes", "eesrc", "er")): _*)(
       s"SELECT node AS entity, rank AS pagerank FROM er$PrIters"),
+
+    // the same unrolled BFS over the entity edge set
+    "entity_taint" -> ChainSql.withRecursiveCtes(
+      entityFlowCtes ++ Seq(
+        eedgesCte,
+        """etnodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM eedges
+          |  UNION ALL SELECT dst FROM eedges))""".stripMargin,
+        s"""et0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM etnodes
+           |  WHERE ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 10))::BIGINT
+           |        % $EntityTaintSeedMod = 0)""".stripMargin) ++
+      (1 to TaintRounds).map(r => taintIterCteFor("et", "eedges", r)): _*)(
+      s"""SELECT node AS entity, d AS taint_hops,
+         |  (SELECT count(*) FROM et$TaintRounds) =
+         |  (SELECT count(*) FROM et${TaintRounds - 1}) AS converged
+         |FROM et$TaintRounds""".stripMargin),
 
     "graph_degree_dist" -> withCtes(ChainSql.io, ChainSql.ioAddr, fedgesCte)(
       """SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_addresses
@@ -1452,12 +1489,23 @@ object GraphQueries {
        |  FROM $edges e JOIN $pfx${r - 1} p ON p.node = e.src)
        |GROUP BY node)""".stripMargin
 
-  private def taintIterCte(r: Int): String =
-    s"""t$r AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
-       |  SELECT node, d FROM t${r - 1}
+  /** Distinct entity→entity edge CTE — shared by entity_pagerank and
+    * entity_taint. */
+  private def eedgesCte: String =
+    """eedges AS (SELECT DISTINCT s.src_entity AS src,
+      |             d.dst_entity AS dst
+      |           FROM src s JOIN dstf d USING (tx_id)
+      |           WHERE s.src_entity <> d.dst_entity)""".stripMargin
+
+  private def taintIterCte(r: Int): String = taintIterCteFor("t", "fedges", r)
+
+  /** One BFS taint round over any (edge table, state prefix) pair. */
+  private def taintIterCteFor(pfx: String, edges: String, r: Int): String =
+    s"""$pfx$r AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+       |  SELECT node, d FROM $pfx${r - 1}
        |  UNION ALL
        |  SELECT e.dst AS node, p.d + 1 AS d
-       |  FROM fedges e JOIN t${r - 1} p ON p.node = e.src)
+       |  FROM $edges e JOIN $pfx${r - 1} p ON p.node = e.src)
        |GROUP BY node)""".stripMargin
 
   /** One peel round's CTE block (reads ks{r-1}, defines ks{r}). */
