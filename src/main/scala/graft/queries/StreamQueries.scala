@@ -215,8 +215,8 @@ object StreamQueries {
     "stream_cdc_apply" -> ((s, dir) => {
       val out = tmp("cdcs")
       val base = graft.queries.RelQueries.cdcBase(s, dir)
-      base.select("k", "price", "status")
-        .write.mode("overwrite").parquet(s"$out/store")
+      IncrementalIngest.cdcStoreInit(
+        base.select("k", "price", "status"), s"$out/store")
       val ch = graft.queries.RelQueries.cdcChanges(base)
       ch.filter(col("k") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/changes.parquet")

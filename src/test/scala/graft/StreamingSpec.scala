@@ -65,8 +65,8 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "cdcrep_").toString
     val base = graft.queries.RelQueries.cdcBase(spark, dir)
-    base.select("k", "price", "status")
-      .write.mode("overwrite").parquet(s"$out/store")
+    IncrementalIngest.cdcStoreInit(
+      base.select("k", "price", "status"), s"$out/store")
     graft.queries.RelQueries.cdcChanges(base).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/changes.parquet")
     IncrementalIngest.cdcApply(spark, out, s"$out/store")
