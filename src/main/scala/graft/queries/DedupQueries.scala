@@ -220,6 +220,11 @@ object DedupQueries {
     // the layout is pinned, not just typed.
     "dedup_band_plan" -> ((s, dir) => {
       val (b, r) = graft.api.Dedup.planBands(32, 0.5)
+      // the scaled-integer encoding needs 10^r in a long and i^r
+      // below 2^63 — loud guard instead of silent wraparound if the
+      // planner's choice ever moves past r = 8 (the oracle's pinned
+      // (8, 4) would catch it too, but as a hash mismatch)
+      require(r <= 8, s"scaled S-curve encoding not valid for r=$r")
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val ir = (1 until r).foldLeft(col("id")) { (acc, _) => acc * col("id") }
       val j = (lit(math.pow(10, r.toDouble).toLong) - ir).cast(dec)
