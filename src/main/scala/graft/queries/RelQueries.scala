@@ -618,6 +618,126 @@ object RelQueries {
         .groupBy(col("m_status"))
         .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_key"),
           sum(col("m_price")).cast("double").as("sum_price"))
+    }),
+
+    // ANTI-ENTROPY checksum table: per-bucket (row count, order-
+    // independent content fingerprint) over the keyed store — the
+    // merkle-style summary two replicas exchange to find divergent
+    // buckets without shipping rows (a 100 TB store syncs on a
+    // KB-sized checksum table; only disagreeing buckets ever move
+    // data). bit_xor of a 60-bit md5-derived row hash is commutative
+    // and overflow-free, so the fingerprint is insensitive to row
+    // order and partial-agg merge order — and md5 makes it ENGINE-
+    // PORTABLE: the DuckDB oracle computes the identical fingerprints,
+    // proving the checksum itself is a portable replica contract, not
+    // a Spark-internal artifact.
+    "store_checksum" -> ((s, dir) =>
+      cdcBase(s, dir).groupBy(col("hb"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("sum_key"),
+          expr("bit_xor(CAST(conv(substr(md5(concat_ws('|', " +
+            "CAST(k AS STRING), CAST(price AS STRING), status)), " +
+            "1, 15), 16, 10) AS BIGINT))").as("fingerprint"))),
+
+    // SNAPSHOT DIFF — cdc_merge's inverse: given two landed versions
+    // of the keyed table and NO change log, recover the I/U/D change
+    // feed (the lakehouse "table_changes between versions" read, and
+    // the repair step after anti-entropy flags divergence). The scale
+    // shape: per-bucket fingerprints of both snapshots first (xxhash64
+    // + bit_xor — Spark-internal is fine here, both sides are ours),
+    // then the row-level full-outer diff runs ONLY inside buckets
+    // whose (fingerprint, count) pairs disagree — clean buckets are
+    // dismissed at checksum cost, never row cost. The oracle diffs the
+    // two snapshots FLAT, so the compare proves the pruning loses no
+    // changed row and the recovered feed equals the feed that was
+    // applied (updates surface as U with both images, price+100 always
+    // differs so no U degenerates to unchanged).
+    "store_snapshot_diff" -> ((s, dir) => {
+      val base = cdcBase(s, dir)
+      val v0 = base.select(col("k"), col("price"), col("status"))
+      val v1 = v0.join(cdcChanges(base), Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          when(col("op").isNotNull, col("new_price"))
+            .otherwise(col("price")).as("price"),
+          when(col("op").isNotNull, col("new_status"))
+            .otherwise(col("status")).as("status"))
+      def bucketed(df: DataFrame): DataFrame =
+        df.withColumn("hb2", pmod(xxhash64(col("k")), lit(16L)))
+      def fingerprints(df: DataFrame): DataFrame =
+        bucketed(df).groupBy(col("hb2"))
+          .agg(expr("bit_xor(xxhash64(k, price, status))").as("fp"),
+            count(lit(1)).as("n"))
+      val dirty = fingerprints(v0).as("a")
+        .join(fingerprints(v1).as("b"), Seq("hb2"), "full_outer")
+        .filter(!(col("a.fp") <=> col("b.fp")) ||
+          !(col("a.n") <=> col("b.n")))
+        .select(col("hb2"))
+      val d0 = bucketed(v0).join(broadcast(dirty), Seq("hb2"), "left_semi")
+        .withColumn("in0", lit(true))
+      val d1 = bucketed(v1).join(broadcast(dirty), Seq("hb2"), "left_semi")
+        .withColumn("in1", lit(true))
+      d0.as("o").join(d1.as("n"), Seq("k"), "full_outer")
+        .filter(col("o.in0").isNull || col("n.in1").isNull ||
+          !(col("o.price") <=> col("n.price")) ||
+          !(col("o.status") <=> col("n.status")))
+        .select(col("k"),
+          when(col("o.in0").isNull, "I")
+            .when(col("n.in1").isNull, "D")
+            .otherwise("U").as("op"),
+          col("o.price").as("old_price"), col("n.price").as("new_price"),
+          col("o.status").as("old_status"),
+          col("n.status").as("new_status"))
+    }),
+
+    // INCREMENTAL checksum maintenance — the anti-entropy table kept
+    // current from the change feed at O(|changes|) cost, never a store
+    // rescan: xor is its own inverse, so a U xors out the old row hash
+    // and xors in the new one, a D xors out + decrements, an I xors in
+    // + increments. The change-batch delta rows union with the prior
+    // checksum table (bucket-count-sized, the KB artifact replicas
+    // exchange) and one tiny re-aggregation yields the new table. The
+    // oracle recomputes the checksum FLAT over the merged state, so the
+    // compare proves incremental maintenance == full recompute — a 100
+    // TB store's daily checksum refresh costs the day's changes plus a
+    // bucket-count-sized agg.
+    "store_checksum_incremental" -> ((s, dir) => {
+      val base = cdcBase(s, dir)
+      def rowHash(k: String, price: String, status: String) = expr(
+        s"CAST(conv(substr(md5(concat_ws('|', CAST($k AS STRING), " +
+          s"CAST($price AS STRING), $status)), 1, 15), 16, 10) AS BIGINT)")
+      val hbOfK = expr(
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 10), 16, 10) " +
+          "AS BIGINT) % 10")
+      // prior checksum table (at scale: a parked KB-sized artifact)
+      val checksum0 = base.groupBy(col("hb"))
+        .agg(count(lit(1)).as("dn"), sum(col("k")).as("dk"),
+          expr("bit_xor(CAST(conv(substr(md5(concat_ws('|', " +
+            "CAST(k AS STRING), CAST(price AS STRING), status)), " +
+            "1, 15), 16, 10) AS BIGINT))").as("dfp"))
+      // change rows joined back to their old image (U/D need the old
+      // hash to xor out; I rows have no old image and land in the
+      // bucket their NEW key hashes to)
+      val ch = cdcChanges(base).join(
+        base.select(col("k"), col("price").as("old_price"),
+          col("status").as("old_status"), col("hb")), Seq("k"), "left")
+      val delta = ch.select(
+        coalesce(col("hb"), hbOfK).as("hb"),
+        when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+          .otherwise(0L).as("dn"),
+        when(col("op") === "I", col("k")).when(col("op") === "D", -col("k"))
+          .otherwise(0L).as("dk"),
+        when(col("op") === "I", rowHash("k", "new_price", "new_status"))
+          .when(col("op") === "D", rowHash("k", "old_price", "old_status"))
+          .otherwise(rowHash("k", "old_price", "old_status")
+            .bitwiseXOR(rowHash("k", "new_price", "new_status")))
+          .as("dfp"))
+      checksum0.unionByName(delta)
+        .groupBy(col("hb"))
+        .agg(sum(col("dn")).as("n_rows"), sum(col("dk")).as("sum_key"),
+          expr("bit_xor(dfp)").as("fingerprint"))
+        // a fully-emptied bucket has no row in a recomputed table
+        .filter(col("n_rows") > 0)
     }))
 
   /** cdc_merge's keyed base table (hb = the hash bucket the change ops
@@ -1117,5 +1237,86 @@ object RelQueries {
       |SELECT m_status, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(k) AS BIGINT) AS sum_key,
       |  CAST(sum(m_price) AS DOUBLE) AS sum_price
+      |FROM m GROUP BY 1""".stripMargin
+  ) + ("store_checksum" ->
+    """WITH b AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |         o_orderstatus AS status,
+      |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+      |           % 10 AS hb
+      |  FROM orders)
+      |SELECT hb, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_key,
+      |  CAST(bit_xor(('0x' || substr(md5(
+      |      CAST(k AS VARCHAR) || '|' || CAST(price AS VARCHAR) || '|' ||
+      |      status), 1, 15))::BIGINT) AS BIGINT) AS fingerprint
+      |FROM b GROUP BY 1""".stripMargin
+  ) + ("store_snapshot_diff" ->
+    """WITH b AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |         o_orderstatus AS status,
+      |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+      |           % 10 AS hb
+      |  FROM orders),
+      |ch AS (
+      |  SELECT k, 'U' AS op, CAST(price + 100 AS DECIMAL(12,2)) AS new_price,
+      |         status AS new_status
+      |  FROM b WHERE hb = 0
+      |  UNION ALL
+      |  SELECT k, 'D', CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS VARCHAR)
+      |  FROM b WHERE hb = 1
+      |  UNION ALL
+      |  SELECT k + 20000000, 'I', price, 'N' FROM b WHERE hb = 2),
+      |m AS (
+      |  SELECT coalesce(c.k, b.k) AS k,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_price ELSE b.price END
+      |      AS price,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END
+      |      AS status
+      |  FROM b FULL OUTER JOIN ch c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op != 'D')
+      |SELECT coalesce(o.k, n.k) AS k,
+      |  CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+      |    ELSE 'U' END AS op,
+      |  o.price AS old_price, n.price AS new_price,
+      |  o.status AS old_status, n.status AS new_status
+      |FROM b o FULL OUTER JOIN m n ON o.k = n.k
+      |WHERE o.k IS NULL OR n.k IS NULL
+      |   OR o.price IS DISTINCT FROM n.price
+      |   OR o.status IS DISTINCT FROM n.status""".stripMargin
+  ) + ("store_checksum_incremental" ->
+    """WITH b AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |         o_orderstatus AS status,
+      |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))::BIGINT
+      |           % 10 AS hb
+      |  FROM orders),
+      |ch AS (
+      |  SELECT k, 'U' AS op, CAST(price + 100 AS DECIMAL(12,2)) AS new_price,
+      |         status AS new_status
+      |  FROM b WHERE hb = 0
+      |  UNION ALL
+      |  SELECT k, 'D', CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS VARCHAR)
+      |  FROM b WHERE hb = 1
+      |  UNION ALL
+      |  SELECT k + 20000000, 'I', price, 'N' FROM b WHERE hb = 2),
+      |m AS (
+      |  SELECT coalesce(c.k, b.k) AS k,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_price ELSE b.price END
+      |      AS price,
+      |    CASE WHEN c.op IS NOT NULL THEN c.new_status ELSE b.status END
+      |      AS status
+      |  FROM b FULL OUTER JOIN ch c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op != 'D')
+      |SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 10))::BIGINT % 10
+      |    AS hb,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_key,
+      |  CAST(bit_xor(('0x' || substr(md5(
+      |      CAST(k AS VARCHAR) || '|' || CAST(price AS VARCHAR) || '|' ||
+      |      status), 1, 15))::BIGINT) AS BIGINT) AS fingerprint
       |FROM m GROUP BY 1""".stripMargin)
 }
