@@ -61,6 +61,10 @@ object GraphQueries {
   private val PrIters = 3
   private val PrScale = graft.operators.PageRank.Scale
 
+  /** HITS rounds (each = one authority sweep + one hub sweep, both
+    * max-normalized back to Scale in integer floor arithmetic). */
+  private val HitsIters = 3
+
   /** Per-tx input fanout cap for the triangle motif query: a tx
     * co-spending more than this many distinct inputs contributes
     * fanout²/2 clique edges, so ONE 10k-input consolidation tx would
@@ -454,6 +458,22 @@ object GraphQueries {
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.runFromEdges(flowEdges(s, dir), PrIters)
         .select(col("node").as("address"), col("rank").as("pagerank"))),
+
+    // HITS hubs & authorities over the address flow graph — the
+    // centrality pair PageRank cannot express: an exchange's hot
+    // wallet is a strong HUB (pays many well-received addresses), a
+    // cold-storage consolidation address a strong AUTHORITY (receives
+    // from many active spenders) — the two roles GraphSense's
+    // in/out-degree tables only proxy. Two mutually-recursive integer
+    // score vectors via the reusable [[graft.operators.Hits]] operator:
+    // each half-round is one edge ⋈ score equi-join + one hash-agg
+    // (PageRank's per-round shape, alternating join key), and the
+    // max-normalization is a broadcast scalar — deterministic floor
+    // division throughout, so the unrolled DuckDB mirror is bit-exact
+    // where the textbook L2-normalized float HITS would drift.
+    "graph_hits" -> ((s, dir) =>
+      graft.operators.Hits.runFromEdges(flowEdges(s, dir), HitsIters)
+        .select(col("node").as("address"), col("hub"), col("authority"))),
 
     // PERSONALIZED PageRank seeded from the attribution-tag list (the
     // entity_tags selection rule): teleport mass lands only on tagged
@@ -969,6 +989,27 @@ object GraphQueries {
        |    FROM $esrcCte e JOIN $prefix${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
 
+  /** One HITS round as four CTEs: authority raw/normalized then hub
+    * raw/normalized — exact mirror of [[graft.operators.Hits]]'s sweep
+    * (LEFT JOIN zero-fill onto fnodes, scalar-max floor normalization). */
+  private def hitsIterCtes(i: Int): Seq[String] = Seq(
+    s"""haraw$i AS (SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
+       |  FROM fnodes n LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+       |    FROM fedges e JOIN hh${i - 1} h ON h.node = e.src
+       |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin,
+    s"""ha$i AS (SELECT node,
+       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM haraw$i) AS BIGINT) AS s
+       |  FROM haraw$i)""".stripMargin,
+    s"""hhraw$i AS (SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
+       |  FROM fnodes n LEFT JOIN (
+       |    SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+       |    FROM fedges e JOIN ha$i a ON a.node = e.dst
+       |    GROUP BY e.src) c ON c.node = n.node)""".stripMargin,
+    s"""hh$i AS (SELECT node,
+       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM hhraw$i) AS BIGINT) AS s
+       |  FROM hhraw$i)""".stripMargin)
+
   /** One PERSONALIZED round: like [[prIterCte]] but the teleport term
     * is gated on pseeds' 0/1 indicator — mirror of
     * [[graft.operators.PageRank.runPersonalized]]. */
@@ -1193,6 +1234,16 @@ object GraphQueries {
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
       s"SELECT node AS address, rank AS pagerank FROM r$PrIters"),
+
+    // unrolled alternating authority/hub sweeps, each max-normalized by
+    // a scalar subquery — same floor arithmetic as the Spark loop
+    "graph_hits" -> withCtes(
+      edgeCtes ++
+        Seq(s"hh0 AS (SELECT node, CAST($PrScale AS BIGINT) AS s FROM fnodes)") ++
+        (1 to HitsIters).flatMap(hitsIterCtes): _*)(
+      s"""SELECT n.node AS address, h.s AS hub, a.s AS authority
+         |FROM fnodes n JOIN hh$HitsIters h ON h.node = n.node
+         |JOIN ha$HitsIters a ON a.node = n.node""".stripMargin),
 
     // the same unrolled integer rounds with the teleport term gated on
     // the hash-selected seed indicator
