@@ -308,6 +308,37 @@ object StreamQueries {
           .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id")))
     }),
 
+    // SMALL-FILE COMPACTION on the same three-epoch store — the other
+    // maintenance knob (vacuum expires history; compaction seals the
+    // layout): a long-running ingest accretes one file per (bucket,
+    // epoch), reads stay correct but degrade with file count, so the
+    // periodic compact collapses every bucket to ONE sorted file —
+    // exactly as Cassandra compacts the reference keyspace's SSTables.
+    // The read-back counts ACTUAL files per bucket via
+    // input_file_name(), so the oracle's literal n_files = 1 checks
+    // the physical layout claim in-engine, and the per-bucket rollup
+    // is stated from the SOURCE table — content preservation and
+    // layout sealing in one compare. Staged + marker-swapped like
+    // vacuum (never in place); StoreSpec covers crash recovery.
+    "store_compact" -> ((s, dir) => {
+      val out = tmp("cmp")
+      val tx = graft.chain.Chain.transactions(s, dir)
+      val bounds = Seq(0L, 800L, 1600L, Long.MaxValue)
+      (0 until 3).foreach { e =>
+        graft.chain.ChainStore.writeTransactionsEpoch(
+          tx.filter(col("block_id") >= bounds(e) &&
+            col("block_id") < bounds(e + 1)), out, e.toLong)
+      }
+      graft.chain.ChainStore.compactTransactions(s, out)
+      consumeEphemeral(s, Seq(out))(
+        s.read.parquet(s"$out/transaction")
+          .select(col("tx_id_group").cast("long").as("tx_id_group"),
+            col("tx_id"), input_file_name().as("f"))
+          .groupBy(col("tx_id_group"))
+          .agg(countDistinct(col("f")).as("n_files"),
+            count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id")))
+    }),
+
     // HISTORY VACUUM on the same three-epoch store: retention folds
     // epochs ≤ 1 into epoch 1 (staged + swapped, never in place), so
     // the store keeps serving as-of ≥ 1 bit-identically while the
@@ -509,6 +540,13 @@ object StreamQueries {
         |  max(tx_id) AS max_tx_id
         |FROM tx WHERE block_id < 1600
         |GROUP BY block_id""".stripMargin),
+
+    // post-compaction contract: the content rollup stated from the
+    // source table AND the literal one-file-per-bucket layout
+    "store_compact" -> withCtes(ChainSql.tx)(
+      """SELECT tx_id_group, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_txs, max(tx_id) AS max_tx_id
+        |FROM tx GROUP BY tx_id_group""".stripMargin),
 
     // post-vacuum layout: everything below block 1600 now lives in the
     // fold epoch 1, the retained epoch 2 is byte-for-byte the same range

@@ -277,6 +277,54 @@ object TextQueries {
           .as("j_exact"))
   }
 
+  /** Exact threshold set-cosine similarity self-join at τ = 4/5 via
+    * prefix filtering over a distinct (doc_id, shingle) frame.
+    *
+    * The pruning chain, all exact integers: a qualifying pair (A, B)
+    * has overlap o with 25·o² ≥ 16·|A|·|B|, which forces
+    * (1) o ≥ ⌈16·|A|/25⌉ for EACH side — so indexing only each doc's
+    * first |A| − ⌈16|A|/25⌉ + 1 shingles in a global (doc_freq,
+    * shingle) rarity order still catches every qualifying pair on a
+    * shared indexed shingle (prefix-filter lemma: o common tokens
+    * cannot all hide in a suffix of o−1), and
+    * (2) 25·min(|A|,|B|) ≥ 16·max(|A|,|B|) — the size filter applied
+    * before verification.
+    * Scale posture: candidate generation joins only prefix postings,
+    * and the rarity order makes those postings the SHORT ones (a
+    * stopword-grade shingle with a million-doc posting list sorts
+    * last and is never indexed); verification is candidate-pair ×
+    * doc-length work, never corpus². The per-doc ranking window is
+    * partitioned by doc_id — no global sort anywhere. */
+  private[graft] def allPairsCosine(sh: DataFrame): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val sized = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(sized, Seq("doc_id"))
+      .filter(col("rk") <= col("n") - expr("(16 * n + 24) div 25") + lit(1L))
+      .select(col("shingle"), col("doc_id"), col("n"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) * 25 >=
+        greatest(col("a.n"), col("b.n")) * 16)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * col("overlap") * 25 >= col("na") * col("nb") * 16)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("na"),
+        col("nb"),
+        expr("(overlap * overlap * 10000) div (na * nb)").as("cos_sq_bps"))
+  }
+
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
@@ -1123,6 +1171,24 @@ object TextQueries {
             .as("chunk_len"),
           md5(expr("substring(text, chunk_start, 512)")).as("chunk_hash"))),
 
+    // threshold ALL-PAIRS similarity join (Bayardo 2007 / PPJoin prefix
+    // filtering) — the EXACT counterpart of the MinHash/SimHash
+    // families: every doc pair whose shingle-set cosine clears τ = 4/5,
+    // with NO all-pairs join and NO probabilistic miss. Shingles get a
+    // global rarity order; each doc indexes only its n − ⌈τ²n⌉ + 1
+    // rarest shingles, and the prefix-filter lemma guarantees every
+    // qualifying pair collides inside those prefixes — so candidate
+    // generation is one self-equi-join of RARE-token postings (the
+    // dense vocabulary head never enters the join), then a size filter
+    // and an exact overlap verification on the survivors. τ² = 16/25
+    // keeps every test in exact integer arithmetic, and the DuckDB
+    // oracle computes EVERY overlapping pair brute-force — the compare
+    // is therefore an exactness proof that the pruning admits no false
+    // negative on real data, not just on the spec's random graphs.
+    "text_allpairs_cosine" -> ((s, dir) =>
+      allPairsCosine(graft.ops.TextCorpus.shingles(
+        docWords(s, dir).select(col("doc_id"), col("w"))).distinct())),
+
     // segment-level dedup with REASSEMBLY (the CCNet/RefinedWeb
     // paragraph-dedup stage, on 10-word segments since the fixture docs
     // are single-line): any segment appearing verbatim in ≥2 distinct
@@ -1576,6 +1642,26 @@ object TextQueries {
 
     // the incremental form must equal a full recompute — ONE oracle
     "text_dup_windows_incremental" -> dupWindowsSql,
+
+    // brute force on purpose: EVERY overlapping pair, then the τ
+    // filter — matching the prefix-filtered Spark side proves the
+    // pruning is exact (no false negatives), not just fast
+    "text_allpairs_cosine" -> withCtes(docWordsSql, shinglesSql,
+      "sh AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
+      """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id)""".stripMargin,
+      """ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS overlap
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT doc_a, doc_b, overlap, sa.n AS na, sb.n AS nb,
+        |  CAST((overlap * overlap * 10000) // (sa.n * sb.n) AS BIGINT)
+        |    AS cos_sq_bps
+        |FROM ov
+        |JOIN sz sa ON sa.doc_id = ov.doc_a
+        |JOIN sz sb ON sb.doc_id = ov.doc_b
+        |WHERE overlap * overlap * 25 >= sa.n * sb.n * 16""".stripMargin),
 
     "text_segment_dedup" -> segmentDedupSql,
 

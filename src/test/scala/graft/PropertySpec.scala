@@ -590,4 +590,31 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(scaled - Dedup.scurve(8, 4, i / 10.0)) < 1e-12)
     }
   }
+
+  test("prefix-filtered all-pairs cosine equals brute force on random " +
+      "token sets (exactness: pruning admits no false negative)") {
+    // small token universe forces dense overlap structure — the worst
+    // case for a buggy prefix bound (many pairs sit exactly AT τ)
+    val setGen = Gen.zip(Gen.choose(1, 12),
+      Gen.choose(0, 19)).map { case (k, off) =>
+      (0 until k).map(j => s"t${(j + off) % 20}").distinct
+    }
+    samples(Gen.listOfN(30, setGen), 8).zipWithIndex.foreach {
+      case (sets, run) =>
+        val sh = sets.zipWithIndex.flatMap { case (toks, i) =>
+          toks.map(t => (i.toLong, t))
+        }.toDF("doc_id", "shingle").distinct()
+        val got = graft.queries.TextQueries.allPairsCosine(sh)
+          .select("doc_a", "doc_b", "overlap", "na", "nb")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        // brute force over every pair, same integer threshold
+        val setsByDoc = sets.map(_.toSet).zipWithIndex
+        val want = (for {
+          (a, i) <- setsByDoc; (b, j) <- setsByDoc; if i < j
+          o = (a intersect b).size.toLong
+          if 25 * o * o >= 16L * a.size * b.size && o > 0
+        } yield (i.toLong, j.toLong, o, a.size.toLong, b.size.toLong)).toSet
+        assert(got === want, s"run $run")
+    }
+  }
 }
