@@ -288,7 +288,14 @@ object TextQueries {
     * shared indexed shingle (prefix-filter lemma: o common tokens
     * cannot all hide in a suffix of o−1), and
     * (2) 25·min(|A|,|B|) ≥ 16·max(|A|,|B|) — the size filter applied
-    * before verification.
+    * before verification, and
+    * (3) the POSITIONAL filter (PPJoin): docs hold their shingles in
+    * the same global order, so a collision at ranks (i, j) bounds the
+    * overlap by ub = 1 + min(|A|−i, |B|−j); rows with 25·ub² <
+    * 16·|A|·|B| are pruned. The bound is exact for the pair's
+    * minimal-order shared prefix shingle (every common shingle sorts
+    * at or after it on both sides), and a qualifying pair always
+    * passes on that row — so dropping the others loses nothing.
     * Scale posture: candidate generation joins only prefix postings,
     * and the rarity order makes those postings the SHORT ones (a
     * stopword-grade shingle with a million-doc posting list sorts
@@ -304,12 +311,15 @@ object TextQueries {
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .join(sized, Seq("doc_id"))
       .filter(col("rk") <= col("n") - expr("(16 * n + 24) div 25") + lit(1L))
-      .select(col("shingle"), col("doc_id"), col("n"))
+      .select(col("shingle"), col("doc_id"), col("n"), col("rk"))
+    val ub = lit(1L) +
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.n"), col("b.n")) * 25 >=
         greatest(col("a.n"), col("b.n")) * 16)
+      .filter(ub * ub * 25 >= col("a.n") * col("b.n") * 16)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
