@@ -450,6 +450,29 @@ object GraphQueries {
       triangleCounts(
         cospendPairs(windowedInputAddresses(s, dir), TriangleMaxFanout))),
 
+    // per-node clustering coefficient over the same capped co-spend
+    // graph: 2·tri(v) / (deg(v)·(deg(v)−1)) — the local density signal
+    // that separates organic wallets (neighbors who also co-spend:
+    // high coefficient) from service hubs (star centers whose
+    // neighbors never meet: coefficient ~0) even when raw degree is
+    // identical. Reuses the oriented triangle enumeration and counts
+    // distinct neighbors off the SAME pair frame; reported in floor
+    // basis points so both engines agree bit-for-bit, deg<2 nodes at 0.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val pairs = cospendPairs(windowedInputAddresses(s, dir),
+        TriangleMaxFanout)
+      val deg = pairs.select(col("a").as("address"))
+        .unionByName(pairs.select(col("b").as("address")))
+        .groupBy(col("address")).agg(count(lit(1)).as("degree"))
+      deg.join(triangleCounts(pairs), Seq("address"), "left")
+        .select(col("address"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("coeff_bps",
+          when(col("degree") >= 2, expr(
+            "(2 * n_triangles * 10000) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)))
+    }),
+
     // fixed-point integer PageRank over the address flow graph (the
     // centrality GraphSense ranks entities by), via the reusable
     // [[graft.operators.PageRank]] operator. Deterministic: floor
@@ -1230,6 +1253,38 @@ object GraphQueries {
         |      UNION ALL SELECT tb FROM tri
         |      UNION ALL SELECT tc FROM tri)
         |GROUP BY address""".stripMargin),
+
+    // same capped co-spend CTEs; degree from both pair sides, triangle
+    // corners left-joined, floor-bps coefficient
+    "graph_clustering_coeff" -> withCtes(
+      Seq(ChainSql.tx, ChainSql.io, ChainSql.ioAddr) ++ wiaCtes ++ Seq(
+      s"""wiac AS (SELECT w.tx_id, w.address FROM wia w
+         |         JOIN (SELECT tx_id FROM wia GROUP BY tx_id
+         |               HAVING count(DISTINCT address) <= $TriangleMaxFanout) f
+         |           USING (tx_id))""".stripMargin,
+      """cpairs AS (SELECT DISTINCT x.address AS a, y.address AS b
+        |           FROM wiac x JOIN wiac y USING (tx_id)
+        |           WHERE x.address < y.address)""".stripMargin,
+      """tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |        FROM cpairs e1
+        |        JOIN cpairs e2 ON e2.a = e1.b
+        |        JOIN cpairs e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin,
+      """deg AS (SELECT address, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT a AS address FROM cpairs
+        |              UNION ALL SELECT b FROM cpairs)
+        |        GROUP BY address)""".stripMargin,
+      """tric AS (SELECT address, CAST(count(*) AS BIGINT) AS n_triangles
+        |         FROM (SELECT ta AS address FROM tri
+        |               UNION ALL SELECT tb FROM tri
+        |               UNION ALL SELECT tc FROM tri)
+        |         GROUP BY address)""".stripMargin): _*)(
+      """SELECT d.address, d.degree,
+        |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN CAST((2 * coalesce(t.n_triangles, 0) * 10000)
+        |              // (d.degree * (d.degree - 1)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS coeff_bps
+        |FROM deg d LEFT JOIN tric t USING (address)""".stripMargin),
 
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
