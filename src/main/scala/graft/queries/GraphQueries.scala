@@ -400,6 +400,23 @@ object GraphQueries {
         .select(col("node").as("entity"), col("rank").as("pagerank"))
     }),
 
+    // HITS at ENTITY grain — clustering tier → entity edges → the
+    // reusable [[graft.operators.Hits]] loop, completing the
+    // centrality matrix (PageRank and HITS each at address AND entity
+    // grain). Composition proof like entity_pagerank: already-verified
+    // operators stacked with no new moving parts, and the hub/authority
+    // split is MORE meaningful here — a multi-address exchange entity
+    // is exactly the hot-wallet hub / cold-consolidation authority
+    // structure the address-grain query can only see fragmented.
+    "entity_hits" -> ((s, dir) => {
+      val edges = entityFlows(s, dir)
+        .filter(col("src_entity") =!= col("dst_entity"))
+        .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
+        .distinct()
+      graft.operators.Hits.runFromEdges(edges, HitsIters)
+        .select(col("node").as("entity"), col("hub"), col("authority"))
+    }),
+
     // taint BFS at ENTITY grain — the granularity GraphSense actually
     // sweeps at: clustering tier → entity edges → the shared frontier
     // loop, seeds a ~2% hash-selected entity set. Like entity_pagerank,
@@ -1015,23 +1032,33 @@ object GraphQueries {
   /** One HITS round as four CTEs: authority raw/normalized then hub
     * raw/normalized — exact mirror of [[graft.operators.Hits]]'s sweep
     * (LEFT JOIN zero-fill onto fnodes, scalar-max floor normalization). */
-  private def hitsIterCtes(i: Int): Seq[String] = Seq(
-    s"""haraw$i AS (SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
-       |  FROM fnodes n LEFT JOIN (
+  private def hitsIterCtes(i: Int, nodesCte: String = "fnodes",
+      edgesCte: String = "fedges", pfx: String = "",
+      materialized: Boolean = false): Seq[String] = {
+    // DuckDB inlines plain CTEs, and every HITS round references its
+    // predecessor ~4× (raw sum + scalar max, authority then hub) — over
+    // k rounds that re-evaluates the CTE SUBTREE 4^k times, which turns
+    // the entity oracle's recursive clustering walk from seconds into
+    // minutes. AS MATERIALIZED pins each round to one evaluation.
+    val m = if (materialized) "MATERIALIZED " else ""
+    Seq(
+    s"""${pfx}haraw$i AS $m(SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
+       |  FROM $nodesCte n LEFT JOIN (
        |    SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
-       |    FROM fedges e JOIN hh${i - 1} h ON h.node = e.src
+       |    FROM $edgesCte e JOIN ${pfx}hh${i - 1} h ON h.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin,
-    s"""ha$i AS (SELECT node,
-       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM haraw$i) AS BIGINT) AS s
-       |  FROM haraw$i)""".stripMargin,
-    s"""hhraw$i AS (SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
-       |  FROM fnodes n LEFT JOIN (
+    s"""${pfx}ha$i AS $m(SELECT node,
+       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM ${pfx}haraw$i) AS BIGINT) AS s
+       |  FROM ${pfx}haraw$i)""".stripMargin,
+    s"""${pfx}hhraw$i AS $m(SELECT n.node, CAST(coalesce(c.raw, 0) AS BIGINT) AS raw
+       |  FROM $nodesCte n LEFT JOIN (
        |    SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
-       |    FROM fedges e JOIN ha$i a ON a.node = e.dst
+       |    FROM $edgesCte e JOIN ${pfx}ha$i a ON a.node = e.dst
        |    GROUP BY e.src) c ON c.node = n.node)""".stripMargin,
-    s"""hh$i AS (SELECT node,
-       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM hhraw$i) AS BIGINT) AS s
-       |  FROM hhraw$i)""".stripMargin)
+    s"""${pfx}hh$i AS $m(SELECT node,
+       |  CAST((raw * $PrScale) // (SELECT max(raw) FROM ${pfx}hhraw$i) AS BIGINT) AS s
+       |  FROM ${pfx}hhraw$i)""".stripMargin)
+  }
 
   /** One PERSONALIZED round: like [[prIterCte]] but the teleport term
     * is gated on pseeds' 0/1 indicator — mirror of
@@ -1208,6 +1235,20 @@ object GraphQueries {
       (1 to PrIters).map(i => prIterCte(i, "enodes", "eesrc", "er")): _*)(
       s"SELECT node AS entity, rank AS pagerank FROM er$PrIters"),
 
+    // the same unrolled alternating sweeps over the entity edge set
+    "entity_hits" -> ChainSql.withRecursiveCtes(
+      entityFlowCtes ++ Seq(
+        eedgesCte,
+        """ehnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM eedges
+          |  UNION ALL SELECT dst FROM eedges))""".stripMargin,
+        s"ehh0 AS (SELECT node, CAST($PrScale AS BIGINT) AS s FROM ehnodes)") ++
+      (1 to HitsIters).flatMap(i =>
+        hitsIterCtes(i, "ehnodes", "eedges", "e", materialized = true)): _*)(
+      s"""SELECT n.node AS entity, h.s AS hub, a.s AS authority
+         |FROM ehnodes n JOIN ehh$HitsIters h ON h.node = n.node
+         |JOIN eha$HitsIters a ON a.node = n.node""".stripMargin),
+
     // the same unrolled BFS over the entity edge set
     "entity_taint" -> ChainSql.withRecursiveCtes(
       entityFlowCtes ++ Seq(
@@ -1295,7 +1336,7 @@ object GraphQueries {
     "graph_hits" -> withCtes(
       edgeCtes ++
         Seq(s"hh0 AS (SELECT node, CAST($PrScale AS BIGINT) AS s FROM fnodes)") ++
-        (1 to HitsIters).flatMap(hitsIterCtes): _*)(
+        (1 to HitsIters).flatMap(i => hitsIterCtes(i)): _*)(
       s"""SELECT n.node AS address, h.s AS hub, a.s AS authority
          |FROM fnodes n JOIN hh$HitsIters h ON h.node = n.node
          |JOIN ha$HitsIters a ON a.node = n.node""".stripMargin),
@@ -1598,7 +1639,7 @@ object GraphQueries {
   /** Distinct entity→entity edge CTE — shared by entity_pagerank and
     * entity_taint. */
   private def eedgesCte: String =
-    """eedges AS (SELECT DISTINCT s.src_entity AS src,
+    """eedges AS MATERIALIZED (SELECT DISTINCT s.src_entity AS src,
       |             d.dst_entity AS dst
       |           FROM src s JOIN dstf d USING (tx_id)
       |           WHERE s.src_entity <> d.dst_entity)""".stripMargin
