@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frame-based text-analysis API. Input contract: `docWords` is
@@ -272,4 +272,97 @@ object Text {
       freqBase: DataFrame, scoreBase: DataFrame): DataFrame =
     maintainByKeyThreshold(oldSegs, batchSegs, freqBase, scoreBase, "seg_h")(
       scoreSegments)
+
+  /** Exact threshold set-cosine similarity self-join at τ = 4/5 via
+    * prefix filtering over a distinct (doc_id, shingle) frame.
+    *
+    * The pruning chain, all exact integers: a qualifying pair (A, B)
+    * has overlap o with 25·o² ≥ 16·|A|·|B|, which forces
+    * (1) o ≥ ⌈16·|A|/25⌉ for EACH side — so indexing only each doc's
+    * first |A| − ⌈16|A|/25⌉ + 1 shingles in a global (doc_freq,
+    * shingle) rarity order still catches every qualifying pair on a
+    * shared indexed shingle (prefix-filter lemma: o common tokens
+    * cannot all hide in a suffix of o−1),
+    * (2) 25·min(|A|,|B|) ≥ 16·max(|A|,|B|) — the size filter applied
+    * before verification, and
+    * (3) the POSITIONAL filter (PPJoin): docs hold their shingles in
+    * the same global order, so a collision at ranks (i, j) bounds the
+    * overlap by ub = 1 + min(|A|−i, |B|−j); rows with 25·ub² <
+    * 16·|A|·|B| are pruned. The bound is exact for the pair's
+    * minimal-order shared prefix shingle (every common shingle sorts
+    * at or after it on both sides), and a qualifying pair always
+    * passes on that row — so dropping the others loses nothing.
+    * Scale posture: candidate generation joins only prefix postings,
+    * and the rarity order makes those postings the SHORT ones (a
+    * stopword-grade shingle with a million-doc posting list sorts
+    * last and is never indexed); verification is candidate-pair ×
+    * doc-length work, never corpus². The per-doc ranking window is
+    * partitioned by doc_id — no global sort anywhere. */
+  def allPairsCosine(sh: DataFrame): DataFrame =
+    allPairsFromPrefix(
+      allPairsPrefix(sh,
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))),
+      sh, lit(true))
+
+  /** The indexed prefix postings of `sh` under the global order given
+    * by `dfreq` (ascending df, then shingle; left-joined — unseen
+    * shingles default 0 and sort first): each doc's first
+    * n − ⌈16n/25⌉ + 1 shingles with their rank and the doc size. The
+    * LEMMAS need only that both sides of every qualifying pair rank by
+    * the SAME total order; rarity is the performance heuristic, not a
+    * correctness requirement — which is what lets the incremental path
+    * rank an arriving batch by the PARKED pre-batch frequencies and
+    * union its ingest-sized prefix with the parked pre-batch prefix
+    * table instead of re-ranking the corpus. Carries the optional `nw`
+    * batch marker (default false). */
+  def allPairsPrefix(sh: DataFrame, dfreq: DataFrame): DataFrame = {
+    val marked = if (sh.columns.contains("nw")) sh
+      else sh.withColumn("nw", lit(false))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val sized = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), first(col("nw")).as("nw"))
+    marked.select(col("doc_id"), col("shingle"))
+      .join(dfreq, Seq("shingle"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(sized, Seq("doc_id"))
+      .filter(col("rk") <= col("n") - expr("(16 * n + 24) div 25") + lit(1L))
+      .select(col("shingle"), col("doc_id"), col("n"), col("rk"), col("nw"))
+  }
+
+  /** Candidate generation + exact verification over an indexed prefix
+    * frame ([[allPairsPrefix]] rows, possibly a parked-∪-fresh union)
+    * and the full posting frame `sh` (overlap recount). `pairFilter`
+    * restricts candidate pairs over the aliased a/b prefix rows — the
+    * incremental probe keeps only pairs touching the arriving batch
+    * (`a.nw || b.nw`); old×old pairs come from the parked base
+    * result. */
+  def allPairsFromPrefix(prefix: DataFrame, sh: DataFrame,
+      pairFilter: Column): DataFrame = {
+    val ub = lit(1L) +
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(pairFilter)
+      .filter(least(col("a.n"), col("b.n")) * 25 >=
+        greatest(col("a.n"), col("b.n")) * 16)
+      .filter(ub * ub * 25 >= col("a.n") * col("b.n") * 16)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * col("overlap") * 25 >=
+        col("na") * col("nb") * 16)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("na"),
+        col("nb"),
+        expr("(overlap * overlap * 10000) div (na * nb)").as("cos_sq_bps"))
+  }
 }

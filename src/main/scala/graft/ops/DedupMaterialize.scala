@@ -3,7 +3,7 @@ package graft.ops
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
 
 import graft.ops.TextCorpus._
 
@@ -276,6 +276,61 @@ object DedupMaterialize {
       }
     }
     s.read.parquet(s"$root/components_base_m$IncrementalBatchMod")
+  }
+
+  /** Parked pre-batch ALL-PAIRS base for
+    * text_allpairs_cosine_incremental: the old×old qualifying pairs at
+    * τ = 4/5. In a deployed pipeline this IS the similarity-pair table
+    * as of the previous ingest; the incremental query unions it with
+    * its batch-probe pairs instead of re-running the old×old join. */
+  def allPairsBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"allpairs_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.api.Text.allPairsCosine(
+            graft.ops.TextCorpus.docShingles(s, dir)
+              .filter(col("doc_id") % IncrementalBatchMod =!= 0))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
+  /** Parked pre-batch shingle document frequencies — the global prefix
+    * ORDER the incremental probe ranks the arriving batch by (the
+    * lemmas need a shared total order, not a fresh count). */
+  def allPairsDfBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"allpairs_df_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.ops.TextCorpus.docShingles(s, dir)
+          .filter(col("doc_id") % IncrementalBatchMod =!= 0)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
+  /** Parked pre-batch indexed PREFIX postings (ranked under the parked
+    * order above): the incremental probe unions this with the arriving
+    * batch's ingest-sized prefix, so per-batch candidate generation
+    * never re-ranks the corpus. */
+  def allPairsPrefixBaseTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    val sub = s"allpairs_prefix_base_m$IncrementalBatchMod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.api.Text.allPairsPrefix(
+            graft.ops.TextCorpus.docShingles(s, dir)
+              .filter(col("doc_id") % IncrementalBatchMod =!= 0),
+            allPairsDfBaseTable(s, dir))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
   }
 
 }

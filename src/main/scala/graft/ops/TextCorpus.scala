@@ -54,6 +54,13 @@ object TextCorpus {
   def words(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Distinct word-trigram shingles of the PLAIN documents table (no
+    * dup injection) — the exact all-pairs similarity domain. */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(words(table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))))
+      .distinct()
+
   /** Word trigram shingles; docs with <3 words produce none. Spark arrays
     * are 0-indexed, DuckDB lists 1-indexed — the i-ranges are aligned so
     * both emit the same trigrams in the same order. */

@@ -277,64 +277,6 @@ object TextQueries {
           .as("j_exact"))
   }
 
-  /** Exact threshold set-cosine similarity self-join at τ = 4/5 via
-    * prefix filtering over a distinct (doc_id, shingle) frame.
-    *
-    * The pruning chain, all exact integers: a qualifying pair (A, B)
-    * has overlap o with 25·o² ≥ 16·|A|·|B|, which forces
-    * (1) o ≥ ⌈16·|A|/25⌉ for EACH side — so indexing only each doc's
-    * first |A| − ⌈16|A|/25⌉ + 1 shingles in a global (doc_freq,
-    * shingle) rarity order still catches every qualifying pair on a
-    * shared indexed shingle (prefix-filter lemma: o common tokens
-    * cannot all hide in a suffix of o−1), and
-    * (2) 25·min(|A|,|B|) ≥ 16·max(|A|,|B|) — the size filter applied
-    * before verification, and
-    * (3) the POSITIONAL filter (PPJoin): docs hold their shingles in
-    * the same global order, so a collision at ranks (i, j) bounds the
-    * overlap by ub = 1 + min(|A|−i, |B|−j); rows with 25·ub² <
-    * 16·|A|·|B| are pruned. The bound is exact for the pair's
-    * minimal-order shared prefix shingle (every common shingle sorts
-    * at or after it on both sides), and a qualifying pair always
-    * passes on that row — so dropping the others loses nothing.
-    * Scale posture: candidate generation joins only prefix postings,
-    * and the rarity order makes those postings the SHORT ones (a
-    * stopword-grade shingle with a million-doc posting list sorts
-    * last and is never indexed); verification is candidate-pair ×
-    * doc-length work, never corpus². The per-doc ranking window is
-    * partitioned by doc_id — no global sort anywhere. */
-  private[graft] def allPairsCosine(sh: DataFrame): DataFrame = {
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val sized = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .join(sized, Seq("doc_id"))
-      .filter(col("rk") <= col("n") - expr("(16 * n + 24) div 25") + lit(1L))
-      .select(col("shingle"), col("doc_id"), col("n"), col("rk"))
-    val ub = lit(1L) +
-      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(least(col("a.n"), col("b.n")) * 25 >=
-        greatest(col("a.n"), col("b.n")) * 16)
-      .filter(ub * ub * 25 >= col("a.n") * col("b.n") * 16)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("overlap"))
-      .filter(col("overlap") * col("overlap") * 25 >= col("na") * col("nb") * 16)
-      .select(col("doc_a"), col("doc_b"), col("overlap"), col("na"),
-        col("nb"),
-        expr("(overlap * overlap * 10000) div (na * nb)").as("cos_sq_bps"))
-  }
-
   val queries: Map[String, Q] = Map(
     // language ID: stopword-hit scores + deterministic argmax
     "text_langid" -> ((s, dir) => graft.api.Text.langId(docWords(s, dir))),
@@ -1196,8 +1138,34 @@ object TextQueries {
     // is therefore an exactness proof that the pruning admits no false
     // negative on real data, not just on the spec's random graphs.
     "text_allpairs_cosine" -> ((s, dir) =>
-      allPairsCosine(graft.ops.TextCorpus.shingles(
-        docWords(s, dir).select(col("doc_id"), col("w"))).distinct())),
+      graft.api.Text.allPairsCosine(
+        graft.ops.TextCorpus.docShingles(s, dir))),
+
+    // incremental maintenance of the exact similarity join: the
+    // arriving batch (doc_id % 97 == 0, the house batch rule) unions
+    // its PROBE pairs with the parked old×old base result instead of
+    // re-running the full join. Per-batch work is ingest-sized on the
+    // candidate side: the batch is ranked under the PARKED pre-batch
+    // frequency order (the prefix and positional lemmas need only a
+    // shared total order, not a recount — unseen shingles default df 0
+    // and sort first) and its prefix unions with the PARKED pre-batch
+    // prefix table, so nothing re-ranks the corpus; only candidates
+    // touching the batch survive, and verification recounts their true
+    // overlap against the posting frame. Shares the FULL brute-force
+    // oracle: incremental == one-shot, proven per run.
+    "text_allpairs_cosine_incremental" -> ((s, dir) => {
+      val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+      val batch = col("doc_id") % mod === 0
+      val sh = graft.ops.TextCorpus.docShingles(s, dir)
+      val batchPrefix = graft.api.Text.allPairsPrefix(
+        sh.filter(batch).withColumn("nw", lit(true)),
+        graft.ops.DedupMaterialize.allPairsDfBaseTable(s, dir))
+      val prefix = graft.ops.DedupMaterialize
+        .allPairsPrefixBaseTable(s, dir).unionByName(batchPrefix)
+      graft.ops.DedupMaterialize.allPairsBaseTable(s, dir)
+        .unionByName(graft.api.Text.allPairsFromPrefix(prefix, sh,
+          col("a.nw") || col("b.nw")))
+    }),
 
     // segment-level dedup with REASSEMBLY (the CCNet/RefinedWeb
     // paragraph-dedup stage, on 10-word segments since the fixture docs
@@ -1263,6 +1231,28 @@ object TextQueries {
 
   /** DuckDB mirror of the segment-level dedup — shared verbatim by
     * text_segment_dedup and its incremental-maintenance twin. */
+  /** Brute force on purpose: EVERY overlapping pair, then the τ
+    * filter — matching the prefix-filtered Spark side proves the
+    * pruning is exact (no false negatives), not just fast. Shared by
+    * the one-shot query and the incremental twin (base ∪ probe must
+    * equal the one-shot join over the whole corpus). */
+  private val allPairsCosineSql: String = withCtes(docWordsSql, shinglesSql,
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
+    """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM sh GROUP BY doc_id)""".stripMargin,
+    """ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS overlap
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin)(
+    """SELECT doc_a, doc_b, overlap, sa.n AS na, sb.n AS nb,
+      |  CAST((overlap * overlap * 10000) // (sa.n * sb.n) AS BIGINT)
+      |    AS cos_sq_bps
+      |FROM ov
+      |JOIN sz sa ON sa.doc_id = ov.doc_a
+      |JOIN sz sb ON sb.doc_id = ov.doc_b
+      |WHERE overlap * overlap * 25 >= sa.n * sb.n * 16""".stripMargin)
+
   private val segmentDedupSql: String = withCtes(
       graft.ops.TextCorpus.corpusSql, graft.ops.TextCorpus.wordsSql,
       """segs AS (
@@ -1656,22 +1646,11 @@ object TextQueries {
     // brute force on purpose: EVERY overlapping pair, then the τ
     // filter — matching the prefix-filtered Spark side proves the
     // pruning is exact (no false negatives), not just fast
-    "text_allpairs_cosine" -> withCtes(docWordsSql, shinglesSql,
-      "sh AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
-      """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM sh GROUP BY doc_id)""".stripMargin,
-      """ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(count(*) AS BIGINT) AS overlap
-        |  FROM sh a JOIN sh b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)""".stripMargin)(
-      """SELECT doc_a, doc_b, overlap, sa.n AS na, sb.n AS nb,
-        |  CAST((overlap * overlap * 10000) // (sa.n * sb.n) AS BIGINT)
-        |    AS cos_sq_bps
-        |FROM ov
-        |JOIN sz sa ON sa.doc_id = ov.doc_a
-        |JOIN sz sb ON sb.doc_id = ov.doc_b
-        |WHERE overlap * overlap * 25 >= sa.n * sb.n * 16""".stripMargin),
+    "text_allpairs_cosine" -> allPairsCosineSql,
+
+    // the SAME full brute-force statement: parked base ∪ batch probe
+    // must equal the one-shot join over the whole corpus
+    "text_allpairs_cosine_incremental" -> allPairsCosineSql,
 
     "text_segment_dedup" -> segmentDedupSql,
 

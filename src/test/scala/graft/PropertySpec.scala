@@ -604,7 +604,7 @@ class PropertySpec extends SparkSpec {
         val sh = sets.zipWithIndex.flatMap { case (toks, i) =>
           toks.map(t => (i.toLong, t))
         }.toDF("doc_id", "shingle").distinct()
-        val got = graft.queries.TextQueries.allPairsCosine(sh)
+        val got = graft.api.Text.allPairsCosine(sh)
           .select("doc_a", "doc_b", "overlap", "na", "nb")
           .as[(Long, Long, Long, Long, Long)].collect().toSet
         // brute force over every pair, same integer threshold
@@ -615,6 +615,35 @@ class PropertySpec extends SparkSpec {
           if 25 * o * o >= 16L * a.size * b.size && o > 0
         } yield (i.toLong, j.toLong, o, a.size.toLong, b.size.toLong)).toSet
         assert(got === want, s"run $run")
+    }
+  }
+
+  test("incremental all-pairs (base + batch probe on the parked order) " +
+      "equals the one-shot join") {
+    val setGen = Gen.zip(Gen.choose(1, 12),
+      Gen.choose(0, 19)).map { case (k, off) =>
+      (0 until k).map(j => s"t${(j + off) % 20}").distinct
+    }
+    samples(Gen.listOfN(40, setGen), 5).zipWithIndex.foreach {
+      case (sets, run) =>
+        val sh = sets.zipWithIndex.flatMap { case (toks, i) =>
+          toks.map(t => (i.toLong, t))
+        }.toDF("doc_id", "shingle").distinct()
+        val batch = col("doc_id") % 3 === 0
+        // pre-batch state: old×old pairs, the old frequency order, and
+        // the old indexed prefix — the probe ranks only the batch
+        val base = graft.api.Text.allPairsCosine(sh.filter(!batch))
+        val dfOld = sh.filter(!batch)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val prefix = graft.api.Text.allPairsPrefix(sh.filter(!batch), dfOld)
+          .unionByName(graft.api.Text.allPairsPrefix(
+            sh.filter(batch).withColumn("nw", lit(true)), dfOld))
+        val probe = graft.api.Text.allPairsFromPrefix(prefix, sh,
+          col("a.nw") || col("b.nw"))
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        assert(rows(base.unionByName(probe)) ===
+          rows(graft.api.Text.allPairsCosine(sh)), s"run $run")
     }
   }
 }
