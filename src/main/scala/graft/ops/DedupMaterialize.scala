@@ -283,14 +283,15 @@ object DedupMaterialize {
     * τ = 4/5. In a deployed pipeline this IS the similarity-pair table
     * as of the previous ingest; the incremental query unions it with
     * its batch-probe pairs instead of re-running the old×old join. */
-  def allPairsBaseTable(s: SparkSession, dir: String): DataFrame = {
+  def allPairsBaseTable(s: SparkSession, dir: String,
+      mod: Int = IncrementalBatchMod): DataFrame = {
     val root = base(dir)
-    val sub = s"allpairs_base_m$IncrementalBatchMod"
+    val sub = s"allpairs_base_m$mod"
     lock.synchronized {
       if (!new File(s"$root/$sub/_SUCCESS").exists()) {
         graft.api.Text.allPairsCosine(
             graft.ops.TextCorpus.docShingles(s, dir)
-              .filter(col("doc_id") % IncrementalBatchMod =!= 0))
+              .filter(col("doc_id") % mod =!= 0))
           .write.mode("overwrite").parquet(s"$root/$sub")
       }
     }
@@ -300,13 +301,14 @@ object DedupMaterialize {
   /** Parked pre-batch shingle document frequencies — the global prefix
     * ORDER the incremental probe ranks the arriving batch by (the
     * lemmas need a shared total order, not a fresh count). */
-  def allPairsDfBaseTable(s: SparkSession, dir: String): DataFrame = {
+  def allPairsDfBaseTable(s: SparkSession, dir: String,
+      mod: Int = IncrementalBatchMod): DataFrame = {
     val root = base(dir)
-    val sub = s"allpairs_df_base_m$IncrementalBatchMod"
+    val sub = s"allpairs_df_base_m$mod"
     lock.synchronized {
       if (!new File(s"$root/$sub/_SUCCESS").exists()) {
         graft.ops.TextCorpus.docShingles(s, dir)
-          .filter(col("doc_id") % IncrementalBatchMod =!= 0)
+          .filter(col("doc_id") % mod =!= 0)
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .write.mode("overwrite").parquet(s"$root/$sub")
       }
@@ -318,15 +320,16 @@ object DedupMaterialize {
     * order above): the incremental probe unions this with the arriving
     * batch's ingest-sized prefix, so per-batch candidate generation
     * never re-ranks the corpus. */
-  def allPairsPrefixBaseTable(s: SparkSession, dir: String): DataFrame = {
+  def allPairsPrefixBaseTable(s: SparkSession, dir: String,
+      mod: Int = IncrementalBatchMod): DataFrame = {
     val root = base(dir)
-    val sub = s"allpairs_prefix_base_m$IncrementalBatchMod"
+    val sub = s"allpairs_prefix_base_m$mod"
     lock.synchronized {
       if (!new File(s"$root/$sub/_SUCCESS").exists()) {
         graft.api.Text.allPairsPrefix(
             graft.ops.TextCorpus.docShingles(s, dir)
-              .filter(col("doc_id") % IncrementalBatchMod =!= 0),
-            allPairsDfBaseTable(s, dir))
+              .filter(col("doc_id") % mod =!= 0),
+            allPairsDfBaseTable(s, dir, mod))
           .write.mode("overwrite").parquet(s"$root/$sub")
       }
     }

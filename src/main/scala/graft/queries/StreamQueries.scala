@@ -308,6 +308,33 @@ object StreamQueries {
           .agg(count(lit(1)).as("n_txs"), max(col("tx_id")).as("max_tx_id")))
     }),
 
+    // the EXACT similarity join run CONTINUOUSLY (streaming twin of
+    // text_allpairs_cosine_incremental): each micro-batch ranks under
+    // the frozen bootstrap shingle order, probes parked ∪ landed ∪
+    // itself, and lands its pairs/prefix/postings epoch-keyed — so the
+    // pair table is maintained at ingest cost, replays are idempotent,
+    // and cross-batch pairs belong to the later batch. Shares the full
+    // brute-force oracle: parked base ∪ everything landed == the
+    // one-shot join over the whole corpus, proven by the compare.
+    "stream_allpairs" -> ((s, dir) => {
+      val out = tmp("ap")
+      graft.streaming.CorpusIngest.allPairsIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      val base = graft.ops.DedupMaterialize.allPairsBaseTable(s, dir,
+        graft.streaming.CorpusIngest.AllPairsBatchMod)
+      // a batch with no qualifying pairs lands an empty partitioned dir
+      // (schema-less) — the read must treat that as zero pairs
+      val landed =
+        try s.read.parquet(s"$out/pairs")
+          .select(col("doc_a"), col("doc_b"), col("overlap"),
+            col("na"), col("nb"), col("cos_sq_bps"))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => base.limit(0)
+        }
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        base.unionByName(landed))
+    }),
+
     // SMALL-FILE COMPACTION on the same three-epoch store — the other
     // maintenance knob (vacuum expires history; compaction seals the
     // layout): a long-running ingest accretes one file per (bucket,
@@ -513,6 +540,10 @@ object StreamQueries {
     // the streamed candidate union + exact re-count must equal the
     // one-pass batch heavy-hitter query — one oracle for both
     "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"),
+
+    // the full brute-force statement: continuously-landed pairs must
+    // equal the one-shot join
+    "stream_allpairs" -> TextQueries.oracles("text_allpairs_cosine"),
 
     // stream == batch: the monitor over the maintained hourly table
     // must flag exactly the hours the batch sweep flags

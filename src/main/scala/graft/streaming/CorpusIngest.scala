@@ -23,6 +23,13 @@ object CorpusIngest {
   /** The simulated arriving batch (lockstep with the parked tiers). */
   private val BatchMod = DedupMaterialize.IncrementalBatchMod
 
+  /** Batch rule for the streaming all-pairs maintenance — a SMALLER
+    * modulus than the house 97, chosen so the fixture's arriving docs
+    * actually carry qualifying pairs (the %97 slice of sf0.01 touches
+    * none, which would leave the streamed path unexercised by the
+    * oracle). */
+  val AllPairsBatchMod = 13
+
   /** Run the deduped ingest over `dir`'s documents with AvailableNow
     * (catch-up semantics); kept doc ids land under `out` partitioned by
     * ingest epoch. */
@@ -76,6 +83,92 @@ object CorpusIngest {
   /** Kept doc ids from the landed store. */
   def readKept(s: SparkSession, out: String): DataFrame =
     s.read.parquet(out).select(col("doc_id"))
+
+  /** Continuously-maintained EXACT similarity pairs (the streaming twin
+    * of text_allpairs_cosine_incremental): each arriving micro-batch
+    * ranks its shingles under the FROZEN bootstrap order, probes the
+    * parked pre-batch prefix tier ∪ everything previously landed ∪
+    * itself, and lands its qualifying pairs plus its own prefix rows
+    * and postings — all epoch-keyed dynamic overwrites, so replays are
+    * idempotent and pairs between docs of DIFFERENT micro-batches are
+    * generated exactly once (by the later batch, whose probe sees the
+    * earlier one's landed prefix marked old). The frozen order is
+    * correct forever — the prefix/positional lemmas need a shared
+    * total order, not current frequencies; staleness only degrades the
+    * rarity heuristic's candidate counts, never results. After any
+    * run, parked base ∪ landed pairs equals the one-shot join over the
+    * whole corpus (stream == batch, proven by the shared brute-force
+    * oracle). */
+  def allPairsIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") % AllPairsBatchMod === 0)
+    val name = s"ap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          applyAllPairsBatch(s, dir, out, batch.toDF(), epoch)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  /** One micro-batch of [[allPairsIngest]], factored out so the spec
+    * can drive multi-batch scenarios directly (the fixture is one
+    * file, so AvailableNow lands a single epoch). */
+  def applyAllPairsBatch(s: SparkSession, dir: String, out: String,
+      batch: DataFrame, epoch: Long): Unit = {
+    import graft.api.Text
+    val batchSh = graft.ops.TextCorpus.shingles(
+      graft.ops.TextCorpus.words(batch)).distinct()
+    val batchPrefix = Text.allPairsPrefix(
+      batchSh.withColumn("nw", lit(true)),
+      DedupMaterialize.allPairsDfBaseTable(s, dir, AllPairsBatchMod))
+    // previously landed state reads as OLD (nw=false): pairs between
+    // two streamed batches belong to the later one. STRICTLY prior
+    // epochs only — a replayed epoch must not see its own failed
+    // attempt's rows as old, or the posting union would double-count
+    // this batch's shingles and verify wrong overlaps
+    def landedOr(sub: String, empty: DataFrame): DataFrame =
+      try s.read.parquet(s"$out/$sub")
+        .filter(col("ingest_epoch").cast("long") < epoch)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => empty
+      }
+    val prevPrefix = landedOr("prefix", batchPrefix.limit(0))
+      .select(col("shingle"), col("doc_id"), col("n"), col("rk"))
+      .withColumn("nw", lit(false))
+    val prefix = DedupMaterialize
+      .allPairsPrefixBaseTable(s, dir, AllPairsBatchMod)
+      .unionByName(prevPrefix).unionByName(batchPrefix)
+    val oldSh = graft.ops.TextCorpus.docShingles(s, dir)
+      .filter(col("doc_id") % AllPairsBatchMod =!= 0)
+    val prevSh = landedOr("postings", batchSh.limit(0))
+      .select(col("doc_id"), col("shingle"))
+    val sh = oldSh.unionByName(prevSh).unionByName(batchSh)
+    val pairs = Text.allPairsFromPrefix(prefix, sh,
+      col("a.nw") || col("b.nw"))
+    def land(df: DataFrame, sub: String): Unit = {
+      val keyed = df.withColumn("ingest_epoch", lit(epoch))
+      // conf on the BATCH frame's (cloned) session — see
+      // heavyHitterIngest; the outer session's conf never reaches a
+      // foreachBatch write
+      keyed.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic")
+      keyed.write.mode("overwrite").partitionBy("ingest_epoch")
+        .parquet(s"$out/$sub")
+    }
+    land(pairs, "pairs")
+    land(batchPrefix.drop("nw"), "prefix")
+    land(batchSh, "postings")
+  }
 
   /** Streaming heavy-hitter candidate ingest: each micro-batch lands
     * its own bounded Misra-Gries candidate set (≤ k tokens per epoch,

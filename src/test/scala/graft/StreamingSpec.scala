@@ -445,4 +445,49 @@ class StreamingSpec extends SparkSpec {
     assert(recovered === full.filter(_._2 > newTip),
       "recovery from the deepest reorg must re-land the whole chain")
   }
+
+  test("streamed all-pairs across two micro-batches equals one-shot, " +
+      "and an epoch replay is a fixpoint") {
+    import graft.streaming.CorpusIngest
+    // sf0.01: the %13 arriving slice carries a genuine CROSS-batch pair
+    // ((26, 455) — 26 lands in batch 0, 455 in batch 1), so the later
+    // batch's probe against the earlier one's landed prefix is
+    // exercised with a real qualifying pair, not vacuously
+    val dir = sf("sf0.01")
+    val out = tmpDir("ap_")
+    val mod = CorpusIngest.AllPairsBatchMod
+    val docs = Chain.table(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val arriving = docs.filter(col("doc_id") % mod === 0)
+    // split the arriving slice in two so cross-batch pairs exist and
+    // must be generated by the LATER batch against the earlier one's
+    // landed prefix
+    val b0 = arriving.filter(col("doc_id") % (2 * mod) === 0)
+    val b1 = arriving.filter(col("doc_id") % (2 * mod) =!= 0)
+    CorpusIngest.applyAllPairsBatch(spark, dir, out, b0, 0L)
+    CorpusIngest.applyAllPairsBatch(spark, dir, out, b1, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("doc_a", "doc_b", "overlap")
+        .as[(Long, Long, Long)].collect().toSet
+    val oneShot = rows(graft.api.Text.allPairsCosine(
+      graft.ops.TextCorpus.docShingles(spark, dir)))
+    def landedState(): Set[(Long, Long, Long)] =
+      rows(graft.ops.DedupMaterialize.allPairsBaseTable(spark, dir, mod)
+        .unionByName(spark.read.parquet(s"$out/pairs")
+          .select("doc_a", "doc_b", "overlap", "na", "nb", "cos_sq_bps")))
+    val afterTwo = landedState()
+    assert(afterTwo === oneShot,
+      "base + two landed batches must equal the one-shot join")
+    val cross = afterTwo.filter { case (a, b, _) =>
+      (a % (2 * mod) == 0) != (b % (2 * mod) == 0) &&
+        a % mod == 0 && b % mod == 0
+    }
+    assert(cross.nonEmpty, "fixture must exercise a cross-batch pair")
+    // replaying epoch 1 (failed-commit rerun) must not change the state:
+    // the landed reads are restricted to strictly prior epochs, so the
+    // replay recomputes identical pairs and dynamic-overwrites its own
+    // partition
+    CorpusIngest.applyAllPairsBatch(spark, dir, out, b1, 1L)
+    assert(landedState() === oneShot, "epoch replay must be a fixpoint")
+  }
 }
