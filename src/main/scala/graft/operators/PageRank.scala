@@ -70,6 +70,42 @@ object PageRank {
     loop(n, e, iters, materialize)
   }
 
+  /** VALUE-WEIGHTED variant over (src, dst, v) edges: mass flows in
+    * proportion to edge value instead of edge count —
+    *   r'(v) = 0.15·Scale + (85 · Σ_{u→v} (r(u)·v_uv div vout(u))) div 100
+    * with vout(u) = Σ_w v_uw — the ranking that weights a 1000-coin
+    * flow 1000× a dust output, which is what "importance" means on a
+    * value graph (the unweighted form scores them identically). Same
+    * bit-exact integer discipline and per-round join shape as the
+    * uniform loop; the only new term is the rank·v product, whose
+    * headroom at fixture volumes peaks well under 2^63 — a deployment
+    * at real satoshi volumes promotes the product to DECIMAL(38,0),
+    * exactly like the haircut taint's proportional split. */
+  def runWeightedFromEdges(edges: DataFrame, iters: Int,
+      materialize: Materializer = DefaultMaterializer): DataFrame = {
+    val e = materialize(edges.select(col("src"), col("dst"), col("v")))
+    val nodes = materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val vout = e.groupBy(col("src")).agg(sum(col("v")).as("vout"))
+    val esrc = materialize(e.join(vout, Seq("src")))
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = esrc
+        .join(ranks, esrc("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * v) div vout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val prev = ranks
+      ranks = materialize(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(Scale * 15 / 100) +
+              expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
+      if (i > 1) Materialize.release(prev)
+    }
+    ranks
+  }
+
   /** Core rounds over MATERIALIZED (node, s) / edges frames (both must
     * already be materialized: every round references both, and an
     * un-materialized node frame would re-run its whole upstream

@@ -499,6 +499,17 @@ object GraphQueries {
       graft.operators.PageRank.runFromEdges(flowEdges(s, dir), PrIters)
         .select(col("node").as("address"), col("rank").as("pagerank"))),
 
+    // VALUE-WEIGHTED PageRank over the (src, dst, v) value-edge tier:
+    // mass flows in proportion to transferred value, so a 1000-coin
+    // channel outranks a dust spray the unweighted form scores
+    // identically — the ranking a value-flow investigation actually
+    // wants. Same integer rounds via PageRank.runWeightedFromEdges;
+    // the DuckDB unroll reuses the haircut taint's value-edge CTEs.
+    "graph_pagerank_value" -> ((s, dir) =>
+      graft.operators.PageRank.runWeightedFromEdges(valueEdges(s, dir),
+          PrIters)
+        .select(col("node").as("address"), col("rank").as("pagerank"))),
+
     // HITS hubs & authorities over the address flow graph — the
     // centrality pair PageRank cannot express: an exchange's hot
     // wallet is a strong HUB (pays many well-received addresses), a
@@ -1330,6 +1341,27 @@ object GraphQueries {
     "graph_pagerank" -> withCtes(
       edgeCtes ++ (1 to PrIters).map(i => prIterCte(i)): _*)(
       s"SELECT node AS address, rank AS pagerank FROM r$PrIters"),
+
+    // unrolled weighted rounds over the haircut taint's value-edge
+    // CTEs — contribution = (rank·v) div vout, same floor arithmetic
+    "graph_pagerank_value" -> withCtes(
+      veCtes ++ Seq(
+        "vvo AS (SELECT src, CAST(sum(v) AS BIGINT) AS vout FROM ve GROUP BY src)",
+        """vn AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM ve UNION ALL SELECT dst FROM ve))""".stripMargin,
+        "vsrc AS (SELECT e.src, e.dst, e.v, o.vout FROM ve e JOIN vvo o USING (src))",
+        s"vr0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM vn)") ++
+      (1 to PrIters).map(i =>
+        s"""vr$i AS (
+           |  SELECT n.node,
+           |    CAST(${PrScale * 15 / 100} + (85 * coalesce(c.contrib, 0)) // 100
+           |         AS BIGINT) AS rank
+           |  FROM vn n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((r.rank * e.v) // e.vout) AS BIGINT) AS contrib
+           |    FROM vsrc e JOIN vr${i - 1} r ON r.node = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin): _*)(
+      s"SELECT node AS address, rank AS pagerank FROM vr$PrIters"),
 
     // unrolled alternating authority/hub sweeps, each max-normalized by
     // a scalar subquery — same floor arithmetic as the Spark loop

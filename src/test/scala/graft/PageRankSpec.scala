@@ -77,4 +77,32 @@ class PageRankSpec extends SparkSpec {
     assert(r("x") === 0L && r("y") === 0L)
     assert(r("a") > 0L && r("b") > 0L)
   }
+
+  private def wranks(edges: Seq[(String, String, Long)],
+      iters: Int): Map[String, Long] =
+    PageRank.runWeightedFromEdges(edges.toDF("src", "dst", "v"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("weighted: equal weights equal the unweighted ranks") {
+    val shape = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+    for (w <- Seq(1L, 7L, 1000L)) {
+      assert(wranks(shape.map { case (s, d) => (s, d, w) }, 3) ===
+        ranks(shape, 3),
+        s"uniform weight $w must reduce to the unweighted loop")
+    }
+  }
+
+  test("weighted: hand-computed floor arithmetic on a 3:1 split") {
+    // a->b v=3, a->c v=1 (vout(a)=4), b->c v=2 (vout(b)=2)
+    // r1: contrib(b) = 1000000*3 div 4 = 750000
+    //     contrib(c) = 1000000*1 div 4 + 1000000*2 div 2 = 1250000
+    //     b = 150000 + 85*750000 div 100 = 787500
+    //     c = 150000 + 85*1250000 div 100 = 1212500
+    val r = wranks(Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L)), 1)
+    assert(r === Map("a" -> 150000L, "b" -> 787500L, "c" -> 1212500L))
+    // the heavier channel outranks the dust edge the unweighted form
+    // scores identically
+    val unw = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c"), 1)
+    assert(unw("b") === 575000L && r("b") > unw("b"))
+  }
 }
