@@ -56,6 +56,12 @@ object BuildBench {
       timed("ann_build", r) {
         graft.ops.AnnMaterialize.buildAll(spark, sfDir)
       }
+      timed("allpairs_base_build", r) {
+        graft.ops.DedupMaterialize.allPairsBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.allPairsDfBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.allPairsPrefixBaseTable(spark, sfDir)
+          .count(); ()
+      }
     }
     spark.stop()
   }
