@@ -1167,6 +1167,28 @@ object TextQueries {
           col("a.nw") || col("b.nw")))
     }),
 
+    // the EXACT dedup ladder end-to-end: exact threshold pairs →
+    // connected components → one kept doc per cluster — the
+    // no-probabilistic-step counterpart of dedup_keep_one for jobs
+    // where an LSH miss is unacceptable (eval-set hygiene,
+    // contamination audits). Pairs from the verified prefix-filter
+    // join, clusters from the shared large-star/small-star operator,
+    // node universe = every document (pairless docs ride as
+    // singletons). The recursive-walk oracle recomputes everything
+    // brute-force, so the whole ladder is equivalence-proven in one
+    // compare.
+    "text_allpairs_keep_one" -> ((s, dir) => {
+      val pairs = graft.api.Text.allPairsCosine(
+        graft.ops.TextCorpus.docShingles(s, dir))
+      val nodes = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      graft.operators.ConnectedComponents.labels(nodes,
+          pairs.select(col("doc_a"), col("doc_b")))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("doc_id"), col("n_members"))
+    }),
+
     // segment-level dedup with REASSEMBLY (the CCNet/RefinedWeb
     // paragraph-dedup stage, on 10-word segments since the fixture docs
     // are single-line): any segment appearing verbatim in ≥2 distinct
@@ -1236,7 +1258,7 @@ object TextQueries {
     * pruning is exact (no false negatives), not just fast. Shared by
     * the one-shot query and the incremental twin (base ∪ probe must
     * equal the one-shot join over the whole corpus). */
-  private val allPairsCosineSql: String = withCtes(docWordsSql, shinglesSql,
+  private val allPairsOvCtes: Seq[String] = Seq(docWordsSql, shinglesSql,
     "sh AS (SELECT DISTINCT doc_id, shingle FROM shingles)",
     """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
       |  FROM sh GROUP BY doc_id)""".stripMargin,
@@ -1244,7 +1266,9 @@ object TextQueries {
       |    CAST(count(*) AS BIGINT) AS overlap
       |  FROM sh a JOIN sh b
       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)""".stripMargin)(
+      |  GROUP BY 1, 2)""".stripMargin)
+
+  private val allPairsCosineSql: String = withCtes(allPairsOvCtes: _*)(
     """SELECT doc_a, doc_b, overlap, sa.n AS na, sb.n AS nb,
       |  CAST((overlap * overlap * 10000) // (sa.n * sb.n) AS BIGINT)
       |    AS cos_sq_bps
@@ -1651,6 +1675,23 @@ object TextQueries {
     // the SAME full brute-force statement: parked base ∪ batch probe
     // must equal the one-shot join over the whole corpus
     "text_allpairs_cosine_incremental" -> allPairsCosineSql,
+
+    // brute-force pairs → recursive min-label walk → per-cluster count:
+    // the whole exact ladder restated from scratch
+    "text_allpairs_keep_one" -> withRecursiveCtes(allPairsOvCtes ++ Seq(
+      """apedges AS (SELECT ov.doc_a AS a, ov.doc_b AS b
+        |  FROM ov
+        |  JOIN sz sa ON sa.doc_id = ov.doc_a
+        |  JOIN sz sb ON sb.doc_id = ov.doc_b
+        |  WHERE overlap * overlap * 25 >= sa.n * sb.n * 16)""".stripMargin,
+      """apnodes AS (SELECT CAST(doc_id AS BIGINT) AS node
+        |  FROM documents)""".stripMargin,
+      ccWalkCte("apnodes", "apedges"),
+      """apcc AS (SELECT node, min(comp) AS component
+        |  FROM walk GROUP BY node)""".stripMargin): _*)(
+      """SELECT CAST(component AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM apcc GROUP BY component""".stripMargin),
 
     "text_segment_dedup" -> segmentDedupSql,
 
