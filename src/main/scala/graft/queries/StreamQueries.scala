@@ -293,6 +293,32 @@ object StreamQueries {
     // file listing: a snapshot read costs the snapshot, not the
     // history, with no copy-on-write — the epoch layout IS the
     // version log.
+    // KEYSET PAGINATION against the bucketed store — the query shape a
+    // serving layer runs for "next page of transactions after cursor"
+    // (the reference UI pages address/block txs exactly this way, and
+    // OFFSET pagination is what it avoids: page N must not cost N
+    // pages of scan). The cursor predicate alone (tx_id > c) cannot
+    // prune bucket DIRECTORIES, so the query adds the derived bucket
+    // bound tx_id_group >= c div 25000 — the same bucket arithmetic
+    // the store was written with — turning the page into a
+    // partition-pruned scan of the cursor's bucket onward + a row-group
+    // skip via the min/max stats on the sorted tx_id, then a
+    // distributed top-k (no global sort). Oracle states the page from
+    // the source table; tx_id is unique so the page is deterministic.
+    "store_keyset_page" -> ((s, dir) => {
+      val out = tmp("page")
+      val cursor = 9000L
+      graft.chain.ChainStore.writeTransactions(
+        graft.chain.Chain.transactions(s, dir), out)
+      consumeEphemeral(s, Seq(out))(
+        s.read.parquet(s"$out/transaction")
+          .filter(col("tx_id_group").cast("long") >= cursor / 25000L &&
+            col("tx_id") > cursor)
+          .orderBy(col("tx_id")).limit(25)
+          .select(col("tx_id"), col("block_id"),
+            col("tx_id_group").cast("long").as("tx_id_group")))
+    }),
+
     "store_time_travel" -> ((s, dir) => {
       val out = tmp("store")
       val tx = graft.chain.Chain.transactions(s, dir)
@@ -564,6 +590,12 @@ object StreamQueries {
         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(count(*) AS BIGINT), CAST(sum(tx_id % 100) AS BIGINT)
         |FROM tx WHERE block_id >= 1600""".stripMargin),
+
+    // the page stated from the source: 25 txs strictly after the cursor
+    "store_keyset_page" -> withCtes(ChainSql.tx)(
+      """SELECT tx_id, block_id, tx_id_group
+        |FROM tx WHERE tx_id > 9000
+        |ORDER BY tx_id LIMIT 25""".stripMargin),
 
     // the as-of-epoch-1 snapshot is exactly the first two block ranges
     "store_time_travel" -> withCtes(ChainSql.tx)(
