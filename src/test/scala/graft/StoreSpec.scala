@@ -152,6 +152,25 @@ class StoreSpec extends SparkSpec {
       plan.contains("tx_id_group"), s"no partition pruning in:\n$plan")
   }
 
+  test("keyset page prunes buckets below the cursor and avoids a " +
+      "global sort") {
+    val cursor = 30L
+    val page = spark.read.parquet(s"$out/transaction")
+      .filter(col("tx_id_group").cast("long") >= cursor / 25000L &&
+        col("tx_id") > cursor)
+      .orderBy(col("tx_id")).limit(5)
+    val plan = page.queryExecution.executedPlan.toString
+    // the derived bucket bound must reach the scan as a partition
+    // filter, and the page must finish as a distributed top-k, never
+    // a single-partition global sort
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("tx_id_group"), s"no partition pruning in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page is not a distributed top-k:\n$plan")
+    assert(page.select("tx_id").as[Long].collect().toSeq ===
+      (cursor + 1 to cursor + 5))
+  }
+
   test("hash prefix index lookup returns exactly the target") {
     val dir = sf("sf0.001")
     val tx = Chain.transactions(spark, dir)
