@@ -1368,7 +1368,7 @@ object GraphQueries {
     "graph_hits" -> withCtes(
       edgeCtes ++
         Seq(s"hh0 AS (SELECT node, CAST($PrScale AS BIGINT) AS s FROM fnodes)") ++
-        (1 to HitsIters).flatMap(i => hitsIterCtes(i)): _*)(
+        (1 to HitsIters).flatMap(i => hitsIterCtes(i, materialized = true)): _*)(
       s"""SELECT n.node AS address, h.s AS hub, a.s AS authority
          |FROM fnodes n JOIN hh$HitsIters h ON h.node = n.node
          |JOIN ha$HitsIters a ON a.node = n.node""".stripMargin),

@@ -143,26 +143,33 @@ object TextQueries {
     (top, next)
   }
 
-  /** DuckDB mirror of [[bpeRound]] r (reads s{r}, defines s{r+1}). */
+  /** DuckDB mirror of [[bpeRound]] r (reads s{r}, defines s{r+1}).
+    *
+    * Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    * round references its predecessor's frames several times (s{r}
+    * twice in pr{r} plus once in sx{r}; sel{r} twice in sx{r}) — over
+    * 4 unrolled rounds the re-inlining is exponential and turned the
+    * bpe_encode oracle into a 400 s query at sf0.01. Pinning each
+    * round to one evaluation keeps the whole chain in seconds. */
   private def bpeRoundCtes(r: Int): Seq[String] = Seq(
-    s"""pr$r AS (
+    s"""pr$r AS MATERIALIZED (
        |  SELECT a.word, a.freq, a.p, a.sym AS sa, b.sym AS sb
        |  FROM s$r a JOIN s$r b ON a.word = b.word AND b.p = a.p + 1)""".stripMargin,
-    s"""tp$r AS (
+    s"""tp$r AS MATERIALIZED (
        |  SELECT sa, sb, CAST(sum(freq) AS BIGINT) AS n
        |  FROM pr$r GROUP BY sa, sb
        |  ORDER BY n DESC, sa, sb LIMIT 1)""".stripMargin,
-    s"""mt$r AS (
+    s"""mt$r AS MATERIALIZED (
        |  SELECT p1.word, p1.p,
        |    row_number() OVER (PARTITION BY p1.word ORDER BY p1.p) AS idx
        |  FROM pr$r p1 JOIN tp$r t ON p1.sa = t.sa AND p1.sb = t.sb)""".stripMargin,
-    s"""sel$r AS (
+    s"""sel$r AS MATERIALIZED (
        |  SELECT word, p FROM (
        |    SELECT word, p,
        |      min(p) OVER (PARTITION BY word, p - idx) AS p0
        |    FROM mt$r)
        |  WHERE (p - p0) % 2 = 0)""".stripMargin,
-    s"""sx$r AS (
+    s"""sx$r AS MATERIALIZED (
        |  SELECT s.word, s.freq, s.p, s.sym,
        |    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.p) AS sym_next,
        |    (m1.p IS NOT NULL) AS is_start,
@@ -170,7 +177,7 @@ object TextQueries {
        |  FROM s$r s
        |  LEFT JOIN sel$r m1 ON m1.word = s.word AND m1.p = s.p
        |  LEFT JOIN sel$r m2 ON m2.word = s.word AND m2.p = s.p - 1)""".stripMargin,
-    s"""s${r + 1} AS (
+    s"""s${r + 1} AS MATERIALIZED (
        |  SELECT word, freq,
        |    CAST(row_number() OVER (PARTITION BY word ORDER BY p) AS BIGINT) AS p,
        |    CASE WHEN is_start THEN sym || sym_next ELSE sym END AS sym
@@ -1447,11 +1454,11 @@ object TextQueries {
     // round's pair-count / top-pair / island-parity merge is one CTE
     // block from bpeRoundCtes; the body unions the 4 learned merges
     "bpe_merges" -> withCtes((Seq(docWordsSql,
-      """vocab AS (
+      """vocab AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(w) AS word FROM words)
         |  WHERE length(word) >= 1 GROUP BY word)""".stripMargin,
-      """s0 AS (
+      """s0 AS MATERIALIZED (
         |  SELECT word, freq, CAST(i AS BIGINT) AS p, substr(word, i, 1) AS sym
         |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
         |        FROM vocab))""".stripMargin) ++
@@ -1467,11 +1474,11 @@ object TextQueries {
     // encoded-dictionary mirror: the same unrolled merge rounds, then
     // per-word symbol counts joined back to the document words
     "bpe_encode" -> withCtes((Seq(docWordsSql,
-      """vocab AS (
+      """vocab AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(w) AS word FROM words)
         |  WHERE length(word) >= 1 GROUP BY word)""".stripMargin,
-      """s0 AS (
+      """s0 AS MATERIALIZED (
         |  SELECT word, freq, CAST(i AS BIGINT) AS p, substr(word, i, 1) AS sym
         |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
         |        FROM vocab))""".stripMargin) ++
