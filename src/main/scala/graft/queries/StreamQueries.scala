@@ -305,18 +305,20 @@ object StreamQueries {
     // skip via the min/max stats on the sorted tx_id, then a
     // distributed top-k (no global sort). Oracle states the page from
     // the source table; tx_id is unique so the page is deterministic.
+    // The store itself is PARKED once per fixture (StoreMaterialize):
+    // the entry is a pure read-side query, like a serving layer's.
     "store_keyset_page" -> ((s, dir) => {
-      val out = tmp("page")
       val cursor = 9000L
-      graft.chain.ChainStore.writeTransactions(
-        graft.chain.Chain.transactions(s, dir), out)
-      consumeEphemeral(s, Seq(out))(
-        s.read.parquet(s"$out/transaction")
-          .filter(col("tx_id_group").cast("long") >= cursor / 25000L &&
-            col("tx_id") > cursor)
-          .orderBy(col("tx_id")).limit(25)
-          .select(col("tx_id"), col("block_id"),
-            col("tx_id_group").cast("long").as("tx_id_group")))
+      val store = graft.ops.StoreMaterialize.transactionStore(s, dir)(
+        out => graft.chain.ChainStore.writeTransactions(
+          graft.chain.Chain.transactions(s, dir), out))
+      s.read.parquet(s"$store/transaction")
+        .filter(col("tx_id_group").cast("long") >=
+            cursor / graft.chain.Chain.TxBucketSize &&
+          col("tx_id") > cursor)
+        .orderBy(col("tx_id")).limit(25)
+        .select(col("tx_id"), col("block_id"),
+          col("tx_id_group").cast("long").as("tx_id_group"))
     }),
 
     "store_time_travel" -> ((s, dir) => {

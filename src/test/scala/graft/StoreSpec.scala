@@ -156,7 +156,8 @@ class StoreSpec extends SparkSpec {
       "global sort") {
     val cursor = 30L
     val page = spark.read.parquet(s"$out/transaction")
-      .filter(col("tx_id_group").cast("long") >= cursor / 25000L &&
+      .filter(col("tx_id_group").cast("long") >=
+          cursor / Chain.TxBucketSize &&
         col("tx_id") > cursor)
       .orderBy(col("tx_id")).limit(5)
     val plan = page.queryExecution.executedPlan.toString
