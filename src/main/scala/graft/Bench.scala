@@ -39,15 +39,6 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    // Deterministic cache policy: the materialized tiers under
-    // target/intermediate are keyed by fixture mtime, so whether a bench
-    // run found them warm or cold depended on what ran before it — r06
-    // vs r07 "regressions" were cache illusions. Build entries are now
-    // ALWAYS cold (tier root wiped first) and query entries always warm
-    // (builds precede them), so both are reproducible run-over-run.
-    {
-      graft.ops.Tiers.wipe()
-    }
     // a failed build/query must never masquerade as a fast time: record
     // failures per-entry (value -1) and count them into the summary
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -63,70 +54,101 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // each parked tier is its own entry (a single "dedup_materialize"
-    // umbrella aliased round-over-round comparison once it grew from one
-    // tier to three); build order matters — components derive from bands
-    val matEntries = Seq(
-      timed("dedup_materialize_bands") {
-        graft.ops.DedupMaterialize.bandTable(spark, sfDir).count(); ()
-      },
-      // the cluster tiers: dedup_components/dedup_keep_one and the
-      // incremental-maintenance query then measure consumption of the
-      // parked fixpoints, not the CC builds
-      timed("dedup_materialize_components") {
-        graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
-      },
-      timed("dedup_materialize_base") {
-        graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir).count(); ()
-      },
-      // window-fingerprint tier consumed by text_dup_windows
-      timed("text_winfp_build") {
-        graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
-      },
-      // pre-batch frequency + score tiers consumed by the incremental
-      // dup-window maintenance query
-      timed("text_winfp_base_build") {
-        graft.ops.DedupMaterialize.winfpGdfBaseTable(spark, sfDir).count()
-        graft.ops.DedupMaterialize.winfpScoreBaseTable(spark, sfDir).count(); ()
-      },
-      // segment tier consumed by text_segment_dedup
-      timed("text_segment_build") {
-        graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
-      },
-      // pre-batch segment frequency + output tiers consumed by the
-      // incremental segment-dedup maintenance query
-      timed("text_segment_base_build") {
-        graft.ops.DedupMaterialize.segFreqBaseTable(spark, sfDir).count()
-        graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir).count(); ()
-      },
-      // pre-batch packed-stream manifest consumed by the incremental
-      // shard-packing maintenance query
-      timed("pack_manifest_build") {
-        graft.ops.DedupMaterialize.packManifestBaseTable(spark, sfDir)
-          .count(); ()
-      },
-      // pre-batch all-pairs result + frequency order consumed by the
-      // incremental exact-similarity maintenance query
-      timed("allpairs_base_build") {
-        graft.ops.DedupMaterialize.allPairsBaseTable(spark, sfDir).count()
-        graft.ops.DedupMaterialize.allPairsDfBaseTable(spark, sfDir).count()
-        graft.ops.DedupMaterialize.allPairsPrefixBaseTable(spark, sfDir)
-          .count(); ()
-      })
-    val bucketEntry = timed("bucketed_build") {
-      graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
+    // Deterministic cache policy: the materialized tiers under
+    // target/intermediate are keyed by fixture mtime, so whether a build
+    // ran warm or cold depended on what ran before it — r06 vs r07
+    // "regressions" were cache illusions. Build entries are ALWAYS cold
+    // (tier root wiped first) and query entries always warm (builds
+    // precede them). Each cold pass runs the whole build inventory;
+    // TWO passes run and the per-entry MIN is reported — single-shot
+    // cold timings on a shared machine swung the driver's round
+    // headline 1.5× (r10: 86 s driver vs 59 s quiet rerun), and builds
+    // are ~85 % of the total.
+    def coldBuildPass(): Seq[(String, Double)] = {
+      graft.ops.Tiers.wipe()
+      graft.queries.RefQueries.invalidateBucketedCache()
+      // each parked tier is its own entry; build order matters —
+      // components derive from bands
+      Seq(
+        timed("dedup_materialize_bands") {
+          graft.ops.DedupMaterialize.bandTable(spark, sfDir).count(); ()
+        },
+        // the cluster tiers: dedup_components/dedup_keep_one and the
+        // incremental-maintenance query then measure consumption of the
+        // parked fixpoints, not the CC builds
+        timed("dedup_materialize_components") {
+          graft.ops.DedupMaterialize.componentTable(spark, sfDir).count(); ()
+        },
+        timed("dedup_materialize_base") {
+          graft.ops.DedupMaterialize.componentBaseTable(spark, sfDir)
+            .count(); ()
+        },
+        // window-fingerprint tier consumed by text_dup_windows
+        timed("text_winfp_build") {
+          graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
+        },
+        // pre-batch frequency + score tiers consumed by the incremental
+        // dup-window maintenance query
+        timed("text_winfp_base_build") {
+          graft.ops.DedupMaterialize.winfpGdfBaseTable(spark, sfDir).count()
+          graft.ops.DedupMaterialize.winfpScoreBaseTable(spark, sfDir)
+            .count(); ()
+        },
+        // segment tier consumed by text_segment_dedup
+        timed("text_segment_build") {
+          graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
+        },
+        // pre-batch segment frequency + output tiers consumed by the
+        // incremental segment-dedup maintenance query
+        timed("text_segment_base_build") {
+          graft.ops.DedupMaterialize.segFreqBaseTable(spark, sfDir).count()
+          graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir)
+            .count(); ()
+        },
+        // pre-batch packed-stream manifest consumed by the incremental
+        // shard-packing maintenance query
+        timed("pack_manifest_build") {
+          graft.ops.DedupMaterialize.packManifestBaseTable(spark, sfDir)
+            .count(); ()
+        },
+        // pre-batch all-pairs result + frequency order consumed by the
+        // incremental exact-similarity maintenance query
+        timed("allpairs_base_build") {
+          graft.ops.DedupMaterialize.allPairsBaseTable(spark, sfDir).count()
+          graft.ops.DedupMaterialize.allPairsDfBaseTable(spark, sfDir).count()
+          graft.ops.DedupMaterialize.allPairsPrefixBaseTable(spark, sfDir)
+            .count(); ()
+        },
+        timed("bucketed_build") {
+          graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
+        },
+        timed("entity_build") {
+          graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
+        },
+        timed("graph_build") {
+          graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
+        },
+        // ann_recall's parked inputs: the six ANN variants' neighbor
+        // sets + brute-force ground truth (each variant's query entry
+        // still measures its own pipeline; this measures the one-time
+        // sweep materialization)
+        timed("ann_build") {
+          graft.ops.AnnMaterialize.buildAll(spark, sfDir)
+        },
+        // the serving-layout transaction store consumed by
+        // store_keyset_page's pure-read pagination
+        timed("store_build") {
+          graft.ops.StoreMaterialize.transactionStore(spark, sfDir)(out =>
+            graft.chain.ChainStore.writeTransactions(
+              graft.chain.Chain.transactions(spark, sfDir), out)); ()
+        })
     }
-    val entityEntry = timed("entity_build") {
-      graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
-    }
-    val graphEntry = timed("graph_build") {
-      graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
-    }
-    // ann_recall's parked inputs: the six ANN variants' neighbor sets +
-    // brute-force ground truth (each variant's query entry still measures
-    // its own pipeline; this measures the one-time sweep materialization)
-    val annEntry = timed("ann_build") {
-      graft.ops.AnnMaterialize.buildAll(spark, sfDir)
+    val pass1 = coldBuildPass()
+    val pass2 = coldBuildPass()
+    // min-of-2 per entry; a failure in EITHER pass reports the entry
+    // failed — never the other pass's time
+    val builds = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     // query entries: warm (builds already ran), best-of-2 — the first
@@ -157,8 +179,6 @@ object Bench {
 
     // headline set (comparable round-over-round), then the full
     // inventory so per-family regressions are visible in every round
-    val builds = matEntries ++
-      Seq(bucketEntry, entityEntry, graphEntry, annEntry)
     val headlineTimes = time(headline)
     val results = builds ++ headlineTimes
     val rest = time(
@@ -172,9 +192,10 @@ object Bench {
     // construction cost moved" from "query latency moved"
     val buildTotal = builds.map(_._2).filter(_ >= 0).sum
     val headlineQueryTotal = headlineTimes.map(_._2).filter(_ >= 0).sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson =
+      errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","build_total_sec":$buildTotal,"headline_query_sec":$headlineQueryTotal,"queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","build_total_sec":$buildTotal,"headline_query_sec":$headlineQueryTotal,"queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.distinct.size},"errors":$errJson,"sf":"$sfDir"}"""
     // durable copy first (the full inventory is long and consoles
     // truncate), then the compact headline line LAST so a tail-capture
     // always gets the parseable totals; the file write must never take
@@ -191,7 +212,7 @@ object Bench {
     // only advertise the artifact when it was actually written — a stale
     // or missing pointer is worse than none
     val fullPtr = if (wroteFull) "\"target/bench.json\"" else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":${errors.size},"sf":"$sfDir","full":$fullPtr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":${errors.distinct.size},"sf":"$sfDir","full":$fullPtr}""")
     spark.stop()
   }
 }

@@ -56,6 +56,11 @@ object RefQueries {
     } finally { ia.unpersist(); () }
   }
 
+  /** Drop the JVM-side bucketed-table memo so the next
+    * [[buildBucketedTables]] rebuilds cold — Bench's min-of-2 cold
+    * build passes need a true second cold run, not a memo hit. */
+  def invalidateBucketedCache(): Unit = bucketedFor.set("")
+
   /** Dev hook for [[graft.ProfileEntity]]: build ONE tier by name. */
   def profileEntityTier(s: SparkSession, dir: String, which: String): Unit = {
     which match {
