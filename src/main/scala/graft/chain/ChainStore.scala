@@ -85,19 +85,46 @@ object ChainStore extends ChainSink {
         "are needed.")
     // expired-snapshot guard: after a history vacuum the earliest
     // serveable snapshot is the fold epoch — a request below it would
-    // silently return a partial (or empty) table. Directory listing
-    // only (the same partition discovery the read itself performs).
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val epochs = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$out/transaction", "*/ingest_epoch=*"))
-      .map(_.getPath.getName.stripPrefix("ingest_epoch=").toLong)
-    require(epochs.isEmpty || epoch >= epochs.min,
-      s"snapshot $epoch expired: history below epoch ${epochs.min} was " +
-        "vacuumed from the store — the oldest serveable snapshot is " +
-        s"${epochs.min}")
+    // silently return a partial table. The floor comes from the marker
+    // [[vacuumTransactionsBelow]] records, NOT from the minimum epoch
+    // present: a store whose epoch numbering simply starts above 0 has
+    // never vacuumed anything, and an as-of read below its first epoch
+    // is a valid (empty) snapshot, not an error.
+    vacuumFloor(s, out).foreach { floor =>
+      require(epoch >= floor,
+        s"snapshot $epoch expired: history below epoch $floor was " +
+          "vacuumed from the store — the oldest serveable snapshot is " +
+          s"$floor")
+    }
     df.filter(col("ingest_epoch") <= epoch)
       .drop("ingest_epoch")
+  }
+
+  private def vacuumFloorPath(out: String) =
+    new org.apache.hadoop.fs.Path(s"$out/transaction_vacuum_floor")
+
+  /** The recorded vacuum floor: the oldest epoch whose snapshot is
+    * still serveable, None when the store has never been vacuumed. */
+  def vacuumFloor(s: SparkSession, out: String): Option[Long] = {
+    val p = vacuumFloorPath(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeVacuumFloor(s: SparkSession, out: String,
+      floor: Long): Unit = {
+    val p = vacuumFloorPath(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(floor.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
   }
 
   /** Maintenance: compact a transaction store into the sealed batch
@@ -138,7 +165,17 @@ object ChainStore extends ChainSink {
     * and the store stays epoch-keyed, so ingest resume and future
     * vacuums keep working. */
   def vacuumTransactionsBelow(s: SparkSession, out: String,
-      floor: Long): Unit =
+      floor: Long): Unit = {
+    // the floor marker is recorded BEFORE the rewrite and is monotone
+    // (repeat vacuums never lower it): a crash mid-rewrite then refuses
+    // below-floor reads conservatively — history may still be intact,
+    // but a partial snapshot is never served
+    require(s.read.parquet(s"$out/transaction").schema.fieldNames
+        .contains("ingest_epoch"),
+      s"store at $out/transaction is not epoch-keyed: nothing to vacuum")
+    val recorded = math.max(vacuumFloor(s, out).getOrElse(Long.MinValue),
+      floor)
+    writeVacuumFloor(s, out, recorded)
     stagedRewrite(s, out) { (df, staged) =>
       require(df.schema.fieldNames.contains("ingest_epoch"),
         s"store at $out/transaction is not epoch-keyed: nothing to vacuum")
@@ -150,6 +187,7 @@ object ChainStore extends ChainSink {
         .partitionBy("tx_id_group", "ingest_epoch")
         .parquet(staged)
     }
+  }
 
   /** Shared staged-swap protocol for store maintenance (compaction and
     * history vacuum): read the live table, rewrite through `rewrite`

@@ -33,6 +33,10 @@ object Hits {
     *         uniform h_0 = Scale start */
   def runFromEdges(edges: DataFrame, iters: Int,
       materialize: PageRank.Materializer = Materialize.truncate): DataFrame = {
+    // unlike PageRank (whose 0-round result is the well-defined uniform
+    // start), HITS has no meaningful 0-round hub/authority pair — fail
+    // loud instead of NPE-ing in the final join
+    require(iters >= 1, s"HITS needs at least one round (got $iters)")
     val e = materialize(edges.select(col("src"), col("dst")))
     val nodes = materialize(
       e.select(col("src").as("node"))
@@ -50,7 +54,8 @@ object Hits {
         .select(col("node"), expr(s"(raw * ${Scale}L) div mx").as("s"))
     }
 
-    var h = materialize(nodes.select(col("node"), lit(Scale).as("s")))
+    val h0 = materialize(nodes.select(col("node"), lit(Scale).as("s")))
+    var h = h0
     var a: DataFrame = null
     for (i <- 1 to iters) {
       val aPrev = a
@@ -58,10 +63,15 @@ object Hits {
       val hPrev = h
       h = materialize(sweep(a, "dst", "src"))
       // round i-1's frames are dead once round i is materialized
-      // (h_0 doubles as the node frame — freed by the caller's
-      // releasePinnedLeaves, not here)
       if (i > 1) { Materialize.release(hPrev); Materialize.release(aPrev) }
     }
+    // e and the uniform start h_0 are operator-internal and dead once
+    // the final round is materialized — freed here, or a
+    // checkpoint-dir session leaks one rdd-N directory per invocation
+    // (ContextCleaner does not delete checkpoint files by default).
+    // `nodes` stays: the returned lazy join reads it.
+    Materialize.release(e)
+    Materialize.release(h0)
     nodes
       .join(h.select(col("node"), col("s").as("hub")), Seq("node"))
       .join(a.select(col("node"), col("s").as("authority")), Seq("node"))

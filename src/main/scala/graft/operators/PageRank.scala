@@ -103,6 +103,18 @@ object PageRank {
               expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank")))
       if (i > 1) Materialize.release(prev)
     }
+    // the final round is materialized and lineage-free, so the
+    // operator-internal materializations (e, nodes, esrc) are dead —
+    // freed here, or a checkpoint-dir session leaks one rdd-N
+    // directory per invocation for its lifetime (ContextCleaner does
+    // not delete checkpoint files by default; release no-ops on
+    // non-checkpoint-backed frames). iters <= 0 returns the
+    // un-materialized uniform frame, which still references nodes —
+    // nothing can be freed on that path.
+    if (iters >= 1) {
+      Materialize.release(esrc); Materialize.release(e)
+      Materialize.release(nodes)
+    }
     ranks
   }
 
@@ -130,6 +142,15 @@ object PageRank {
       // round i-1's rank blocks are dead once round i is materialized
       // (round 1's prev is the un-materialized uniform frame — no-op)
       if (i > 1) Materialize.release(prev)
+    }
+    // see runWeightedFromEdges: the edge/node materializations are
+    // operator-scoped on every caller path (run / runPersonalized /
+    // runFromEdges each materialize fresh copies), so once the final
+    // round is materialized they are dead and freed here. iters <= 0
+    // returns the un-materialized uniform frame — skip.
+    if (iters >= 1) {
+      Materialize.release(esrc); Materialize.release(edges)
+      Materialize.release(nodes)
     }
     ranks
   }

@@ -119,6 +119,20 @@ class StoreSpec extends SparkSpec {
       tx.count())
   }
 
+  test("as-of below a never-vacuumed store's first epoch is a valid " +
+      "empty snapshot, not an 'expired' error") {
+    val dir = sf("sf0.001")
+    val nout = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "novac_").toString
+    val tx = Chain.transactions(spark, dir)
+    // epoch numbering starts at 1 — nothing was ever vacuumed
+    ChainStore.writeTransactionsEpoch(tx, nout, 1L)
+    assert(ChainStore.vacuumFloor(spark, nout) === None)
+    assert(ChainStore.readTransactionsAsOf(spark, nout, 0L).count() === 0L)
+    assert(ChainStore.readTransactionsAsOf(spark, nout, 1L).count() ===
+      tx.count())
+  }
+
   test("as-of read returns each epoch's snapshot and prunes partitions") {
     val dir = sf("sf0.001")
     val tout = Files.createTempDirectory(
