@@ -33,7 +33,7 @@ object AnnMaterialize {
     locks.computeIfAbsent(path, _ => new Object)
 
   /** Bump on any change to the ANN variant set or their parameters. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2 // r11: IvfProbes 2→3, multiprobe at TunedBits
 
   private def base(dir: String): String = {
     val f = new File(s"$dir/embeddings.parquet")

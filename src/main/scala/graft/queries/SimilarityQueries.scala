@@ -52,6 +52,11 @@ object SimilarityQueries {
   /** Recall-tuned LSH width for the fixture corpus (see ann_recall). */
   private val TunedBits = 4
 
+  /** IVF probe count (nearest inverted lists each query scans).
+    * ann_recall drove the move from 2: with k = 16 lists, 3 probes
+    * lifted seed-IVF recall while candidates stay ≈ 3/16 of corpus. */
+  private val IvfProbes = 3
+
   /** Product-quantization geometry: 4 subspaces × 16 components, 16
     * centroids per subspace → each 64-dim vector compresses to 4 codes. */
   private val PqM = 4
@@ -62,19 +67,60 @@ object SimilarityQueries {
   private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
     graft.api.Similarity.lshBuckets(s, e)
 
-  /** Single-probe LSH ANN at a given hyperplane width: bucket keys,
-    * same-bucket candidates, exact cosine top-3. */
-  private def lshAnn(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val e = emb(s, dir)
-    val buckets = graft.api.Similarity.lshBuckets(s, e, bits)
+  /** Single-probe LSH candidates at a given hyperplane width — the
+    * candidate frame [[lshAnn]] re-ranks and ann_candidates counts
+    * (ONE derivation, so the logged counts measure the shipped
+    * method). */
+  private def lshCandidates(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val buckets = graft.api.Similarity.lshBuckets(s, emb(s, dir), bits)
     val qb = buckets.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("bucket"))
-    val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+    buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
       .join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    cosTopK(e, cand, 3)
   }
+
+  /** Multi-probe candidates (own bucket + all Hamming-distance-1
+    * flips) at a given width — shared by embed_lsh_multiprobe and
+    * ann_candidates. */
+  private def multiprobeCandidates(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val buckets = graft.api.Similarity.lshBuckets(s, emb(s, dir), bits)
+    val probes = graft.api.Similarity.multiProbes(
+      buckets.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("bucket")), bits)
+      .select(col("query_id"), col("probe").as("bucket"))
+    buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+  }
+
+  /** IVF candidates over the SEED centroids (first 16 vectors). */
+  private def ivfSeedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    graft.api.Similarity.ivfCandidates(
+      e, cents, col("vec_id") % QueryStride === 0, probes = IvfProbes)
+  }
+
+  /** IVF candidates over LEARNED centroids (Lloyd rounds). */
+  private def ivfKmeansCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = graft.api.Similarity.kmeansCentroids(
+      e, k = 16, iters = KmeansIters)
+    graft.api.Similarity.ivfCandidates(
+      e, cents, col("vec_id") % QueryStride === 0, probes = IvfProbes)
+  }
+
+  /** Single-probe LSH ANN at a given hyperplane width: bucket keys,
+    * same-bucket candidates, exact cosine top-3. */
+  private def lshAnn(s: SparkSession, dir: String, bits: Int): DataFrame =
+    cosTopK(emb(s, dir), lshCandidates(s, dir, bits), 3)
 
   private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame =
     graft.api.Similarity.cosTopK(data, pairs, k)
@@ -133,14 +179,8 @@ object SimilarityQueries {
     // reproducible across engines and cluster sizes. Each round is
     // materialized (k×dim bigints collected into literals), so the plan
     // depth stays O(1) in the iteration count.
-    "embed_ivf_kmeans" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val cents = graft.api.Similarity.kmeansCentroids(
-        e, k = 16, iters = KmeansIters)
-      val cand = graft.api.Similarity.ivfCandidates(
-        e, cents, col("vec_id") % QueryStride === 0, probes = 2)
-      cosTopK(e, cand, 3)
-    }),
+    "embed_ivf_kmeans" -> ((s, dir) =>
+      cosTopK(emb(s, dir), ivfKmeansCandidates(s, dir), 3)),
 
     // semantic decontamination (the embedding-level twin of
     // text_decontaminate): every training vector is LSH-bucketed
@@ -193,22 +233,16 @@ object SimilarityQueries {
       graft.api.Similarity.semDedup(e, cents, threshold = 0.99)
     }),
 
-    // multi-probe LSH: each query also probes the 8 buckets at Hamming
-    // distance 1 from its own (flip one hyperplane bit) — recovers most
-    // of the recall a single-bucket probe loses, still an equi-join.
-    "embed_lsh_multiprobe" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val buckets = lshBuckets(s, e)
-      val probes = graft.api.Similarity.multiProbes(
-        buckets.filter(col("vec_id") % QueryStride === 0)
-          .select(col("vec_id").as("query_id"), col("bucket")), bits = 8)
-        .select(col("query_id"), col("probe").as("bucket"))
-      val cand = buckets.select(col("vec_id").as("neighbor_id"), col("bucket"))
-        .join(probes, Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
-      cosTopK(e, cand, 3)
-    }),
+    // multi-probe LSH AT THE TUNED WIDTH: each query probes its own
+    // bucket plus the TunedBits buckets at Hamming distance 1 (flip one
+    // hyperplane bit) — still an equi-join on the probe key. ann_recall
+    // drove the move from 8-bit single-Hamming (1/6): at width 4 the
+    // probe set covers 5 of 16 buckets, recovering the recall the
+    // narrow single probe loses while candidates stay bucket-bounded;
+    // at 1e9 vectors the same query runs wider (bits≈24) with the same
+    // probe rule.
+    "embed_lsh_multiprobe" -> ((s, dir) =>
+      cosTopK(emb(s, dir), multiprobeCandidates(s, dir, TunedBits), 3)),
 
     // brute-force top-5 again, but through the bounded TopKAgg instead of
     // a ranking window: partial top-k prunes candidates map-side, so the
@@ -247,15 +281,8 @@ object SimilarityQueries {
     // centroid set is where k-means would plug in; the join/shuffle
     // shape — broadcast centroids, argmin window, candidate equi-join on
     // list id — is the production IVF shape.
-    "embed_ivf_ann" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("n2").as("cn2"))
-      val cand = graft.api.Similarity.ivfCandidates(
-        e, cents, col("vec_id") % QueryStride === 0, probes = 2)
-      cosTopK(e, cand, 3)
-    }),
+    "embed_ivf_ann" -> ((s, dir) =>
+      cosTopK(emb(s, dir), ivfSeedCandidates(s, dir), 3)),
 
     // product-quantization ANN: per-subspace codebooks (seeded like the
     // IVF centroids), each vector encoded as 4 codes, queries ranked by
@@ -337,6 +364,36 @@ object SimilarityQueries {
             (col("n_hits").cast("double") / col("n_truth").cast("double"))
               .as("recall"))
       AnnMethods.map(recallOf).reduce(_.unionByName(_))
+    }),
+
+    // candidate-set sizes per ANN method — recall's other half: a
+    // variant is only "approximate" if its candidates stay a small
+    // corpus fraction (a method can always buy recall by probing
+    // everything). Counts come from the SAME candidate derivations the
+    // shipped queries re-rank, so the logged numbers are the methods'.
+    // PQ has no candidate cut (ADC ranks the whole compressed corpus)
+    // — its row states corpus−1 per query explicitly.
+    "ann_candidates" -> ((s, dir) => {
+      def countsOf(method: String, cand: DataFrame): DataFrame =
+        cand.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_candidates"))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("n_candidates"),
+            (col("n_candidates").cast("double") /
+              col("n_queries").cast("double")).as("avg_candidates"))
+      val pq = emb(s, dir).agg(count(lit(1)).as("n"),
+          sum(when(col("vec_id") % QueryStride === 0, 1L).otherwise(0L))
+            .as("nq"))
+        .select(lit("pq").as("method"), col("nq").as("n_queries"),
+          (col("nq") * (col("n") - 1L)).as("n_candidates"),
+          (col("n") - 1L).cast("double").as("avg_candidates"))
+      Seq(
+        countsOf("ivf", ivfSeedCandidates(s, dir)),
+        countsOf("ivf_kmeans", ivfKmeansCandidates(s, dir)),
+        countsOf("lsh", lshCandidates(s, dir, 8)),
+        countsOf("lsh_tuned", lshCandidates(s, dir, TunedBits)),
+        countsOf("multiprobe", multiprobeCandidates(s, dir, TunedBits)))
+        .reduce(_.unionByName(_)).unionByName(pq)
     }),
 
     // random-projection dimensionality reduction (Achlioptas ±1 / sign
@@ -614,7 +671,7 @@ object SimilarityQueries {
       s"lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
       s"""probes AS (
          |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
-         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
       """cand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id
@@ -638,25 +695,12 @@ object SimilarityQueries {
         |WHERE rank <= 3""".stripMargin),
 
     "embed_lsh_multiprobe" -> withCtes(embSql, eeSql, normSql,
-      """hyper AS (
-        |  SELECT j, i,
-        |    2 * (instr('0123456789abcdef',
-        |         substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS h
-        |  FROM (SELECT unnest(range(0, 8)) AS j),
-        |       (SELECT unnest(range(1, 65)) AS i))""".stripMargin,
-      """buckets AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN sdot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
-        |         AS BIGINT) AS bucket
-        |  FROM (SELECT e.vec_id, h.j, sum(e.v * h.h) AS sdot
-        |        FROM ee e JOIN hyper h ON e.i = h.i
-        |        GROUP BY e.vec_id, h.j)
-        |  GROUP BY vec_id)""".stripMargin,
+      hyperSqlFor(TunedBits, "hyper"), bucketsSqlFor("hyper", "buckets"),
       s"""probes AS (
          |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
          |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
          |  FROM (SELECT vec_id AS query_id, bucket,
-         |          unnest(range(-1, 8)) AS p
+         |          unnest(range(-1, $TunedBits)) AS p
          |        FROM buckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
       """cand AS (
         |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
@@ -698,7 +742,7 @@ object SimilarityQueries {
       "lists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked WHERE crank = 1)",
       s"""probes AS (
          |  SELECT vec_id AS query_id, cent_id FROM ranked
-         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
       """cand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id
@@ -748,12 +792,12 @@ object SimilarityQueries {
          |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
          |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
          |  FROM (SELECT vec_id AS query_id, bucket,
-         |          unnest(range(-1, 8)) AS p
-         |        FROM buckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
+         |          unnest(range(-1, $TunedBits)) AS p
+         |        FROM tbuckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
       """mpcand AS (
         |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
         |  FROM mpprobes p
-        |  JOIN buckets db ON p.bucket = db.bucket
+        |  JOIN tbuckets db ON p.bucket = db.bucket
         |  WHERE db.vec_id != p.query_id)""".stripMargin) ++
       rerankCtes("mp", "mpcand") ++ Seq(
       // IVF candidates over the 16 seed centroids (mirror of embed_ivf_ann)
@@ -773,7 +817,7 @@ object SimilarityQueries {
       "ilists AS (SELECT vec_id AS neighbor_id, cent_id FROM iranked WHERE crank = 1)",
       s"""iprobes AS (
          |  SELECT vec_id AS query_id, cent_id FROM iranked
-         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
       """icand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM iprobes p JOIN ilists l ON p.cent_id = l.cent_id
@@ -785,7 +829,7 @@ object SimilarityQueries {
       s"klists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
       s"""kprobes AS (
          |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
-         |  WHERE crank <= 2 AND vec_id % $QueryStride = 0)""".stripMargin,
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
       """kcand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
@@ -833,6 +877,94 @@ object SimilarityQueries {
         |    (SELECT count(*) FROM gttopk g JOIN pqtopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk))""".stripMargin),
+
+    // candidate counts per method — the same cand CTE shapes as the
+    // per-method oracles (8-bit + tuned buckets, multiprobe over the
+    // tuned width, seed + learned IVF at $IvfProbes probes), counted
+    // instead of re-ranked; PQ rows state corpus−1 per query
+    "ann_candidates" -> withCtes((Seq(embSql, eeSql, normSql,
+      hyperSql, bucketsSql,
+      hyperSqlFor(TunedBits, "thyper"), bucketsSqlFor("thyper", "tbuckets"),
+      s"""lcand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM buckets qb
+         |  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      s"""tcand AS (
+         |  SELECT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+         |  FROM tbuckets qb
+         |  JOIN tbuckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
+      s"""mpprobes AS (
+         |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
+         |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id AS query_id, bucket,
+         |          unnest(range(-1, $TunedBits)) AS p
+         |        FROM tbuckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
+      """mpcand AS (
+        |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
+        |  FROM mpprobes p
+        |  JOIN tbuckets db ON p.bucket = db.bucket
+        |  WHERE db.vec_id != p.query_id)""".stripMargin,
+      """icdist AS (
+        |  SELECT e.vec_id, c.vec_id AS cent_id,
+        |         ne.n2 + nc.n2 - 2 * CAST(sum(e.v * c.v) AS BIGINT) AS dist2
+        |  FROM ee e
+        |  JOIN ee c ON c.vec_id < 16 AND c.i = e.i
+        |  JOIN norm ne ON ne.vec_id = e.vec_id
+        |  JOIN norm nc ON nc.vec_id = c.vec_id
+        |  GROUP BY e.vec_id, c.vec_id, ne.n2, nc.n2)""".stripMargin,
+      """iranked AS (
+        |  SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist2, cent_id) AS crank
+        |  FROM icdist)""".stripMargin,
+      "ilists AS (SELECT vec_id AS neighbor_id, cent_id FROM iranked WHERE crank = 1)",
+      s"""iprobes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM iranked
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
+      """icand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM iprobes p JOIN ilists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
+      kmeansRoundCtes(KmeansIters) ++ Seq(
+      s"klists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
+      s"""kprobes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
+         |  WHERE crank <= $IvfProbes AND vec_id % $QueryStride = 0)""".stripMargin,
+      """kcand AS (
+        |  SELECT DISTINCT p.query_id, l.neighbor_id
+        |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin)): _*)(
+      s"""SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_candidates AS DOUBLE) / CAST(n_queries AS DOUBLE)
+         |         AS avg_candidates
+         |FROM (
+         |  SELECT 'ivf' AS method,
+         |    (SELECT count(DISTINCT query_id) FROM icand) AS n_queries,
+         |    (SELECT count(*) FROM icand) AS n_candidates
+         |  UNION ALL
+         |  SELECT 'ivf_kmeans',
+         |    (SELECT count(DISTINCT query_id) FROM kcand),
+         |    (SELECT count(*) FROM kcand)
+         |  UNION ALL
+         |  SELECT 'lsh',
+         |    (SELECT count(DISTINCT query_id) FROM lcand),
+         |    (SELECT count(*) FROM lcand)
+         |  UNION ALL
+         |  SELECT 'lsh_tuned',
+         |    (SELECT count(DISTINCT query_id) FROM tcand),
+         |    (SELECT count(*) FROM tcand)
+         |  UNION ALL
+         |  SELECT 'multiprobe',
+         |    (SELECT count(DISTINCT query_id) FROM mpcand),
+         |    (SELECT count(*) FROM mpcand)
+         |  UNION ALL
+         |  SELECT 'pq',
+         |    (SELECT count(*) FROM emb WHERE vec_id % $QueryStride = 0),
+         |    (SELECT count(*) FROM emb WHERE vec_id % $QueryStride = 0)
+         |      * ((SELECT count(*) FROM emb) - 1))""".stripMargin),
 
     "embed_decontaminate" -> withCtes(
       embcSql,
