@@ -265,4 +265,62 @@ class StoreSpec extends SparkSpec {
     for (t <- graft.chain.CqlSchema.tables.map(_.name))
       assert(ddl.contains(s"CREATE TABLE $t"), s"missing table $t in DDL")
   }
+
+  test("per-table writer contracts: full option map, and every shipped " +
+      "column lands in a declared CQL column of its table") {
+    import org.apache.spark.sql.types._
+    val cfg = SinkConfig(keyspace = "ltc", nodes = Seq("db1"),
+      port = 9043, concurrency = 64, consistency = "ONE")
+    val shipped = scala.collection.mutable.Map.empty[String, StructType]
+    val ids = scala.collection.mutable.Map.empty[String, String]
+    val sink = new CassandraShapedSink(cfg) {
+      override protected def save(df: org.apache.spark.sql.DataFrame,
+          table: String): Unit = {
+        shipped(table) = df.schema
+        if (df.schema.fieldNames.contains("id"))
+          ids(table) = df.select("id").head().getString(0)
+      }
+    }
+    ChainSink.writeChain(spark, sf("sf0.001"), out = "", sink)
+    val declared = graft.chain.CqlSchema.tables.map(t => t.name -> t).toMap
+    assert(shipped.keySet === declared.keySet)
+    // the full option map per table — the connector contract a live
+    // cluster would read (the closest zero-egress proxy to executing
+    // .save(); the reference CLI surface: blocksci_export.py:396-418)
+    for (t <- declared.keySet) {
+      assert(sink.writerOptions(t) === Map(
+        "keyspace" -> "ltc", "table" -> t,
+        "spark.cassandra.connection.host" -> "db1",
+        "spark.cassandra.connection.port" -> "9043",
+        "spark.cassandra.output.concurrent.writes" -> "64",
+        "spark.cassandra.output.consistency.level" -> "ONE"))
+    }
+    // shipped column → declared CQL column of THAT table, with a
+    // storage-compatible type (same narrowing table as SchemaSpec)
+    def compatible(dt: DataType, cqlType: String): Boolean = {
+      val c = cqlType.toLowerCase.replaceAll("\\s+", "")
+      dt match {
+        case LongType => Set("bigint", "int", "smallint")(c)
+        case StringType => Set("text", "blob")(c)
+        case BinaryType => c == "blob"
+        case BooleanType => c == "boolean"
+        case ArrayType(StringType, _) => c == "list<text>"
+        case ArrayType(_: StructType, _) => c.startsWith("list<frozen<")
+        case MapType(StringType, FloatType, _) => c == "map<text,float>"
+        case _ => false
+      }
+    }
+    for ((table, schema) <- shipped; f <- schema.fields) {
+      val col = declared(table).cols
+        .find(c => c.engine == f.name || c.cql == f.name)
+      assert(col.isDefined,
+        s"$table ships undeclared column ${f.name}")
+      assert(compatible(f.dataType, col.get.cqlType),
+        s"$table.${f.name}: ${f.dataType} cannot land in " +
+          s"CQL ${col.get.cqlType}")
+    }
+    // keyspace-stamped singleton rows (blocksci_export.py:383, 625-629)
+    assert(ids("summary_statistics") === "ltc")
+    assert(ids("configuration") === "ltc")
+  }
 }
