@@ -384,6 +384,15 @@ object RefQueries {
     // configuration row (schema.cql:70-75; S8)
     "configuration" -> ((s, dir) => graft.chain.Chain.configuration(s)),
 
+    // per-chain config ingestion (conf/{btc,ltc,bch,zec}.cfg → one
+    // chain-params row per file; reference per-chain deploys
+    // blocksci_export.py -c conf/<coin>.cfg). The oracle re-parses the
+    // SAME fixture files with DuckDB's independent JSON reader, so the
+    // schema-on-read load — not just the values — is what's checked.
+    "chain_params" -> ((s, dir) =>
+      graft.chain.ChainConfig.read(s,
+        graft.chain.ChainConfig.fixtureDir())),
+
     // newest block: per-partition top-1 then global top-1 (W1,
     // blocksci_export.py:51-69)
     "newest_block" -> ((s, dir) => {
@@ -865,6 +874,25 @@ object RefQueries {
       """SELECT 'graft' AS id, CAST(100 AS BIGINT) AS block_bucket_size,
         |  CAST(5 AS BIGINT) AS tx_prefix_length,
         |  CAST(25000 AS BIGINT) AS tx_bucket_size""".stripMargin,
+
+    // independent DuckDB parse of the parked fixture config dir (the
+    // absolute path is the one ChainConfig.fixtureDir writes; Verify
+    // builds the fixture before the driver runs this SQL)
+    "chain_params" ->
+      s"""SELECT regexp_extract(filename, '([a-z0-9]+)\\.cfg$$', 1) AS currency,
+         |  chainConfig.coinName AS coin_name,
+         |  CAST(CASE WHEN parser.maxBlockNum < 0 THEN -parser.maxBlockNum
+         |       ELSE 0 END AS BIGINT) AS tip_margin,
+         |  CAST(chainConfig.segwitActivationHeight AS BIGINT)
+         |    AS segwit_activation_height,
+         |  chainConfig.segwitPrefix AS segwit_prefix,
+         |  array_to_string(list_transform(chainConfig.pubkeyPrefix,
+         |    x -> CAST(x AS VARCHAR)), ',') AS pubkey_prefix,
+         |  array_to_string(list_transform(chainConfig.scriptPrefix,
+         |    x -> CAST(x AS VARCHAR)), ',') AS script_prefix,
+         |  CAST(version AS BIGINT) AS version
+         |FROM read_json_auto(
+         |  '${graft.chain.ChainConfig.FixturePath}/*.cfg', filename=true)""".stripMargin,
 
     "newest_block" -> withCtes(ChainSql.tx, ChainSql.blk)(
       """SELECT block_id_group, block_id, ts FROM (

@@ -80,6 +80,41 @@ object StreamQueries {
     // ST5: same ingest with the tip−6 confirmation margin in force
     "stream_tip_margin" -> ((s, dir) => ingestAndReadBack(s, dir, TipMargin)),
 
+    // ST5 PER CHAIN: each chain's confirmation margin comes from its
+    // OWN config row (the chain_params fixture — the reference deploys
+    // one cfg per coin and maxBlockNum varies per file, conf/btc.cfg:20)
+    // instead of one global constant. Per-chain tips derive from the
+    // data, margins broadcast from the params table, the cut frames
+    // land through the currency-partitioned multi-chain store, and the
+    // entry reads the rollup back from that store — no driver-side
+    // scalars anywhere.
+    "stream_tip_margin_multichain" -> ((s, dir) => {
+      val out = tmp("mc")
+      val params = graft.chain.ChainConfig.read(s,
+          graft.chain.ChainConfig.fixtureDir())
+        .select(col("currency"), col("tip_margin"))
+      val t = graft.chain.Chain.transactions(s, dir)
+      val tagged = t.filter(col("tx_id") % 2 === 1)
+          .withColumn("currency", lit("btc"))
+        .unionByName(t.filter(col("tx_id") % 2 === 0)
+          .withColumn("currency", lit("ltc")))
+      val tips = tagged.groupBy(col("currency"))
+        .agg(max(col("block_id")).as("tip"))
+      val cut = tagged.join(broadcast(tips), Seq("currency"))
+        .join(broadcast(params), Seq("currency"))
+        .filter(col("block_id") <= col("tip") - col("tip_margin"))
+        .drop("tip", "tip_margin")
+      graft.chain.ChainStore.writeMultiChain(
+        Map("btc" -> cut.filter(col("currency") === "btc").drop("currency"),
+          "ltc" -> cut.filter(col("currency") === "ltc").drop("currency")),
+        out)
+      consumeEphemeral(s, Seq(out))(
+        s.read.parquet(s"$out/multichain_transaction")
+          .groupBy(col("currency").cast("string").as("currency"))
+          .agg(count(lit(1)).as("n_txs"),
+            max(col("block_id")).as("max_block")))
+    }),
+
     // W2 in motion: the source replays every 97th tx; streaming
     // dropDuplicates must restore exactly the batch row set (shares
     // stream_incremental's oracle — the driver compare proves it).
@@ -489,6 +524,25 @@ object StreamQueries {
          |WHERE block_id > $Watermark
          |  AND block_id <= (SELECT max(block_id) FROM tx) - $TipMargin
          |GROUP BY block_id""".stripMargin),
+
+    // per-chain margins = the chain_params fixture's (btc 6, ltc 12);
+    // the chain_params oracle independently checks that the engine
+    // READ those values from the config files
+    "stream_tip_margin_multichain" -> withCtes(ChainSql.tx,
+      """ch AS (SELECT 'btc' AS currency, tx_id, block_id FROM tx
+        |         WHERE tx_id % 2 = 1
+        |       UNION ALL
+        |       SELECT 'ltc' AS currency, tx_id, block_id FROM tx
+        |         WHERE tx_id % 2 = 0)""".stripMargin,
+      """mgn AS (SELECT 'btc' AS currency, 6 AS margin
+        |        UNION ALL
+        |        SELECT 'ltc' AS currency, 12 AS margin)""".stripMargin,
+      "tips AS (SELECT currency, max(block_id) AS tip FROM ch GROUP BY currency)")(
+      """SELECT ch.currency, CAST(count(*) AS BIGINT) AS n_txs,
+        |  CAST(max(block_id) AS BIGINT) AS max_block
+        |FROM ch JOIN tips USING (currency) JOIN mgn USING (currency)
+        |WHERE block_id <= tip - margin
+        |GROUP BY ch.currency""".stripMargin),
 
     // converged post-reorg state from the SOURCE: every block above the
     // watermark present exactly once; generation 1 (newest epoch in the
