@@ -49,17 +49,24 @@ object GraphQueries {
     val ia = inputPairsOf(ioa).persist()
     val ov = outputSumsOf(ioa).persist()
     try {
-      ioa.count()
-      // the two shared shuffles (input-pair distinct, output-sum agg)
-      // run once each; the three tier builds then join off the pinned
-      // results instead of re-deriving them per tier
-      ia.count(); ov.count()
+      // ONE concurrent wave: the three tier builds share the pinned
+      // explode / input-pair / output-sum frames, whose cache blocks
+      // fill lazily under the first job to need them — concurrent
+      // consumers coordinate per block in the block manager (no
+      // duplicated compute, no serialized warm-up jobs; serializing
+      // the shared counts up front cost more scheduling wall-clock
+      // than the sharing saved)
       graft.ops.Tiers.buildConcurrently(Seq(
         () => { timedEdgesFrom(s, dir, ia, ov).count(); () },
         () => { valueEdgesFrom(s, dir, ia, ov).count(); () },
         () => { peelHopsFrom(s, dir, ia, ov).count(); () },
-        () => { tagPackSource(s, dir); () }))
-      flowEdges(s, dir).count()
+        () => { tagPackSource(s, dir); () },
+        // the flow task rides the SAME wave: it blocks on the timed
+        // tier's build lock (whoever wins builds with the pinned
+        // frames), then projects the parked tier — so its serial tail
+        // overlaps the value/peel builds instead of following them
+        () => { flowEdgesOf(s, dir,
+          timedEdgesFrom(s, dir, ia, ov)).count(); () }))
       ()
     } finally { ioa.unpersist(); ia.unpersist(); ov.unpersist(); () }
   }
@@ -140,12 +147,16 @@ object GraphQueries {
     * PageRank, and any other graph consumer start from a pruned
     * two-column scan instead of re-running the io explode + self-join. */
   private def flowEdges(s: SparkSession, dir: String): DataFrame =
+    flowEdgesOf(s, dir, timedEdges(s, dir))
+
+  /** Flow tier from a caller-supplied timed-edge frame: the timed tier
+    * is flow ⋈ block occurrence, so its (src, dst) projection IS the
+    * distinct flow-edge set — one distinct over a two-column scan
+    * instead of a second io self-join. */
+  private def flowEdgesOf(s: SparkSession, dir: String,
+      te: DataFrame): DataFrame =
     graft.ops.GraphMaterialize.edgeTable(s, dir) {
-      // the timed tier is flow ⋈ block occurrence: its (src, dst)
-      // projection IS the distinct flow-edge set, so building flow
-      // from the parked timed tier costs one distinct over a
-      // two-column scan instead of a second io self-join
-      timedEdges(s, dir).select(col("src"), col("dst")).distinct()
+      te.select(col("src"), col("dst")).distinct()
     }
 
   /** (src, dst, block_id) timed flow edges — the distinct flow edges
