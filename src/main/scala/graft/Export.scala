@@ -48,7 +48,8 @@ object Export {
       startIndex: Long = 0L,
       endIndex: Long = -1L,
       tables: Option[Seq[String]] = None,
-      cutoffTs: Option[Long] = None)
+      cutoffTs: Option[Long] = None,
+      chainConfig: Option[String] = None)
 
   /** What a lifecycle did — the spec's assertion surface (the
     * reference communicates the same facts via stdout). */
@@ -117,10 +118,22 @@ object Export {
 
     if (args.info) return done(-1L, 0L, 0L, Nil)
 
+    // --chain-config: the per-coin cfg's parser.maxBlockNum caps the
+    // default range at tip − margin (the reference parses
+    // chain[: maxBlockNum], so its export never sees the margin
+    // blocks; here the same file parameterizes the export directly).
+    // An explicit --end-index wins over the config default.
+    val effEnd =
+      if (args.endIndex == -1L && args.chainConfig.nonEmpty) {
+        val m = graft.chain.ChainConfig
+          .readFile(s, args.chainConfig.get)
+          .select(col("tip_margin")).head().getLong(0)
+        -(m + 1L)
+      } else args.endIndex
     // negative end counts back from the tip (reference: len(chain)+end)
     val endResolved =
-      if (args.endIndex < 0L) lastParsed + args.endIndex + 1L
-      else args.endIndex
+      if (effEnd < 0L) lastParsed + effEnd + 1L
+      else effEnd
     if (start > lastParsed && args.continueIngest)
       return done(endResolved, 0L, 0L, Nil) // "No blocks to ingest"
     require(start <= lastParsed,
@@ -221,6 +234,8 @@ object Export {
           a = a.copy(endIndex = value("--end-index").toLong)
         case "--cutoff-ts"      =>
           a = a.copy(cutoffTs = Some(value("--cutoff-ts").toLong))
+        case "--chain-config"   =>
+          a = a.copy(chainConfig = Some(value("--chain-config")))
         case "-t" | "--tables"  =>
           val ts = scala.collection.mutable.ArrayBuffer.empty[String]
           while (i + 1 < argv.length && !argv(i + 1).startsWith("-")) {

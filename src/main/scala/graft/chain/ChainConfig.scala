@@ -78,7 +78,16 @@ object ChainConfig {
     * reference's layout), currency recovered from the input file name —
     * no per-chain code paths, a fifth chain is a fifth file. */
   def read(s: SparkSession, confDir: String): DataFrame =
-    s.read.option("multiLine", "true").json(s"$confDir/*.cfg")
+    parse(s, s"$confDir/*.cfg")
+
+  /** One chain's params from a single cfg FILE — the export CLI's
+    * `--chain-config conf/btc.cfg` shape (one file per deploy, like
+    * the reference's `-c`). */
+  def readFile(s: SparkSession, cfgPath: String): DataFrame =
+    parse(s, cfgPath)
+
+  private def parse(s: SparkSession, pathGlob: String): DataFrame =
+    s.read.option("multiLine", "true").json(pathGlob)
       .select(
         regexp_extract(input_file_name(), "([a-z0-9]+)\\.cfg", 1)
           .as("currency"),

@@ -99,6 +99,21 @@ class ExportSpec extends SparkSpec {
     assert(got.agg(max(col("block_id"))).as[Long].head() === expectEnd)
   }
 
+  test("--chain-config caps the default range at tip - margin; an " +
+      "explicit --end-index overrides") {
+    val out = tmpOut()
+    val cfgDir = graft.chain.ChainConfig.fixtureDir()
+    // ltc's fixture margin is 12
+    val r = Export.run(spark, Export.Args(config = dir, out = out,
+      chainConfig = Some(s"$cfgDir/ltc.cfg"),
+      tables = Some(Seq("block"))))
+    assert(r.endIndex === lastParsed - 12)
+    val r2 = Export.run(spark, Export.Args(config = dir, out = out,
+      chainConfig = Some(s"$cfgDir/ltc.cfg"), endIndex = 100L,
+      tables = Some(Seq("block"))))
+    assert(r2.endIndex === 100L)
+  }
+
   test("--tables subsets and validates like check_tables_arg") {
     val out = tmpOut()
     val r = Export.run(spark, Export.Args(config = dir, out = out,

@@ -19,6 +19,14 @@ class HitsSpec extends SparkSpec {
       .map { case (n, h, a) => n -> (h, a) }.toMap
   }
 
+  test("zero rounds fail loudly (no meaningful 0-round hub/authority)") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.runFromEdges(e, 0)
+    }
+    assert(ex.getMessage.contains("at least one round"))
+  }
+
   test("star graph matches hand-computed floor arithmetic") {
     // a->b, a->c, b->c; Scale = 1e6, h0 = 1e6 everywhere.
     // r1: araw = (a:0, b:1e6, c:2e6) → a1 = (0, 500000, 1000000)

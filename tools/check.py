@@ -7,7 +7,7 @@ DuckDB against the parquet tables in sfDir, and compares to the Spark
 result parquet in outDir/<name>/. Exact compare after sorting columns by
 name and rows by all columns.
 """
-import json, math, sys
+import json, math, sys, time
 
 import duckdb
 
@@ -43,9 +43,16 @@ def cmp_cell(a, b):
     return a == b
 
 fails = 0
+slow = []   # oracle COST is part of the gate (see COVERAGE.md budget):
+            # a >10 s oracle at sf0.01 risks timing out the driver run
+t_suite = time.time()
 for name, sql in sorted(oracle.items()):
     try:
+        t_q = time.time()
         want = con.execute(sql).df()
+        dt = time.time() - t_q
+        if dt > 10:
+            slow.append((dt, name))
         got = con.execute(
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
     except Exception as e:
@@ -80,5 +87,9 @@ for name, sql in sorted(oracle.items()):
         dtflag = "" if dtw == dtg else f"  [dtype drift: {dtw} vs {dtg}]"
         print(f"ok   {name} ({len(w)} rows){dtflag}")
 
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match "
+      f"(oracle suite {time.time() - t_suite:.0f}s)")
+for dt, name in sorted(slow, reverse=True):
+    print(f"WARN over-budget oracle: {name} took {dt:.1f}s in DuckDB "
+          f"(budget ~10s; materialize its round CTEs — see COVERAGE.md)")
 sys.exit(1 if fails else 0)
