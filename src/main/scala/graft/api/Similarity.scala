@@ -148,19 +148,32 @@ object Similarity {
     * is (cent_id, cq, cn2) — seed vectors or k-means output — and is
     * broadcast, so list assignment is one pass over the corpus and the
     * candidate step is an equi-join on cent_id. */
+  /** Exact integer squared L2 of every row to every (broadcast)
+    * centroid. */
+  private def centroidDists(frame: DataFrame,
+      centroids: DataFrame): DataFrame =
+    frame.crossJoin(broadcast(centroids))
+      .withColumn("dist2", col("n2") + col("cn2") -
+        lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
+      .select(col("vec_id"), col("cent_id"), col("dist2"))
+
+  /** Inverted-list assignment: each vector to its nearest centroid —
+    * map-side-combinable min(struct) argmin (same dist2-then-cent_id
+    * tie-break as a ranking window, without shuffle-sorting corpus × k
+    * rows). Per-vector independent given frozen centroids, which is
+    * what makes IVF index MAINTENANCE ingest-sized: a new batch
+    * assigns against the broadcast centroids and appends. */
+  def assignLists(e: DataFrame, centroids: DataFrame): DataFrame =
+    centroidDists(e, centroids).groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"))
+
   def ivfCandidates(e: DataFrame, centroids: DataFrame,
       isQuery: Column, probes: Int = 2): DataFrame = {
-    def dists(frame: DataFrame): DataFrame =
-      frame.crossJoin(broadcast(centroids))
-        .withColumn("dist2", col("n2") + col("cn2") -
-          lit(2L) * VectorFunctions.dot_product_long(col("q"), col("cq")))
-        .select(col("vec_id"), col("cent_id"), col("dist2"))
-    // list assignment over the FULL corpus: map-side-combinable
-    // min(struct) argmin (same dist2-then-cent_id tie-break as a
-    // ranking window, without shuffle-sorting corpus × k rows)
-    val lists = dists(e).groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
-      .select(col("vec_id").as("neighbor_id"), col("m.cent_id").as("cent_id"))
+    def dists(frame: DataFrame): DataFrame = centroidDists(frame, centroids)
+    // list assignment over the FULL corpus
+    val lists = assignLists(e, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
     // top-`probes` needs ranks beyond 1, so it keeps the window — but
     // only over the QUERY subset (|corpus| / stride rows), re-scanned
     // cheaply rather than dragging every corpus row through the sort

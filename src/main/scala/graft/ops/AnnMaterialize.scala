@@ -71,13 +71,44 @@ object AnnMaterialize {
     s.read.parquet(s"$root/method_$method")
   }
 
-  /** Build every tier (the bench's `ann_build` entry). The seven
-    * pipelines share nothing but the input scan, so they run as
-    * concurrent jobs — multi-job scheduling within one application,
-    * exactly what a cluster does with independent writes. */
+  /** FROZEN k-means centroids trained on the PRE-BATCH corpus — the
+    * artifact IVF index maintenance holds fixed while batches arrive
+    * (retraining is a periodic rebuild, not an ingest step). 16 rows. */
+  def ivfCentroidTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lockFor(s"$root/ivf_centroids").synchronized {
+      if (!new File(s"$root/ivf_centroids/_SUCCESS").exists()) {
+        graft.queries.SimilarityQueries.ivfFrozenCentroids(s, dir)
+          .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+      }
+    }
+    s.read.parquet(s"$root/ivf_centroids")
+  }
+
+  /** PRE-BATCH inverted lists (vec_id → cent_id) under the frozen
+    * centroids — what embed_ivf_incremental appends a batch onto. */
+  def ivfListsTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lockFor(s"$root/ivf_lists").synchronized {
+      if (!new File(s"$root/ivf_lists/_SUCCESS").exists()) {
+        graft.queries.SimilarityQueries.ivfPreLists(s, dir)
+          .write.mode("overwrite").parquet(s"$root/ivf_lists")
+      }
+    }
+    s.read.parquet(s"$root/ivf_lists")
+  }
+
+  /** Build every tier (the bench's `ann_build` entry). The pipelines
+    * share nothing but the input scan, so they run as concurrent
+    * jobs — multi-job scheduling within one application, exactly what
+    * a cluster does with independent writes. (The lists tier reads the
+    * centroid tier, so it builds after it in its own task.) */
   def buildAll(s: SparkSession, dir: String): Unit =
     Tiers.buildConcurrently(
-      (() => { groundTruthTable(s, dir).count(); () }) +:
+      Seq(
+        () => { groundTruthTable(s, dir).count(); () },
+        () => { ivfCentroidTable(s, dir).count()
+                ivfListsTable(s, dir).count(); () }) ++
         graft.queries.SimilarityQueries.AnnMethods
           .map(m => () => { neighborTable(s, dir, m).count(); () }))
 }

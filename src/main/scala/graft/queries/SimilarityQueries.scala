@@ -125,6 +125,20 @@ object SimilarityQueries {
   private def cosTopK(data: DataFrame, pairs: DataFrame, k: Int): DataFrame =
     graft.api.Similarity.cosTopK(data, pairs, k)
 
+  /** Frozen IVF centroids: k-means trained on the PRE-BATCH corpus
+    * (the plain embeddings table) — parked by
+    * [[graft.ops.AnnMaterialize.ivfCentroidTable]]. */
+  private[graft] def ivfFrozenCentroids(s: SparkSession,
+      dir: String): DataFrame =
+    graft.api.Similarity.kmeansCentroids(emb(s, dir), k = 16,
+      iters = KmeansIters)
+
+  /** Pre-batch inverted lists under the PARKED frozen centroids —
+    * parked by [[graft.ops.AnnMaterialize.ivfListsTable]]. */
+  private[graft] def ivfPreLists(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.assignLists(emb(s, dir),
+      graft.ops.AnnMaterialize.ivfCentroidTable(s, dir))
+
   /** Brute-force cosine top-3 per query — ann_recall's ground truth,
     * exposed for [[graft.ops.AnnMaterialize]] to park once per fixture. */
   private[graft] def bruteForceTop3(s: SparkSession, dir: String): DataFrame = {
@@ -340,6 +354,28 @@ object SimilarityQueries {
           sqrt((col("qn") * col("nn")).cast("double")))
         .filter(col("cos") >= 0.99)
         .select(col("doc_a"), col("doc_b"), col("cos"))
+    }),
+
+    // INCREMENTAL IVF index maintenance — the ANN family's ingest-cost
+    // twin (every other candidate family already has one): the
+    // arriving batch (the injected re-ingested copies, vec_id ≥ 1e6)
+    // assigns against the PARKED frozen centroids (16 broadcast rows)
+    // and appends to the PARKED pre-batch inverted lists — batch-sized
+    // work, the old corpus is never re-scanned. The emitted per-list
+    // rollup carries an order-independent md5 membership fingerprint,
+    // and the oracle recomputes the WHOLE assignment from scratch
+    // (train on pre-batch, assign pre ∪ batch), so maintained ==
+    // full-rebuild is hash-proven, not assumed.
+    "embed_ivf_incremental" -> ((s, dir) => {
+      val cents = graft.ops.AnnMaterialize.ivfCentroidTable(s, dir)
+      val pre = graft.ops.AnnMaterialize.ivfListsTable(s, dir)
+      val batch = embCorpus(s, dir).filter(col("vec_id") >= 1000000L)
+      val maintained = pre.unionByName(
+        graft.api.Similarity.assignLists(batch, cents))
+      maintained.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          expr("bit_xor(CAST(conv(substr(md5(CAST(vec_id AS STRING)), " +
+            "1, 15), 16, 10) AS BIGINT))").as("members_fp"))
     }),
 
     // recall@3 of each ANN variant against the brute-force ground truth —
@@ -877,6 +913,40 @@ object SimilarityQueries {
         |    (SELECT count(*) FROM gttopk g JOIN pqtopk a
         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
         |    (SELECT count(*) FROM gttopk))""".stripMargin),
+
+    // from-scratch IVF rebuild: centroids trained on the pre-batch
+    // corpus (the shared kmeans chain over emb), then EVERY vector of
+    // the dup-injected corpus assigned to its nearest frozen centroid
+    // — the rollup the maintained index must hash-match
+    "embed_ivf_incremental" -> withCtes((Seq(embSql, eeSql, normSql) ++
+      kmeansRoundCtes(KmeansIters) ++ Seq(
+      embcSql,
+      """cemb AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embc)""".stripMargin,
+      """cee AS (
+        |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
+        |  FROM cemb)""".stripMargin,
+      """cnormf AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |           FROM cee GROUP BY vec_id)""".stripMargin,
+      s"""fdist AS (
+         |  SELECT d.vec_id, d.cent_id, n.n2 + c.cn2 - 2 * d.dot AS dist2
+         |  FROM (SELECT e.vec_id, c.cent_id, CAST(sum(e.v * c.cv) AS BIGINT) AS dot
+         |        FROM cee e JOIN cent$KmeansIters c ON e.i = c.i
+         |        GROUP BY e.vec_id, c.cent_id) d
+         |  JOIN cnormf n ON n.vec_id = d.vec_id
+         |  JOIN cnorm$KmeansIters c ON c.cent_id = d.cent_id)""".stripMargin,
+      """fass AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, cent_id) AS r
+        |    FROM fdist)
+        |  WHERE r = 1)""".stripMargin)): _*)(
+      """SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |    1, 15))::BIGINT) AS BIGINT) AS members_fp
+        |FROM fass GROUP BY cent_id""".stripMargin),
 
     // candidate counts per method — the same cand CTE shapes as the
     // per-method oracles (8-bit + tuned buckets, multiprobe over the
