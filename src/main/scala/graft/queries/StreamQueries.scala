@@ -459,6 +459,23 @@ object StreamQueries {
     // mediant inequality makes their union a superset of the global
     // heavy hitters, so the final exact re-count of landed candidates
     // equals the one-pass batch answer.
+    // STREAMING IVF maintenance (twin of embed_ivf_incremental, shared
+    // oracle): micro-batches of vectors assign against the parked
+    // frozen centroids and land epoch-keyed inverted-list rows; the
+    // landed union must hash-match the from-scratch full-corpus
+    // assignment — stream == batch for the ANN index, proven per run.
+    "stream_ivf_ingest" -> ((s, dir) => {
+      val out = tmp("ivf")
+      graft.streaming.CorpusIngest.ivfIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        s.read.parquet(out)
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_vectors"),
+            expr("bit_xor(CAST(conv(substr(md5(CAST(vec_id AS STRING)), " +
+              "1, 15), 16, 10) AS BIGINT))").as("members_fp")))
+    }),
+
     "stream_heavy_hitters" -> ((s, dir) => {
       val out = tmp("hh")
       graft.streaming.CorpusIngest.heavyHitterIngest(s, dir, out,
@@ -622,6 +639,12 @@ object StreamQueries {
     // the streamed candidate union + exact re-count must equal the
     // one-pass batch heavy-hitter query — one oracle for both
     "stream_heavy_hitters" -> TextQueries.oracles("text_heavy_hitters"),
+
+    // the maintained streaming IVF lists must equal the from-scratch
+    // rebuild — ONE oracle for the incremental, streaming, and (by
+    // construction) batch forms
+    "stream_ivf_ingest" ->
+      SimilarityQueries.oracles("embed_ivf_incremental"),
 
     // the full brute-force statement: continuously-landed pairs must
     // equal the one-shot join

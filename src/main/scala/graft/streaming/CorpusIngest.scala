@@ -182,6 +182,51 @@ object CorpusIngest {
     * landed candidates (batch side) then yields the same deterministic
     * answer as the one-pass batch query — which is why
     * stream_heavy_hitters shares text_heavy_hitters' oracle. */
+  /** STREAMING IVF index maintenance — embed_ivf_incremental run
+    * continuously: each micro-batch of vectors (with the batch
+    * corpus's per-row dup injection, which is batch-local by
+    * construction) quantizes, assigns against the PARKED frozen
+    * centroids (a broadcast 16-row dim), and lands its
+    * (vec_id, cent_id) list rows under an epoch-partitioned dynamic
+    * overwrite — idempotent on replay, batch-sized work per batch,
+    * the old corpus never re-scanned. List assignment is per-vector
+    * independent under frozen centroids, so the union over epochs IS
+    * the maintained inverted-list table and equals the from-scratch
+    * assignment — stream_ivf_ingest shares embed_ivf_incremental's
+    * full-rebuild oracle to prove it every run. */
+  def ivfIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/embeddings*.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ops.AnnMaterialize.ivfCentroidTable(s, dir)
+    val name = s"iv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          val b = batch.toDF()
+          val corpus = b.unionByName(b.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+          val lists = graft.api.Similarity.assignLists(
+            graft.api.Similarity.quantize(corpus), cents)
+            .withColumn("ingest_epoch", lit(epoch))
+          // conf on the BATCH frame's session (cloned per batch — see
+          // heavyHitterIngest)
+          lists.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+          lists.write.mode("overwrite").partitionBy("ingest_epoch")
+            .parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   def heavyHitterIngest(s: SparkSession, dir: String, out: String,
       checkpoint: Option[String] = None): Unit = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
