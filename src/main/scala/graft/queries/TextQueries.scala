@@ -187,6 +187,11 @@ object TextQueries {
     * every token above N/(k+1) = N/41. */
   private[graft] val HhK = 40
 
+  /** Fixed training-sequence length for pack_sequences — fixture-sized
+    * (real pretraining uses 2k-8k; the chunk arithmetic is
+    * length-independent). */
+  private val SeqPackLen = 512L
+
   /** Regex-token stream over plain documents (the text_heavy_hitters
     * universe). */
   private[graft] def docTokens(s: SparkSession, dir: String): DataFrame =
@@ -614,6 +619,39 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           col("prefix_sum").as("stream_offset"),
           floor(col("prefix_sum") / lit(budget)).cast("long").as("shard_id"))
+    }),
+
+    // GPT-style pretraining chunker (concat-and-chunk): the global
+    // token stream in deterministic doc order is cut into fixed
+    // SeqPackLen-token training sequences, documents SPLITTING across
+    // cuts — the op pipeline_shards_global stops short of (it assigns
+    // whole docs by start offset). Each (sequence, doc) overlap row
+    // carries the piece in both coordinate systems: begin_in_seq (for
+    // attention-mask boundary resets) and begin_in_doc (for
+    // detokenization). Global offsets via PrefixCarry's two-phase
+    // distributed scan — no single-partition window at any corpus
+    // size; the overlap explode is bounded per doc at
+    // n_tokens/SeqPackLen + 1 rows. Oracle = DuckDB's serial global
+    // cumsum + range explode.
+    "pack_sequences" -> ((s, dir) => {
+      val L = SeqPackLen
+      val toks = docWords(s, dir)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      graft.operators.PrefixCarry.exclusivePrefixSum(toks, "doc_id",
+          "n_tokens")
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          col("prefix_sum").as("st"))
+        .withColumn("en", col("st") + col("n_tokens"))
+        .withColumn("seq_id",
+          explode(expr(s"sequence(st div $L, (en - 1) div $L)")))
+        .select(col("seq_id"), col("doc_id"),
+          (greatest(col("st"), col("seq_id") * L) - col("seq_id") * L)
+            .as("begin_in_seq"),
+          (least(col("en"), (col("seq_id") + 1L) * L) -
+            greatest(col("st"), col("seq_id") * L)).as("n_toks"),
+          (greatest(col("st"), col("seq_id") * L) - col("st"))
+            .as("begin_in_doc"))
     }),
 
     // deterministic GLOBAL SHUFFLE for training order: every doc gets a
@@ -1603,6 +1641,28 @@ object TextQueries {
 
     // the serial global cumsum IS the oracle: DuckDB runs it as one
     // ordered window, Spark reproduces it with the two-phase scan
+    // serial mirror of the distributed chunker: one ordered cumsum
+    // window + a per-doc range explode over the overlapped sequences
+    "pack_sequences" -> withCtes(docWordsSql,
+      s"""o AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+         |  CAST(coalesce(sum(len(w)) OVER (
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS st
+         |FROM words)""".stripMargin,
+      s"""x AS (SELECT doc_id, nt, st, st + nt AS en,
+         |  unnest(range(st // $SeqPackLen,
+         |               (st + nt - 1) // $SeqPackLen + 1)) AS seq_id
+         |FROM o WHERE nt > 0)""".stripMargin)(
+      s"""SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(st, seq_id * $SeqPackLen) - seq_id * $SeqPackLen
+         |    AS BIGINT) AS begin_in_seq,
+         |  CAST(least(en, (seq_id + 1) * $SeqPackLen)
+         |    - greatest(st, seq_id * $SeqPackLen) AS BIGINT) AS n_toks,
+         |  CAST(greatest(st, seq_id * $SeqPackLen) - st AS BIGINT)
+         |    AS begin_in_doc
+         |FROM x""".stripMargin),
+
     "pipeline_shards_global" -> withCtes(docWordsSql)(
       """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(sum(len(w)) OVER (

@@ -450,6 +450,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences: token conservation, full interior sequences, " +
+      "contiguous in-sequence layout") {
+    val packed = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val L = 512L
+    // per-doc conservation: the pieces of each doc cover it exactly,
+    // in order, starting at token 0
+    packed.groupBy(_._2).foreach { case (_, ps) =>
+      val ordered = ps.sortBy(_._5)
+      assert(ordered.head._5 === 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 === b._5)
+        case _ => ()
+      }
+    }
+    // per-sequence: every sequence except the last holds exactly L
+    // tokens, pieces tile it contiguously from 0
+    val maxSeq = packed.map(_._1).max
+    packed.groupBy(_._1).foreach { case (seq, ps) =>
+      val ordered = ps.sortBy(_._3)
+      assert(ordered.head._3 === 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 === b._3)
+        case _ => ()
+      }
+      val tot = ps.map(_._4).sum
+      if (seq < maxSeq) assert(tot === L, s"seq $seq holds $tot")
+      else assert(tot <= L)
+    }
+  }
+
   test("exclusivePrefixSum under heavy leading-key ties equals the serial cumsum") {
     import graft.operators.PrefixCarry
     // ~6 distinct leading keys over 400 rows: range-partition boundaries
