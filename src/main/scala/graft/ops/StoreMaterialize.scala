@@ -37,13 +37,23 @@ object StoreMaterialize {
 
   /** Root of the parked transaction store (ChainStore.writeTransactions
     * layout), building it on first access. `write` receives the store
-    * root (the chain module owns the layout). */
+    * root (the chain module owns the layout).
+    *
+    * The built-marker is OUR OWN file, written after `write` returns:
+    * the store writer runs under dynamic partition overwrite, which
+    * does NOT emit Spark's `_SUCCESS` marker — guarding on that file
+    * silently rebuilt the store on every invocation (caught when the
+    * "pure read" page query scaled with store size). */
   def transactionStore(s: SparkSession, dir: String)(
       write: String => Unit): String = {
     val root = base(dir)
     locks.computeIfAbsent(root, _ => new Object).synchronized {
-      if (!new File(s"$root/transaction/_SUCCESS").exists())
+      if (!new File(s"$root/_BUILT").exists()) {
         write(root)
+        java.nio.file.Files.writeString(
+          new File(s"$root/_BUILT").toPath, "")
+        ()
+      }
     }
     root
   }

@@ -184,6 +184,20 @@ class StoreSpec extends SparkSpec {
       s"page is not a distributed top-k:\n$plan")
     assert(page.select("tx_id").as[Long].collect().toSeq ===
       (cursor + 1 to cursor + 5))
+    // the density-bounded form: BOTH bucket bounds reach the scan as
+    // partition filters, so the page reads ≤ 2 partition dirs at any
+    // store size
+    val b = cursor / Chain.TxBucketSize
+    val bounded = spark.read.parquet(s"$out/transaction")
+      .filter(col("tx_id_group").cast("long").between(b, b + 1) &&
+        col("tx_id") > cursor)
+      .orderBy(col("tx_id")).limit(5)
+    val bplan = bounded.queryExecution.executedPlan.toString
+    assert(bplan.contains("PartitionFilters: [") &&
+      bplan.contains(">=") && bplan.contains("<="),
+      s"bounded page lacks the two-sided partition bound:\n$bplan")
+    assert(bounded.select("tx_id").as[Long].collect().toSeq ===
+      (cursor + 1 to cursor + 5))
   }
 
   test("hash prefix index lookup returns exactly the target") {
