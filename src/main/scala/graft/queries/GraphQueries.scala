@@ -46,8 +46,12 @@ object GraphQueries {
     * zero additional io self-joins. */
   def buildGraphTier(s: SparkSession, dir: String): Unit = {
     val ioa = ioAddresses(s, dir).persist()
-    val ia = inputPairsOf(ioa).persist()
-    val ov = outputSumsOf(ioa).persist()
+    // the shared frames are pinned ALREADY PARTITIONED on the join key
+    // (tx_id): every tier build joins ia ⋈ ov on tx_id, so the one
+    // repartition each here replaces two exchanges in every one of the
+    // three tier joins (the cache preserves partitioning)
+    val ia = inputPairsOf(ioa).repartition(col("tx_id")).persist()
+    val ov = outputSumsOf(ioa).repartition(col("tx_id")).persist()
     try {
       // ONE concurrent wave: the three tier builds share the pinned
       // explode / input-pair / output-sum frames, whose cache blocks
