@@ -106,6 +106,20 @@ object Graft {
   def keyspaceDdl(keyspace: String = "graphsense"): String =
     graft.chain.CqlSchema.ddl.replace("graphsense", keyspace)
 
+  /** Chain-params table from a directory of per-coin config files
+    * (the reference's conf/{btc,ltc,bch,zec}.cfg layout): currency,
+    * coin constants, and the tip margin the ingest derives from
+    * parser.maxBlockNum. */
+  def chainParams(s: SparkSession, confDir: String): DataFrame =
+    graft.chain.ChainConfig.read(s, confDir)
+
+  /** One export-CLI lifecycle programmatically (the `graft.Export`
+    * main's engine: full export / --continue / --info over any sink —
+    * see Export.Args and MIGRATION.md). */
+  def export(s: SparkSession, args: Export.Args,
+      sink: graft.chain.ChainSink = ChainStore): Export.Report =
+    Export.run(s, args, sink)
+
   /** The full oracle-checked query inventory (driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries
