@@ -128,6 +128,12 @@ object Bench {
         timed("graph_build") {
           graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
         },
+        // the flow projection of the parked timed tier, split out of
+        // graph_build so both numbers compare round-over-round (r11:
+        // riding it on the graph wave read as a graph regression)
+        timed("flow_build") {
+          graft.queries.GraphQueries.buildFlowTier(spark, sfDir)
+        },
         // ann_recall's parked inputs: the six ANN variants' neighbor
         // sets + brute-force ground truth (each variant's query entry
         // still measures its own pipeline; this measures the one-time
@@ -143,21 +149,34 @@ object Bench {
               graft.chain.Chain.transactions(spark, sfDir), out)); ()
         })
     }
+    // every entry's RAW pass samples, emitted into target/bench.json —
+    // when a shared-box contention window inflates a number, the pass
+    // pair makes the contamination visible in the artifact itself
+    val rawPasses =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val pass1 = coldBuildPass()
     val pass2 = coldBuildPass()
     // min-of-2 per entry; a failure in EITHER pass reports the entry
-    // failed — never the other pass's time
+    // failed — never the other pass's time. The two build passes are
+    // ALREADY interleaved (pass 1 runs the whole inventory before pass
+    // 2 starts), so a contention window shorter than a full pass can't
+    // inflate both samples of one entry.
     val builds = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      rawPasses(n) = (a, b)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
-    // query entries: warm (builds already ran), best-of-2 — the first
-    // pass absorbs residual JIT/page-cache noise, the min is the number
-    // compared round-over-round. A failure in EITHER pass records the
-    // entry as failed (-1), never as a fast time.
-    def time(names: Seq[String]): Seq[(String, Double)] =
-      names.map { name =>
-        def once(): Double = {
+    // query entries: warm (builds already ran), best-of-2 with the two
+    // samples INTERLEAVED (pass A over every entry, then pass B, min
+    // per entry) — back-to-back sampling let one multi-minute
+    // contention window on the shared driver box inflate BOTH samples
+    // of the same entries (r11: four headline queries reported 10-30×
+    // their quiet times). Pass A also absorbs residual JIT/page-cache
+    // noise. A failure in EITHER pass records the entry as failed
+    // (-1), never as a fast time.
+    def time(names: Seq[String]): Seq[(String, Double)] = {
+      def onePass(name: String): Double =
+        try {
           val t0 = System.nanoTime()
           val frame = SparkEntry.queries(name)(spark, sfDir)
           frame.count()
@@ -166,14 +185,18 @@ object Bench {
           // a 400-invocation bench session stays storage-flat
           graft.operators.Materialize.releasePinnedLeaves(frame)
           secs
-        }
-        try { name -> math.min(once(), once()) }
-        catch { case e: Throwable =>
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name
-          name -> -1.0
+          -1.0
         }
+      val passA = names.map(n => n -> onePass(n))
+      val passB = names.map(n => n -> onePass(n))
+      passA.zip(passB).map { case ((n, a), (_, b)) =>
+        rawPasses(n) = (a, b)
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
+    }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -194,8 +217,11 @@ object Bench {
     val headlineQueryTotal = headlineTimes.map(_._2).filter(_ >= 0).sum
     val errJson =
       errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passesJson = rawPasses
+      .map { case (k, (a, b)) => s"\"$k\":[$a,$b]" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","build_total_sec":$buildTotal,"headline_query_sec":$headlineQueryTotal,"queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"failed":${errors.distinct.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","build_total_sec":$buildTotal,"headline_query_sec":$headlineQueryTotal,"queries":${json(results)},"all_total_sec":$allTotal,"all_queries":${json(allResults)},"raw_passes":$passesJson,"failed":${errors.distinct.size},"errors":$errJson,"sf":"$sfDir"}"""
     // durable copy first (the full inventory is long and consoles
     // truncate), then the compact headline line LAST so a tail-capture
     // always gets the parseable totals; the file write must never take

@@ -88,7 +88,13 @@ object Export {
     * as fallback, None for an absent/empty store. */
   def sinkMaxBlock(s: SparkSession, out: String): Option[Long] =
     Seq("transaction", "block").view.flatMap { t =>
-      if (!new java.io.File(s"$out/$t").exists()) None
+      // existence via the path's OWN FileSystem (hdfs://, s3a://,
+      // file:// URIs all resolve) — a java.io.File probe sees every
+      // non-local sink as empty, so --continue would silently restart
+      // at block 0 and the reorg guard would never fire
+      val p = new org.apache.hadoop.fs.Path(s"$out/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
       else
         try scalarLong(s.read.parquet(s"$out/$t").agg(max(col("block_id"))))
         catch { case _: org.apache.spark.sql.AnalysisException => None }

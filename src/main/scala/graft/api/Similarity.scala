@@ -82,19 +82,34 @@ object Similarity {
       .select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** Multi-probe expansion: each row also probes the `bits` buckets at
-    * Hamming distance 1 from its own (flip one hyperplane bit) —
-    * recovers most of the recall a single-bucket probe loses while the
-    * candidate step stays an equi-join on the probe key. */
-  def multiProbes(buckets: DataFrame, bits: Int = 8): DataFrame =
+  /** XOR masks of Hamming weight ≤ `maxHamming` over `bits` planes
+    * (weight 0 = the row's own bucket). Bounded driver-side list —
+    * 1 + bits + bits·(bits−1)/2 longs at maxHamming = 2 — shipped as a
+    * literal, and the SAME list the DuckDB oracle mirrors interpolate. */
+  def probeMasks(bits: Int, maxHamming: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 62 && maxHamming >= 1 && maxHamming <= 2,
+      s"probeMasks($bits, $maxHamming) outside supported range")
+    val singles = (0 until bits).map(j => 1L << j)
+    val pairs =
+      if (maxHamming < 2) Seq.empty
+      else for { j <- 0 until bits; k <- 0 until j }
+        yield (1L << j) | (1L << k)
+    0L +: (singles ++ pairs)
+  }
+
+  /** Multi-probe expansion: each row also probes every bucket within
+    * Hamming distance `maxHamming` of its own (flip up to that many
+    * hyperplane bits) — recovers the recall a single-bucket probe
+    * loses while the candidate step stays an equi-join on the probe
+    * key. The probe fan-out is the literal mask list (no join, no
+    * shuffle to expand); at width 24 / Hamming 2 that is 301 probes of
+    * 16.7M buckets — a ~2e-5 deterministic scan fraction. */
+  def multiProbes(buckets: DataFrame, bits: Int = 8,
+      maxHamming: Int = 1): DataFrame =
     buckets
-      .withColumn("p", explode(expr(s"sequence(-1, ${bits - 1})")))
-      // the flip mask shifts a BIGINT: a 32-bit `1 << p` would turn
-      // negative at p=31 and wrap to an aliased mask for p >= 32
-      .withColumn("probe", when(col("p") === -1, col("bucket"))
-        .otherwise(expr(
-          "bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")))
-      .drop("p")
+      .withColumn("mask", explode(typedLit(probeMasks(bits, maxHamming))))
+      .withColumn("probe", expr("bucket ^ mask"))
+      .drop("mask")
 
   /** Deterministic distributed k-means (Lloyd) over a quantized frame:
     * seed centroids = the first `k` vectors, then `iters` rounds of
@@ -207,6 +222,44 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sq").as("cq"), col("sn2").as("cn2"))
 
+  /** TRAINED per-subspace PQ codebooks: the [[pqCentroids]] seeds
+    * refined by `iters` deterministic Lloyd rounds, each round one
+    * assignment pass (broadcast codebooks, exact integer L2 argmin
+    * with the dist2-then-cent_id tie-break) and one integer-floor mean
+    * update per (centroid, subspace, component). Same exact-arithmetic
+    * discipline as [[kmeansCentroids]] — bit-identical across engines
+    * and cluster sizes — and the same per-round driver materialization
+    * (k·m codebook rows are exactly the payload the next round
+    * broadcasts). Empty codewords vanish, like empty k-means clusters.
+    * Training cost per round is one corpus scan; at 100 TB the
+    * codebooks train on a sample and freeze, like the IVF centroids. */
+  def pqTrainedCentroids(e: DataFrame, k: Int, m: Int, subDim: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
+    val sub = pqSubvectors(e, m, subDim)
+    val se = sub.select(col("vec_id"), col("m"),
+      posexplode(col("sq")).as(Seq("pos", "v")))
+    var cents = pqCentroids(e, k, m, subDim)
+    for (_ <- 0 until iters) {
+      val assigned = pqDists(sub, cents)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist2"), col("cent_id"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn.cent_id").as("cent_id"))
+      val updated = se.join(assigned, Seq("vec_id", "m"))
+        .groupBy(col("cent_id"), col("m"), col("pos"))
+        .agg(expr("CAST(floor(sum(v) / count(*)) AS BIGINT)").as("cv"))
+        .groupBy(col("cent_id"), col("m"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cq"))
+        .withColumn("cn2", expr("aggregate(cq, 0L, (acc, x) -> acc + x * x)"))
+      val s = e.sparkSession
+      cents = s.createDataFrame(
+        s.sparkContext.parallelize(updated.collect().toIndexedSeq, 1),
+        updated.schema)
+    }
+    cents
+  }
+
   /** Exact integer L2 of every subvector to every centroid of its
     * subspace: dist² = |sq|² + |cq|² − 2·sq·cq (fused-codegen dot). */
   private def pqDists(sub: DataFrame, cents: DataFrame): DataFrame =
@@ -240,7 +293,24 @@ object Similarity {
     * twin. Returns (query_id, neighbor_id, rank, adist2) — adist2 is
     * exact integer, so results are engine- and partitioning-independent. */
   def pqAdcTopK(e: DataFrame, cents: DataFrame, isQuery: Column,
-      k: Int = 3, m: Int = 4, subDim: Int = 16): DataFrame = {
+      k: Int = 3, m: Int = 4, subDim: Int = 16): DataFrame =
+    pqAdcRanked(e, cents, isQuery, m, subDim)
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist2")
+
+  /** ADC shortlist: the top-`shortlist` (query_id, neighbor_id) pairs
+    * by approximate distance — the candidate cut the production PQ
+    * search feeds into an EXACT re-rank (ADC scans only the compressed
+    * code tier; the exact pass then touches `shortlist` raw vectors
+    * per query, a fixed corpus-independent budget). */
+  def pqAdcShortlist(e: DataFrame, cents: DataFrame, isQuery: Column,
+      shortlist: Int, m: Int = 4, subDim: Int = 16): DataFrame =
+    pqAdcRanked(e, cents, isQuery, m, subDim)
+      .filter(col("rank") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+  private def pqAdcRanked(e: DataFrame, cents: DataFrame, isQuery: Column,
+      m: Int, subDim: Int): DataFrame = {
     val codes = pqCodes(e, cents, m, subDim)
     val lut = pqDists(pqSubvectors(e.filter(isQuery), m, subDim), cents)
       .select(col("vec_id").as("query_id"), col("m"),
@@ -253,8 +323,6 @@ object Similarity {
       .agg(sum(col("pdist2")).as("adist2"))
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "adist2")
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket + exact cosine above

@@ -24,8 +24,12 @@ object ChainConfig {
   private val lock = new Object
 
   /** Stable fixture location — also referenced (as an absolute path) by
-    * the DuckDB oracle, which re-parses the same files independently. */
-  val FixturePath = "/root/repo/target/intermediate/chaincfg_v1"
+    * the DuckDB oracle, which re-parses the same files independently.
+    * Resolved at runtime relative to the working directory, like every
+    * sibling tier under target/intermediate — a hard-coded /root/repo
+    * would write outside (or fail in) any other checkout. */
+  val FixturePath: String =
+    new File("target/intermediate/chaincfg_v1").getAbsolutePath
 
   /** Public per-coin constants in the reference's config shape. The
     * margins (parser.maxBlockNum) are fixture-varied per chain — the

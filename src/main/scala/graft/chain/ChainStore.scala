@@ -104,7 +104,18 @@ object ChainStore extends ChainSink {
     new org.apache.hadoop.fs.Path(s"$out/transaction_vacuum_floor")
 
   /** The recorded vacuum floor: the oldest epoch whose snapshot is
-    * still serveable, None when the store has never been vacuumed. */
+    * still serveable, None when the store has never been vacuumed.
+    *
+    * MIGRATION — stores vacuumed before the marker existed: such a
+    * store has folded history but no marker, so the expired-snapshot
+    * guard in [[readTransactionsAsOf]] is silently absent until its
+    * next [[vacuumTransactionsBelow]] (which records the new floor
+    * monotonically). The min epoch present CANNOT be auto-backfilled
+    * as the floor — a never-vacuumed store whose epoch numbering
+    * starts above 0 is indistinguishable from a folded one, and its
+    * below-min as-of reads are valid empty snapshots, not errors. An
+    * operator who KNOWS the store was vacuumed pre-upgrade runs
+    * [[backfillVacuumFloor]] once as the migration step. */
   def vacuumFloor(s: SparkSession, out: String): Option[Long] = {
     val p = vacuumFloorPath(out)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -125,6 +136,29 @@ object ChainStore extends ChainSink {
     try o.write(floor.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
+  }
+
+  /** Migration step for stores vacuumed BEFORE the floor marker
+    * existed (see [[vacuumFloor]]'s scaladoc): records the observed
+    * minimum ingest epoch as the floor, restoring the expired-snapshot
+    * guard. Deliberately explicit — only the operator knows whether
+    * the store's min epoch is a fold epoch (pre-marker vacuum) or just
+    * a numbering that starts high (never vacuumed, below-min as-of
+    * reads valid and empty) — and monotone: a marker already present
+    * and higher is kept. No-op on an empty or batch-layout store. */
+  def backfillVacuumFloor(s: SparkSession, out: String): Option[Long] = {
+    val df = s.read.parquet(s"$out/transaction")
+    if (!df.schema.fieldNames.contains("ingest_epoch")) None
+    else {
+      val r = df.agg(min(col("ingest_epoch").cast("long"))).head()
+      if (r.isNullAt(0)) None
+      else {
+        val floor = math.max(r.getLong(0),
+          vacuumFloor(s, out).getOrElse(Long.MinValue))
+        writeVacuumFloor(s, out, floor)
+        Some(floor)
+      }
+    }
   }
 
   /** Maintenance: compact a transaction store into the sealed batch

@@ -29,6 +29,10 @@ object Hits {
   val Scale: Long = PageRank.Scale
 
   /** @param edges `src`/`dst` distinct directed pairs
+    * @param materialize per-round truncation hook — must be EAGER
+    *        (see [[PageRank.Materializer]]'s contract): the post-loop
+    *        release of the internal edge/node materializations assumes
+    *        the final round is already computed
     * @return (node, hub, authority) after `iters` full rounds from a
     *         uniform h_0 = Scale start */
   def runFromEdges(edges: DataFrame, iters: Int,

@@ -22,7 +22,17 @@ import org.apache.spark.sql.functions._
 object PageRank {
   val Scale = 1000000L
 
-  /** Per-round lineage truncation strategy (see class doc). */
+  /** Per-round lineage truncation strategy (see class doc).
+    *
+    * CONTRACT: the hook must return an EAGERLY-materialized frame —
+    * one whose contents are computed before the call returns (eager
+    * localCheckpoint / reliable checkpoint / a parquet round-trip),
+    * like the default [[Materialize.truncate]]. The loops here and in
+    * [[Hits.runFromEdges]] release their internal materializations
+    * after the final round on the strength of it; a LAZY hook (e.g.
+    * [[Materialize.truncateBeforeAction]]'s `localCheckpoint(false)`)
+    * would have those inputs freed before the final frame ever
+    * computes. */
   type Materializer = DataFrame => DataFrame
   val DefaultMaterializer: Materializer = Materialize.truncate
 

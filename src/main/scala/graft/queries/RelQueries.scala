@@ -685,7 +685,14 @@ object RelQueries {
           when(col("o.in0").isNull, "I")
             .when(col("n.in1").isNull, "D")
             .otherwise("U").as("op"),
-          col("o.price").as("old_price"), col("n.price").as("new_price"),
+          // DOUBLE cast (the cdc_merge convention): the values are
+          // DECIMAL(12,2)-exact in both engines, but decimal RENDERING
+          // differs across serializers in the driver's canonical-hash
+          // stage (r11: rows/schema green, hash red on exactly these
+          // two nullable DECIMAL columns). Doubles serialize
+          // identically; 12,2 decimals are exact in a double.
+          col("o.price").cast("double").as("old_price"),
+          col("n.price").cast("double").as("new_price"),
           col("o.status").as("old_status"),
           col("n.status").as("new_status"))
     }),
@@ -1280,7 +1287,8 @@ object RelQueries {
       |SELECT coalesce(o.k, n.k) AS k,
       |  CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
       |    ELSE 'U' END AS op,
-      |  o.price AS old_price, n.price AS new_price,
+      |  CAST(o.price AS DOUBLE) AS old_price,
+      |  CAST(n.price AS DOUBLE) AS new_price,
       |  o.status AS old_status, n.status AS new_status
       |FROM b o FULL OUTER JOIN m n ON o.k = n.k
       |WHERE o.k IS NULL OR n.k IS NULL

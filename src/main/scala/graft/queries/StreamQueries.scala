@@ -368,22 +368,50 @@ object StreamQueries {
     // bucket or the next — so the query addresses those ≤ 2 partition
     // directories BY PATH (two driver-side stats, no store listing)
     // and re-derives the bucket column with the same write-side
-    // arithmetic. O(page) at any store size; an iterative widen is the
-    // sparse-tail fallback. Shares store_keyset_page's oracle: same
+    // arithmetic. O(page) at any store size; when the density
+    // precondition fails (a sparse tail), the widen loop below extends
+    // the window one bucket at a time until the page fills or the
+    // store tail is reached — each probe is a ≤page-sized count over
+    // the window, so the fallback costs O(page · buckets-widened),
+    // never a store listing. Shares store_keyset_page's oracle: same
     // page, proven every run.
     "store_keyset_page_bounded" -> ((s, dir) => {
       val bucket = graft.chain.Chain.TxBucketSize
+      val pageSize = 25
       val cursor = 9000L
       val b = cursor / bucket
       val store = graft.ops.StoreMaterialize.transactionStore(s, dir)(
         out => graft.chain.ChainStore.writeTransactions(
           graft.chain.Chain.transactions(s, dir), out))
-      val dirs = Seq(b, b + 1L)
-        .map(g => s"$store/transaction/tx_id_group=$g")
-        .filter(d => new java.io.File(d).exists())
+      // existence probes through the path's OWN FileSystem (a
+      // java.io.File probe sees every non-local store as absent)
+      val root = new org.apache.hadoop.fs.Path(s"$store/transaction")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dirOf(g: Long) = s"$store/transaction/tx_id_group=$g"
+      def present(g: Long) =
+        fs.exists(new org.apache.hadoop.fs.Path(dirOf(g)))
+      def window(hi: Long): Seq[String] =
+        (b to hi).filter(present).map(dirOf)
+      var hi = b + 1L
+      var dirs = window(hi)
+      // an absent cursor bucket AND next bucket is a caller error
+      // (cursor beyond the store tail, or no store) — fail with the
+      // real reason, not parquet's "empty path list"
+      if (dirs.isEmpty) sys.error(
+        s"store_keyset_page_bounded: neither bucket directory " +
+          s"${dirOf(b)} nor ${dirOf(b + 1)} exists — cursor $cursor is " +
+          "beyond the store tail, or the store was never built")
+      def pageRows(ds: Seq[String]): Long =
+        s.read.parquet(ds: _*).filter(col("tx_id") > cursor)
+          .limit(pageSize).count()
+      // sparse-tail widen: contiguous buckets are the layout contract
+      // (dense tx_id), so stop at the first absent successor = tail
+      while (pageRows(dirs) < pageSize && present(hi + 1L)) {
+        hi += 1L; dirs = window(hi)
+      }
       s.read.parquet(dirs: _*)
         .filter(col("tx_id") > cursor)
-        .orderBy(col("tx_id")).limit(25)
+        .orderBy(col("tx_id")).limit(pageSize)
         .select(col("tx_id"), col("block_id"),
           expr(s"tx_id div ${bucket}L").as("tx_id_group"))
     }),
