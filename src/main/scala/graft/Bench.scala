@@ -238,6 +238,19 @@ object Bench {
     // only advertise the artifact when it was actually written — a stale
     // or missing pointer is worse than none
     val fullPtr = if (wroteFull) "\"target/bench.json\"" else "null"
+    // top-5 pass skews surfaced in the tail itself: a large (passA,
+    // passB) ratio on an entry is the contention fingerprint (one pass
+    // hit a busy window on the shared box, the other didn't) — visible
+    // without fetching target/bench.json. Both-pass-positive only;
+    // failures are already reported via "failed"/"errors".
+    rawPasses.toSeq
+      .collect { case (n, (a, b)) if a > 0 && b > 0 =>
+        (n, math.max(a, b) / math.min(a, b), a, b) }
+      .sortBy(-_._2)
+      .take(5)
+      .foreach { case (n, r, a, b) =>
+        println(f"[bench] pass-skew $n: ${r}%.2fx (passA=$a%.2fs, passB=$b%.2fs)")
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":${errors.distinct.size},"sf":"$sfDir","full":$fullPtr}""")
     spark.stop()
   }

@@ -147,6 +147,9 @@ object ChainStore extends ChainSink {
     * reads valid and empty) — and monotone: a marker already present
     * and higher is kept. No-op on an empty or batch-layout store. */
   def backfillVacuumFloor(s: SparkSession, out: String): Option[Long] = {
+    val txPath = new org.apache.hadoop.fs.Path(s"$out/transaction")
+    val fs = txPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(txPath)) return None
     val df = s.read.parquet(s"$out/transaction")
     if (!df.schema.fieldNames.contains("ingest_epoch")) None
     else {

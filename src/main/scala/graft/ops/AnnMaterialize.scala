@@ -33,7 +33,8 @@ object AnnMaterialize {
     locks.computeIfAbsent(path, _ => new Object)
 
   /** Bump on any change to the ANN variant set or their parameters. */
-  private val FormatVersion = 2 // r11: IvfProbes 2→3, multiprobe at TunedBits
+  private val FormatVersion = 3 // r12: QueryStride 250→50, KmeansK 16→64,
+  // KmeansProbes 3→12, multiprobe width 6 / Hamming<=2, + pq_rerank tier
 
   private def base(dir: String): String = {
     val f = new File(s"$dir/embeddings.parquet")

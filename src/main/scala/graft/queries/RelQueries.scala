@@ -690,7 +690,9 @@ object RelQueries {
           // differs across serializers in the driver's canonical-hash
           // stage (r11: rows/schema green, hash red on exactly these
           // two nullable DECIMAL columns). Doubles serialize
-          // identically; 12,2 decimals are exact in a double.
+          // identically: decimal→double is correctly rounded in both
+          // engines, so values well under 2^53 convert bit-identically
+          // (deterministic, not exact — 0.01 has no finite binary form).
           col("o.price").cast("double").as("old_price"),
           col("n.price").cast("double").as("new_price"),
           col("o.status").as("old_status"),

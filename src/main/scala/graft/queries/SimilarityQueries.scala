@@ -623,6 +623,15 @@ object SimilarityQueries {
     * candidate CTE: `<p>dots` → `<p>cosv` → `<p>topk` (top-3). The same
     * chain the individual ANN oracles inline, parameterized so the
     * recall oracle can run it once per method without name clashes. */
+  /** Pin one oracle CTE to a single evaluation: DuckDB re-inlines plain
+    * CTEs per REFERENCE, so a chain tail referenced twice (e.g. ranked3
+    * by both klists and kprobes) re-evaluates its entire upstream chain
+    * — the cost blowup class COVERAGE.md's oracle budget exists for.
+    * Applied to whole CTE lists of the two recap oracles (ann_recall /
+    * ann_candidates), which stack every method's chain in one WITH. */
+  private def materializeCte(cte: String): String =
+    cte.replaceFirst(" AS \\(", " AS MATERIALIZED (")
+
   private def rerankCtes(p: String, cand: String): Seq[String] = Seq(
     s"""${p}dots AS (
        |  SELECT c.query_id, c.neighbor_id, CAST(sum(qe.v * de.v) AS BIGINT) AS dot
@@ -1079,7 +1088,7 @@ object SimilarityQueries {
         |  WHERE rank <= 3)""".stripMargin) ++
       // trained-PQ shortlist + exact re-rank (mirror of embed_pq_rerank)
       pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters, PqShortlist) ++
-      rerankCtes("prr", "prshort"): _*)(
+      rerankCtes("prr", "prshort")).map(materializeCte): _*)(
       s"""SELECT method, role, CAST(n_hits AS BIGINT) AS n_hits,
          |       CAST(n_truth AS BIGINT) AS n_truth,
          |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
@@ -1154,9 +1163,10 @@ object SimilarityQueries {
         |FROM fass GROUP BY cent_id""".stripMargin),
 
     // candidate counts per method — the same cand CTE shapes as the
-    // per-method oracles (8-bit + tuned buckets, multiprobe over the
-    // tuned width, seed + learned IVF at $IvfProbes probes), counted
-    // instead of re-ranked; PQ rows state corpus−1 per query
+    // per-method oracles (8-bit + tuned single-bucket LSH, width-6
+    // Hamming<=2 multiprobe, seed + learned IVF, trained-PQ re-rank
+    // shortlist), counted instead of re-ranked; the full-ADC `pq`
+    // control states corpus-1 per query (ADC ranks everything)
     "ann_candidates" -> withCtes((Seq(embSql, eeSql, normSql,
       hyperSql, bucketsSql,
       hyperSqlFor(TunedBits, "thyper"), bucketsSqlFor("thyper", "tbuckets"),
@@ -1170,16 +1180,16 @@ object SimilarityQueries {
          |  FROM tbuckets qb
          |  JOIN tbuckets db ON qb.bucket = db.bucket AND db.vec_id != qb.vec_id
          |  WHERE qb.vec_id % $QueryStride = 0)""".stripMargin,
-      s"""mpprobes AS (
-         |  SELECT query_id, CAST(CASE WHEN p = -1 THEN bucket
-         |    ELSE xor(bucket, CAST(1 << CAST(p AS INT) AS BIGINT)) END AS BIGINT) AS bucket
-         |  FROM (SELECT vec_id AS query_id, bucket,
-         |          unnest(range(-1, $TunedBits)) AS p
-         |        FROM tbuckets WHERE vec_id % $QueryStride = 0))""".stripMargin,
+      // multiprobe: its own width-[[MultiProbeBits]] bucket tier probed
+      // over the SAME literal Hamming<=2 mask list the Spark side ships
+      hyperSqlFor(MultiProbeBits, "mphyper"),
+      bucketsSqlFor("mphyper", "mpbuckets"),
+      multiprobeSqlFor("mpbuckets", "mpprobes", MultiProbeBits,
+        MultiProbeHamming),
       """mpcand AS (
         |  SELECT DISTINCT p.query_id, db.vec_id AS neighbor_id
         |  FROM mpprobes p
-        |  JOIN tbuckets db ON p.bucket = db.bucket
+        |  JOIN mpbuckets db ON p.bucket = db.bucket
         |  WHERE db.vec_id != p.query_id)""".stripMargin,
       """icdist AS (
         |  SELECT e.vec_id, c.vec_id AS cent_id,
@@ -1210,33 +1220,40 @@ object SimilarityQueries {
       """kcand AS (
         |  SELECT DISTINCT p.query_id, l.neighbor_id
         |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
-        |  WHERE l.neighbor_id != p.query_id)""".stripMargin)): _*)(
-      s"""SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
+        |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
+      // trained-PQ shortlist — the shipped pq_rerank candidate budget
+      pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters,
+        PqShortlist)).map(materializeCte): _*)(
+      s"""SELECT method, role, CAST(n_queries AS BIGINT) AS n_queries,
          |       CAST(n_candidates AS BIGINT) AS n_candidates,
          |       CAST(n_candidates AS DOUBLE) / CAST(n_queries AS DOUBLE)
          |         AS avg_candidates
          |FROM (
-         |  SELECT 'ivf' AS method,
+         |  SELECT 'ivf' AS method, '${AnnRoles("ivf")}' AS role,
          |    (SELECT count(DISTINCT query_id) FROM icand) AS n_queries,
          |    (SELECT count(*) FROM icand) AS n_candidates
          |  UNION ALL
-         |  SELECT 'ivf_kmeans',
+         |  SELECT 'ivf_kmeans', '${AnnRoles("ivf_kmeans")}',
          |    (SELECT count(DISTINCT query_id) FROM kcand),
          |    (SELECT count(*) FROM kcand)
          |  UNION ALL
-         |  SELECT 'lsh',
+         |  SELECT 'lsh', '${AnnRoles("lsh")}',
          |    (SELECT count(DISTINCT query_id) FROM lcand),
          |    (SELECT count(*) FROM lcand)
          |  UNION ALL
-         |  SELECT 'lsh_tuned',
+         |  SELECT 'lsh_tuned', '${AnnRoles("lsh_tuned")}',
          |    (SELECT count(DISTINCT query_id) FROM tcand),
          |    (SELECT count(*) FROM tcand)
          |  UNION ALL
-         |  SELECT 'multiprobe',
+         |  SELECT 'multiprobe', '${AnnRoles("multiprobe")}',
          |    (SELECT count(DISTINCT query_id) FROM mpcand),
          |    (SELECT count(*) FROM mpcand)
          |  UNION ALL
-         |  SELECT 'pq',
+         |  SELECT 'pq_rerank', '${AnnRoles("pq_rerank")}',
+         |    (SELECT count(DISTINCT query_id) FROM prshort),
+         |    (SELECT count(*) FROM prshort)
+         |  UNION ALL
+         |  SELECT 'pq', '${AnnRoles("pq")}',
          |    (SELECT count(*) FROM emb WHERE vec_id % $QueryStride = 0),
          |    (SELECT count(*) FROM emb WHERE vec_id % $QueryStride = 0)
          |      * ((SELECT count(*) FROM emb) - 1))""".stripMargin),

@@ -153,6 +153,49 @@ class ExportSpec extends SparkSpec {
       .select("tx_id").as[Long].head() === minTx + 7L)
   }
 
+  test("composed lifecycle: per-chain margins + compaction + --continue " +
+      "converge bit-for-bit to the one-shot export") {
+    val cfgDir = graft.chain.ChainConfig.fixtureDir()
+    // one source, two chain deployments (the reference runs one
+    // keyspace per coin off per-coin cfgs): btc's tip margin is 6,
+    // zec's 24 — the same default-range export ends at different tips
+    val outOneShot = tmpOut()
+    val outStaged = tmpOut()
+    val rBtc = Export.run(spark, Export.Args(config = dir,
+      out = outOneShot, chainConfig = Some(s"$cfgDir/btc.cfg"),
+      tables = Some(Seq("tx"))))
+    val rZec = Export.run(spark, Export.Args(config = dir,
+      out = outStaged, chainConfig = Some(s"$cfgDir/zec.cfg"),
+      tables = Some(Seq("tx"))))
+    assert(rBtc.endIndex === lastParsed - 6)
+    assert(rZec.endIndex === lastParsed - 24)
+
+    // maintenance between ingests: compact the staged store (epoch
+    // sub-partitions / small files collapse to one sorted file per
+    // bucket). The resume watermark must survive the rewrite.
+    graft.chain.ChainStore.compactTransactions(spark, outStaged)
+    assert(Export.sinkMaxBlock(spark, outStaged) === Some(lastParsed - 24))
+
+    // the chain advanced past the deeper margin (deploy now runs the
+    // btc-margin cfg): --continue resumes at compacted-max + 1 and
+    // lands exactly the (tip-24, tip-6] tail
+    val r2 = Export.run(spark, Export.Args(config = dir,
+      out = outStaged, continueIngest = true,
+      chainConfig = Some(s"$cfgDir/btc.cfg"), tables = Some(Seq("tx"))))
+    assert(r2.startIndex === lastParsed - 23)
+    assert(r2.endIndex === lastParsed - 6)
+
+    // convergence: compacted + resumed == one-shot, bit-for-bit (row
+    // multisets of both tx-path tables; except() both ways is empty)
+    for (t <- Seq("transaction", "transaction_by_tx_prefix")) {
+      val a = spark.read.parquet(s"$outOneShot/$t")
+      val b = spark.read.parquet(s"$outStaged/$t")
+      assert(a.count() === b.count(), s"$t row count")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t content diverged")
+    }
+  }
+
   test("argument parser covers the reference surface") {
     val a = Export.parseArgs(Array("-c", "cfg", "--out", "o",
       "--continue", "--previous-day", "--start-index", "5",

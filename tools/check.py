@@ -4,10 +4,22 @@
 Usage: python3 tools/check.py [sfDir] [outDir]
 Reads outDir/oracle_sql.json (written by graft.Verify), runs each SQL in
 DuckDB against the parquet tables in sfDir, and compares to the Spark
-result parquet in outDir/<name>/. Exact compare after sorting columns by
-name and rows by all columns.
+result parquet in outDir/<name>/. Three stages per query, mirroring the
+driver's CORRECTNESS gate: rows (count), schema (sorted column names),
+and HASH — a canonical serialization (sorted columns, sorted rows, typed
+cell rendering) digested with md5. The hash stage is deliberately
+STRICTER than the value compare: a float64 column on one side vs DECIMAL
+on the other hashes differently even when the values compare equal,
+which is exactly the drift class the driver's hash catches (r11:
+store_snapshot_diff was rows/schema-green, hash-red on two DECIMAL
+columns and undiagnosable locally until this stage existed).
+
+Exit code is non-zero on ANY of: a value/rows/schema/hash mismatch, an
+oracle over the 10 s per-query budget, or a suite over the 180 s total
+budget (COVERAGE.md budget contract — the driver's run must never time
+out on oracle cost).
 """
-import json, math, sys, time
+import hashlib, json, math, sys, time
 
 import duckdb
 
@@ -41,6 +53,40 @@ def cmp_cell(a, b):
     except TypeError:
         pass
     return a == b
+
+def canon_cell(v):
+    """Canonical render of one cell — the hash stage's serialization.
+
+    Typed on purpose: float via repr (shortest round-trip), Decimal via
+    str (scale-preserving), bytes as hex, arrays/structs recursively.
+    Two dataframes hash equal iff every cell RENDERS equal, so a dtype
+    that survives the tolerant value-compare (int vs float, Decimal vs
+    double) still reds the hash — as at the driver."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):          # covers numpy float64 (subclass)
+        if math.isnan(v):
+            return "\\N"
+        return repr(float(v))
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if v != v:                        # pandas NaT and friends
+        return "\\N"
+    return str(v)
+
+def canon_hash(df):
+    """md5 over the canonical serialization of a norm()-ed frame."""
+    h = hashlib.md5()
+    h.update(("|".join(df.columns) + "\n").encode())
+    for row in df.values.tolist():
+        h.update(("\x1f".join(canon_cell(c) for c in row) + "\x1e")
+                 .encode())
+    return h.hexdigest()
 
 fails = 0
 slow = []   # oracle COST is part of the gate (see COVERAGE.md budget):
@@ -81,15 +127,34 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: first diff row={bad[0]} col={bad[1]} "
               f"want={bad[2]!r} got={bad[3]!r}")
         fails += 1
-    else:
+        continue
+    # driver-hash emulation: values agreed cell-by-cell; the hash stage
+    # additionally reds any RENDER disagreement (dtype drift)
+    hw, hg = canon_hash(w), canon_hash(g)
+    if hw != hg:
         dtw = {c: str(want[c].dtype) for c in want.columns}
         dtg = {c: str(got[c].dtype) for c in got.columns}
-        dtflag = "" if dtw == dtg else f"  [dtype drift: {dtw} vs {dtg}]"
-        print(f"ok   {name} ({len(w)} rows){dtflag}")
+        wit = next(((i, w.columns[j])
+                    for i, (rw, rg) in enumerate(
+                        zip(w.values.tolist(), g.values.tolist()))
+                    for j in range(len(w.columns))
+                    if canon_cell(rw[j]) != canon_cell(rg[j])), None)
+        print(f"FAIL {name}: hash mismatch {hw[:8]} vs {hg[:8]} "
+              f"(values equal, render drift at {wit}; dtypes {dtw} vs "
+              f"{dtg})")
+        fails += 1
+    else:
+        print(f"ok   {name} ({len(w)} rows, hash {hw[:8]})")
 
+suite_s = time.time() - t_suite
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match "
-      f"(oracle suite {time.time() - t_suite:.0f}s)")
+      f"(oracle suite {suite_s:.0f}s)")
+budget_breach = 0
 for dt, name in sorted(slow, reverse=True):
-    print(f"WARN over-budget oracle: {name} took {dt:.1f}s in DuckDB "
-          f"(budget ~10s; materialize its round CTEs — see COVERAGE.md)")
-sys.exit(1 if fails else 0)
+    print(f"FAIL over-budget oracle: {name} took {dt:.1f}s in DuckDB "
+          f"(budget 10s; materialize its round CTEs — see COVERAGE.md)")
+    budget_breach += 1
+if suite_s > 180:
+    print(f"FAIL over-budget suite: {suite_s:.0f}s > 180s total budget")
+    budget_breach += 1
+sys.exit(1 if fails or budget_breach else 0)
