@@ -52,11 +52,28 @@ object ContinueBench {
       Export.Args(config = sfDir, out = outStaged,
         continueIngest = true, tables = Some(Seq("tx")))))
 
+    // the block-local-only pair isolates the two cost components: the
+    // `tx` path above includes the prefix-index rewrite (O(store) by
+    // design — hash-partitioned, no block locality), while the
+    // bucket-complete refill of a block-local table costs
+    // O(tail + boundary bucket) and must stay flat in store size
+    val blkTables = Some(Seq("block", "block_tx"))
+    val (_, fullBlkSec) = timed(Export.run(spark,
+      Export.Args(config = sfDir, out = tmp(), tables = blkTables)))
+    val outBlk = tmp()
+    Export.run(spark, Export.Args(config = sfDir, out = outBlk,
+      endIndex = head90, tables = blkTables))
+    val (_, contBlkSec) = timed(Export.run(spark,
+      Export.Args(config = sfDir, out = outBlk,
+        continueIngest = true, tables = blkTables)))
+
     println(s"""{"metric":"continue_bench","label":"$label",""" +
       s""""last_parsed":$lastParsed,"tail_blocks":${r.blocksIngested},""" +
       f""""full_sec":$fullSec%.2f,"head90_sec":$headSec%.2f,""" +
       f""""continue_sec":$contSec%.2f,""" +
-      f""""continue_vs_full":${contSec / fullSec}%.2f}""")
+      f""""continue_vs_full":${contSec / fullSec}%.2f,""" +
+      f""""full_blk_sec":$fullBlkSec%.2f,"continue_blk_sec":$contBlkSec%.2f,""" +
+      f""""continue_vs_full_blk":${contBlkSec / fullBlkSec}%.2f}""")
     spark.stop()
   }
 }

@@ -165,11 +165,27 @@ object Export {
     if (tables.contains("tx")) {
       // bucket-complete refill: every touched tx bucket is re-derived
       // whole (below-start rows included, beyond-end rows excluded), so
-      // the dynamic partition overwrite is lossless at the boundary
-      val touched = ranged.select(col("tx_id_group")).distinct()
-      sink.writeTransactions(
-        tx.join(broadcast(touched), Seq("tx_id_group"))
-          .filter(col("block_id") <= end), args.out)
+      // the dynamic partition overwrite is lossless at the boundary.
+      // Touched buckets form a contiguous [lo, hi] range (tx ids are
+      // dense in block order), so the refill is a PUSHED-DOWN range
+      // predicate on the scan — parquet min/max stats prune untouched
+      // row groups and a resumed ingest reads O(tail), not O(store) —
+      // where a join against the touched-bucket set would scan
+      // everything (a join filter can't prune a scan)
+      val b = ranged.agg(min(col("tx_id_group")), max(col("tx_id_group")))
+        .head()
+      if (!b.isNullAt(0)) { // a block range with no txs touches no bucket
+        // the [lo, hi] group range expressed as a tx_id range: the
+        // predicate lands on the source key column (unwrap-cast makes
+        // it a parquet PushedFilter), where floor(tx_id/bucket) would
+        // not — on a block-range-clustered source, row groups outside
+        // the tail never leave disk
+        val (txLo, txHi) = (b.getLong(0) * Chain.TxBucketSize,
+          (b.getLong(1) + 1L) * Chain.TxBucketSize - 1L)
+        sink.writeTransactions(
+          tx.filter(col("tx_id").between(txLo, txHi) &&
+            col("block_id") <= end), args.out)
+      }
       // the hash index rides with "tx", like the reference's per-tx
       // INSERT; its p2 partitioning has no block locality, so it is
       // rewritten from everything up to `end` (see scaladoc). BIP30:
@@ -182,21 +198,32 @@ object Export {
         else upToEnd
       sink.writePrefixIndex(idxTx, args.out)
     }
+    // block-local refills: the touched block_id_group range is pure
+    // arithmetic (group = block_id div bucket) — no scan needed to find
+    // it, and the bucket-complete predicate is a plain block_id range
+    // that Catalyst pushes BELOW the per-block aggregates (it references
+    // only the grouping column), so the derivation aggregates
+    // O(tail + one boundary bucket) of rows, never the whole store —
+    // where the former join-against-touched-groups aggregated
+    // everything first and filtered after
+    val blkLo = (start / Chain.BlockBucketSize) * Chain.BlockBucketSize
     if (tables.contains("block")) {
-      val bl = Chain.blocks(s, args.config)
-      val touched = bl.filter(col("block_id").between(start, end))
-        .select(col("block_id_group")).distinct()
       sink.writeBlocks(
-        bl.join(broadcast(touched), Seq("block_id_group"))
-          .filter(col("block_id") <= end), args.out)
+        Chain.blocks(s, args.config)
+          .filter(col("block_id").between(blkLo, end)), args.out)
     }
     if (tables.contains("block_tx")) {
-      val bt = Chain.blockTransactions(s, args.config)
-      val touched = bt.filter(col("block_id").between(start, end))
-        .select(col("block_id_group")).distinct()
-      sink.writeBlockTransactions(
-        bt.join(broadcast(touched), Seq("block_id_group"))
-          .filter(col("block_id") <= end), args.out)
+      // the io rollup side has no block_id — bound it by the tail's
+      // tx_id range (dense ids: blocks ≥ blkLo own exactly the tx ids
+      // ≥ the range min), a source-key predicate the lineitem scan
+      // prunes on
+      val tb = tx.filter(col("block_id").between(blkLo, end))
+        .agg(min(col("tx_id")), max(col("tx_id"))).head()
+      if (!tb.isNullAt(0))
+        sink.writeBlockTransactions(
+          Chain.blockTransactions(s, args.config,
+              txIdBounds = Some((tb.getLong(0), tb.getLong(1))))
+            .filter(col("block_id").between(blkLo, end)), args.out)
     }
     if (tables.contains("stats")) {
       // keyspace metadata over everything ingested so far (≤ end):

@@ -121,9 +121,15 @@ object Chain {
         datediff(col("rate_date"), to_date(lit(Genesis))).cast("long"))
 
   /** Per-tx io rollup (A2/A3): input/output counts and totals.
-    * Map-side combinable hash aggregation on tx_id. */
-  def txIoStats(spark: SparkSession, dir: String): DataFrame =
-    io(spark, dir).groupBy(col("tx_id")).agg(
+    * Map-side combinable hash aggregation on tx_id. `txIdBounds`
+    * restricts the rollup to a [lo, hi] tx_id range with a predicate on
+    * the source key column (unwrap-cast → parquet PushedFilter), so an
+    * incremental caller aggregates only the tail's io rows. */
+  def txIoStats(spark: SparkSession, dir: String,
+      txIdBounds: Option[(Long, Long)] = None): DataFrame =
+    txIdBounds.foldLeft(io(spark, dir)) { case (df, (lo, hi)) =>
+      df.filter(col("tx_id").between(lo, hi))
+    }.groupBy(col("tx_id")).agg(
       sum(when(col("is_input"), lit(1)).otherwise(lit(0))).as("no_inputs"),
       sum(when(!col("is_input"), lit(1)).otherwise(lit(0))).as("no_outputs"),
       coalesce(sum(when(col("is_input"), col("value"))), lit(0L)).as("total_input"),
@@ -146,9 +152,13 @@ object Chain {
     * tx_summary list per block. array_sort over the collected structs
     * orders by the leading tx_id field — one pass, map-side combinable
     * partials on the io rollup feeding it. */
-  def blockTransactions(spark: SparkSession, dir: String): DataFrame =
-    transactions(spark, dir).select(col("tx_id"), col("block_id"))
-      .join(txIoStats(spark, dir), Seq("tx_id"), "left")
+  def blockTransactions(spark: SparkSession, dir: String,
+      txIdBounds: Option[(Long, Long)] = None): DataFrame =
+    txIdBounds.foldLeft(
+        transactions(spark, dir).select(col("tx_id"), col("block_id"))) {
+      case (df, (lo, hi)) => df.filter(col("tx_id").between(lo, hi))
+    }
+      .join(txIoStats(spark, dir, txIdBounds), Seq("tx_id"), "left")
       .select(col("block_id"), struct(
         col("tx_id"),
         coalesce(col("no_inputs"), lit(0L)).as("no_inputs"),
