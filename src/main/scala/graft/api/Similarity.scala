@@ -309,6 +309,36 @@ object Similarity {
       .filter(col("rank") <= shortlist)
       .select("query_id", "neighbor_id")
 
+  /** IVF-PQ composed serving: candidates from the IVF probe
+    * ([[ivfCandidates]] over `ivfCents`), ADC-ranked WITHIN the probed
+    * lists only, top-`shortlist` re-ranked exactly by the caller. The
+    * 100 TB serving shape end-to-end: candidate generation is an
+    * equi-join on cent_id (the probed ~probes/k corpus fraction), the
+    * ranking join touches the compressed code tier of those candidates
+    * only (never raw vectors, never the unprobed lists), and the exact
+    * pass downstream reads `shortlist` raw vectors per query — every
+    * stage's cost is probe- or budget-bounded, none is corpus-sized.
+    * Returns (query_id, neighbor_id) shortlist pairs. */
+  def ivfPqShortlist(e: DataFrame, ivfCents: DataFrame,
+      pqCents: DataFrame, isQuery: Column, shortlist: Int,
+      m: Int, subDim: Int, probes: Int): DataFrame = {
+    val cand = ivfCandidates(e, ivfCents, isQuery, probes)
+    val codes = pqCodes(e, pqCents, m, subDim)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val lut = pqDists(pqSubvectors(e.filter(isQuery), m, subDim), pqCents)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("cent_id").as("code"), col("dist2").as("pdist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    cand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pdist2")).as("adist2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= shortlist)
+      .select("query_id", "neighbor_id")
+  }
+
   private def pqAdcRanked(e: DataFrame, cents: DataFrame, isQuery: Column,
       m: Int, subDim: Int): DataFrame = {
     val codes = pqCodes(e, cents, m, subDim)

@@ -33,8 +33,9 @@ object AnnMaterialize {
     locks.computeIfAbsent(path, _ => new Object)
 
   /** Bump on any change to the ANN variant set or their parameters. */
-  private val FormatVersion = 3 // r12: QueryStride 250→50, KmeansK 16→64,
-  // KmeansProbes 3→12, multiprobe width 6 / Hamming<=2, + pq_rerank tier
+  private val FormatVersion = 4 // r13: + ivfpq_rerank (composed serving)
+  // (r12: QueryStride 250→50, KmeansK 16→64, KmeansProbes 3→12,
+  //  multiprobe width 6 / Hamming<=2, + pq_rerank tier)
 
   private def base(dir: String): String = {
     val f = new File(s"$dir/embeddings.parquet")

@@ -201,6 +201,24 @@ object SimilarityQueries {
       PqRM, PqRSubDim)
   }
 
+  /** IVF-PQ composed shortlist (the serving composition: kmeans-IVF
+    * probe admits ~[[KmeansProbes]]/[[KmeansK]] of the corpus, ADC
+    * ranks those candidates' compressed codes only, top-[[PqShortlist]]
+    * re-ranked exactly) — the candidate frame embed_ivfpq_rerank
+    * re-ranks and ann_candidates counts. IVF centroids come from the
+    * PARKED training artifact like embed_ivf_kmeans; PQ codebooks are
+    * the same trained 16×32 set as embed_pq_rerank. */
+  private def ivfPqRerankShortlist(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pqCents = graft.api.Similarity.pqTrainedCentroids(
+      e, PqRK, PqRM, PqRSubDim, PqTrainIters)
+    graft.api.Similarity.ivfPqShortlist(
+      e, graft.ops.AnnMaterialize.ivfCentroidTable(s, dir), pqCents,
+      col("vec_id") % QueryStride === 0, PqShortlist,
+      PqRM, PqRSubDim, probes = KmeansProbes)
+  }
+
   /** Brute-force cosine top-3 per query — ann_recall's ground truth,
     * exposed for [[graft.ops.AnnMaterialize]] to park once per fixture. */
   private[graft] def bruteForceTop3(s: SparkSession, dir: String): DataFrame = {
@@ -220,7 +238,8 @@ object SimilarityQueries {
     "ivf" -> "embed_ivf_ann", "ivf_kmeans" -> "embed_ivf_kmeans",
     "lsh" -> "embed_lsh_ann", "lsh_tuned" -> "embed_lsh_ann_tuned",
     "multiprobe" -> "embed_lsh_multiprobe", "pq" -> "embed_pq_ann",
-    "pq_rerank" -> "embed_pq_rerank")
+    "pq_rerank" -> "embed_pq_rerank",
+    "ivfpq_rerank" -> "embed_ivfpq_rerank")
 
   private[graft] val AnnMethods: Seq[String] = AnnMethodQueries.map(_._1)
 
@@ -237,7 +256,7 @@ object SimilarityQueries {
     "ivf" -> "ablation", "ivf_kmeans" -> "shipped",
     "lsh" -> "ablation", "lsh_tuned" -> "ablation",
     "multiprobe" -> "shipped", "pq" -> "ablation",
-    "pq_rerank" -> "shipped")
+    "pq_rerank" -> "shipped", "ivfpq_rerank" -> "shipped")
 
   private[graft] def annMethodQuery(method: String): Q =
     queries(AnnMethodQueries.toMap.apply(method))
@@ -400,6 +419,17 @@ object SimilarityQueries {
     "embed_pq_rerank" -> ((s, dir) =>
       cosTopK(emb(s, dir), pqRerankShortlist(s, dir), 3)),
 
+    // IVF-PQ composed serving (the full production stack in one query):
+    // kmeans-IVF probe bounds the candidate set to ~probes/k of the
+    // corpus, ADC ranks only those candidates' compressed codes, the
+    // fixed-budget shortlist is re-ranked exactly. vs embed_pq_rerank
+    // the ADC scan drops from the whole code tier to the probed slice;
+    // vs embed_ivf_kmeans the exact math drops from every candidate to
+    // the 20-pair budget — the two cost bounds composed, with the
+    // recall cost of the composition measured by ann_recall per run.
+    "embed_ivfpq_rerank" -> ((s, dir) =>
+      cosTopK(emb(s, dir), ivfPqRerankShortlist(s, dir), 3)),
+
     // embedding-cosine near-duplicate detection: all same-bucket pairs,
     // exact cosine, keep pairs above threshold (the vector analog of
     // MinHash-LSH + Jaccard verify).
@@ -526,7 +556,10 @@ object SimilarityQueries {
         // the shipped PQ budget: the exact-re-rank shortlist (the ADC
         // pass scans the compressed CODE tier, never raw vectors — the
         // control `pq` row above states the uncompressed equivalent)
-        countsOf("pq_rerank", pqRerankShortlist(s, dir)))
+        countsOf("pq_rerank", pqRerankShortlist(s, dir)),
+        // the composed IVF-PQ budget: same fixed exact-re-rank
+        // shortlist, but its ADC pass scanned only the probed lists
+        countsOf("ivfpq_rerank", ivfPqRerankShortlist(s, dir)))
         .reduce(_.unionByName(_)).unionByName(pq)
     }),
 
@@ -739,7 +772,18 @@ object SimilarityQueries {
     * top-[[PqShortlist]] shortlist `<p>short` (query_id, neighbor_id)
     * the caller re-ranks exactly. */
   private def pqTrainedCtes(p: String, k: Int, subDim: Int,
-      iters: Int, shortlist: Int): Seq[String] = {
+      iters: Int, shortlist: Int): Seq[String] =
+    pqTrainCtes(p, k, subDim, iters) ++
+      pqServeCtes(p, p, shortlist, None)
+
+  /** Training + encode half of the trained-PQ chain: subvectors, seed
+    * codebooks, `iters` Lloyd rounds, final `<p>codes` + query
+    * `<p>lut`. Serving chains ([[pqServeCtes]]) read those two — one
+    * training pays for any number of serve variants in the same WITH
+    * (full-corpus ADC and IVF-bounded ADC share codebooks exactly as
+    * the Spark side shares pqTrainedCentroids). */
+  private def pqTrainCtes(p: String, k: Int, subDim: Int,
+      iters: Int): Seq[String] = {
     def dist(r: Int): String =
       s"""${p}dist$r AS (
          |  SELECT s.vec_id, s.m, c.cent_id,
@@ -780,7 +824,7 @@ object SimilarityQueries {
            |  SELECT cent_id, m, CAST(sum(cv * cv) AS BIGINT) AS cn2
            |  FROM ${p}cent${r + 1} GROUP BY cent_id, m)""".stripMargin)
     }
-    val serve = Seq(
+    val encode = Seq(
       dist(iters),
       s"""${p}codes AS (
          |  SELECT vec_id, m, cent_id AS code FROM (
@@ -790,21 +834,33 @@ object SimilarityQueries {
          |  WHERE rr = 1)""".stripMargin,
       s"""${p}lut AS (
          |  SELECT vec_id AS query_id, m, cent_id, dist2 FROM ${p}dist$iters
-         |  WHERE vec_id % $QueryStride = 0)""".stripMargin,
-      s"""${p}adc AS (
+         |  WHERE vec_id % $QueryStride = 0)""".stripMargin)
+    seed ++ rounds ++ encode
+  }
+
+  /** ADC + shortlist serve chain over a [[pqTrainCtes]] prefix `p`,
+    * emitting `<sp>adc` / `<sp>short`. `candCte`, when set, bounds the
+    * ADC to that CTE's (query_id, neighbor_id) pairs — the IVF-PQ
+    * composition (the SQL twin of Similarity.ivfPqShortlist); None is
+    * the full-corpus ADC of embed_pq_rerank. */
+  private def pqServeCtes(p: String, sp: String, shortlist: Int,
+      candCte: Option[String]): Seq[String] = {
+    val candJoin = candCte.fold("")(cc =>
+      s"\n  JOIN $cc cd ON cd.query_id = l.query_id AND cd.neighbor_id = c.vec_id")
+    Seq(
+      s"""${sp}adc AS (
          |  SELECT l.query_id, c.vec_id AS neighbor_id,
          |         CAST(sum(l.dist2) AS BIGINT) AS adist2
          |  FROM ${p}codes c
-         |  JOIN ${p}lut l ON l.m = c.m AND l.cent_id = c.code
+         |  JOIN ${p}lut l ON l.m = c.m AND l.cent_id = c.code$candJoin
          |  WHERE c.vec_id != l.query_id
          |  GROUP BY l.query_id, c.vec_id)""".stripMargin,
-      s"""${p}short AS (
+      s"""${sp}short AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY adist2, neighbor_id) AS rr
-         |    FROM ${p}adc)
+         |    FROM ${sp}adc)
          |  WHERE rr <= $shortlist)""".stripMargin)
-    seed ++ rounds ++ serve
   }
 
   /** Multi-probe probe CTE: the query buckets exploded over the SAME
@@ -904,13 +960,39 @@ object SimilarityQueries {
     // the top-shortlist pairs (the same re-rank CTE shape every other
     // ANN oracle uses)
     "embed_pq_rerank" -> withCtes(
-      (Seq(embSql, eeSql, normSql) ++
+      ((Seq(embSql, eeSql, normSql) ++
         pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters, PqShortlist) ++
-        rerankCtes("prr", "prshort")): _*)(
+        rerankCtes("prr", "prshort")).map(materializeCte)): _*)(
       """SELECT query_id, neighbor_id, rank, cos FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM prrcosv)
+        |WHERE rank <= 3""".stripMargin),
+
+    // IVF-PQ composed serving oracle: the kmeans-round chain yields the
+    // probed candidate set (kcand, as in embed_ivf_kmeans), the trained
+    // PQ chain yields codes + query LUT, and the ADC serve is BOUNDED
+    // to kcand (pqServeCtes candCte) before the exact re-rank — the SQL
+    // twin of Similarity.ivfPqShortlist, CTEs materialized (two heavy
+    // chains stack in one WITH)
+    "embed_ivfpq_rerank" -> withCtes(
+      ((Seq(embSql, eeSql, normSql) ++
+        kmeansRoundCtes(KmeansIters, KmeansK) ++ Seq(
+        s"klists AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked$KmeansIters WHERE crank = 1)",
+        s"""kprobes AS (
+           |  SELECT vec_id AS query_id, cent_id FROM ranked$KmeansIters
+           |  WHERE crank <= $KmeansProbes AND vec_id % $QueryStride = 0)""".stripMargin,
+        """kcand AS (
+          |  SELECT DISTINCT p.query_id, l.neighbor_id
+          |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
+          |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
+        pqTrainCtes("pr", PqRK, PqRSubDim, PqTrainIters) ++
+        pqServeCtes("pr", "ip", PqShortlist, Some("kcand")) ++
+        rerankCtes("ipr", "ipshort")).map(materializeCte)): _*)(
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM iprcosv)
         |WHERE rank <= 3""".stripMargin),
 
     "embed_ivf_kmeans" -> withCtes(Seq(embSql, eeSql, normSql) ++
@@ -1088,7 +1170,11 @@ object SimilarityQueries {
         |  WHERE rank <= 3)""".stripMargin) ++
       // trained-PQ shortlist + exact re-rank (mirror of embed_pq_rerank)
       pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters, PqShortlist) ++
-      rerankCtes("prr", "prshort")).map(materializeCte): _*)(
+      rerankCtes("prr", "prshort") ++
+      // IVF-PQ composed serve (mirror of embed_ivfpq_rerank): the SAME
+      // trained codebooks, ADC bounded to the kmeans-probe candidates
+      pqServeCtes("pr", "ip", PqShortlist, Some("kcand")) ++
+      rerankCtes("ipr", "ipshort")).map(materializeCte): _*)(
       s"""SELECT method, role, CAST(n_hits AS BIGINT) AS n_hits,
          |       CAST(n_truth AS BIGINT) AS n_truth,
          |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
@@ -1125,6 +1211,11 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT 'pq_rerank', '${AnnRoles("pq_rerank")}',
          |    (SELECT count(*) FROM gttopk g JOIN prrtopk a
+         |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+         |    (SELECT count(*) FROM gttopk)
+         |  UNION ALL
+         |  SELECT 'ivfpq_rerank', '${AnnRoles("ivfpq_rerank")}',
+         |    (SELECT count(*) FROM gttopk g JOIN iprtopk a
          |       ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
          |    (SELECT count(*) FROM gttopk))""".stripMargin),
 
@@ -1222,8 +1313,10 @@ object SimilarityQueries {
         |  FROM kprobes p JOIN klists l ON p.cent_id = l.cent_id
         |  WHERE l.neighbor_id != p.query_id)""".stripMargin) ++
       // trained-PQ shortlist — the shipped pq_rerank candidate budget
-      pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters,
-        PqShortlist)).map(materializeCte): _*)(
+      pqTrainedCtes("pr", PqRK, PqRSubDim, PqTrainIters, PqShortlist) ++
+      // IVF-PQ composed shortlist — same codebooks, kcand-bounded ADC
+      pqServeCtes("pr", "ip", PqShortlist,
+        Some("kcand"))).map(materializeCte): _*)(
       s"""SELECT method, role, CAST(n_queries AS BIGINT) AS n_queries,
          |       CAST(n_candidates AS BIGINT) AS n_candidates,
          |       CAST(n_candidates AS DOUBLE) / CAST(n_queries AS DOUBLE)
@@ -1252,6 +1345,10 @@ object SimilarityQueries {
          |  SELECT 'pq_rerank', '${AnnRoles("pq_rerank")}',
          |    (SELECT count(DISTINCT query_id) FROM prshort),
          |    (SELECT count(*) FROM prshort)
+         |  UNION ALL
+         |  SELECT 'ivfpq_rerank', '${AnnRoles("ivfpq_rerank")}',
+         |    (SELECT count(DISTINCT query_id) FROM ipshort),
+         |    (SELECT count(*) FROM ipshort)
          |  UNION ALL
          |  SELECT 'pq', '${AnnRoles("pq")}',
          |    (SELECT count(*) FROM emb WHERE vec_id % $QueryStride = 0),
