@@ -87,6 +87,22 @@ object AnnMaterialize {
     s.read.parquet(s"$root/ivf_centroids")
   }
 
+  /** FROZEN trained-PQ codebooks (k·m rows) — like the IVF centroids,
+    * trained once per fixture and read by every PQ serving query
+    * (embed_pq_rerank, embed_ivfpq_rerank, ann_candidates); the
+    * oracles retrain from scratch, so parked == retrained is
+    * hash-proven on every run. */
+  def pqCodebookTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lockFor(s"$root/pq_codebooks").synchronized {
+      if (!new File(s"$root/pq_codebooks/_SUCCESS").exists()) {
+        graft.queries.SimilarityQueries.pqFrozenCodebooks(s, dir)
+          .write.mode("overwrite").parquet(s"$root/pq_codebooks")
+      }
+    }
+    s.read.parquet(s"$root/pq_codebooks")
+  }
+
   /** PRE-BATCH inverted lists (vec_id → cent_id) under the frozen
     * centroids — what embed_ivf_incremental appends a batch onto. */
   def ivfListsTable(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +125,7 @@ object AnnMaterialize {
     Tiers.buildConcurrently(
       Seq(
         () => { groundTruthTable(s, dir).count(); () },
+        () => { pqCodebookTable(s, dir).count(); () },
         () => { ivfCentroidTable(s, dir).count()
                 ivfListsTable(s, dir).count(); () }) ++
         graft.queries.SimilarityQueries.AnnMethods

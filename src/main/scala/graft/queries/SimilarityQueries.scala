@@ -181,6 +181,18 @@ object SimilarityQueries {
     graft.api.Similarity.kmeansCentroids(emb(s, dir), k = KmeansK,
       iters = KmeansIters)
 
+  /** Frozen trained-PQ codebooks (16 subspaces × 32 codewords, 3 Lloyd
+    * rounds) — parked by
+    * [[graft.ops.AnnMaterialize.pqCodebookTable]]: at 100 TB codebooks
+    * train on a sample and FREEZE exactly like the IVF centroids
+    * (retraining is a periodic rebuild, never a per-query step), so the
+    * serving queries read the parked k·m rows and training cost lives
+    * in ann_build. */
+  private[graft] def pqFrozenCodebooks(s: SparkSession,
+      dir: String): DataFrame =
+    graft.api.Similarity.pqTrainedCentroids(
+      emb(s, dir), PqRK, PqRM, PqRSubDim, PqTrainIters)
+
   /** Pre-batch inverted lists under the PARKED frozen centroids —
     * parked by [[graft.ops.AnnMaterialize.ivfListsTable]]. */
   private[graft] def ivfPreLists(s: SparkSession, dir: String): DataFrame =
@@ -192,14 +204,11 @@ object SimilarityQueries {
     * candidate frame embed_pq_rerank re-ranks and ann_candidates
     * counts (ONE derivation, so the logged budget is the shipped
     * method's). */
-  private def pqRerankShortlist(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cents = graft.api.Similarity.pqTrainedCentroids(
-      e, PqRK, PqRM, PqRSubDim, PqTrainIters)
+  private def pqRerankShortlist(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.pqAdcShortlist(
-      e, cents, col("vec_id") % QueryStride === 0, PqShortlist,
+      emb(s, dir), graft.ops.AnnMaterialize.pqCodebookTable(s, dir),
+      col("vec_id") % QueryStride === 0, PqShortlist,
       PqRM, PqRSubDim)
-  }
 
   /** IVF-PQ composed shortlist (the serving composition: kmeans-IVF
     * probe admits ~[[KmeansProbes]]/[[KmeansK]] of the corpus, ADC
@@ -209,15 +218,12 @@ object SimilarityQueries {
     * PARKED training artifact like embed_ivf_kmeans; PQ codebooks are
     * the same trained 16×32 set as embed_pq_rerank. */
   private def ivfPqRerankShortlist(s: SparkSession,
-      dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val pqCents = graft.api.Similarity.pqTrainedCentroids(
-      e, PqRK, PqRM, PqRSubDim, PqTrainIters)
+      dir: String): DataFrame =
     graft.api.Similarity.ivfPqShortlist(
-      e, graft.ops.AnnMaterialize.ivfCentroidTable(s, dir), pqCents,
+      emb(s, dir), graft.ops.AnnMaterialize.ivfCentroidTable(s, dir),
+      graft.ops.AnnMaterialize.pqCodebookTable(s, dir),
       col("vec_id") % QueryStride === 0, PqShortlist,
       PqRM, PqRSubDim, probes = KmeansProbes)
-  }
 
   /** Brute-force cosine top-3 per query — ann_recall's ground truth,
     * exposed for [[graft.ops.AnnMaterialize]] to park once per fixture. */

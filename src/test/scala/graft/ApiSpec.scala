@@ -65,6 +65,39 @@ class ApiSpec extends SparkSpec {
       (0L, 3L, 3L, 3000000L)))
   }
 
+  test("Similarity.ivfPqShortlist: shortlist ⊆ IVF candidates, " +
+      "budget-bounded, ADC-ordered") {
+    // 8 vectors in 2 clear clusters (dims 1-2 vs 3-4); 2 IVF lists
+    // seeded from vectors 0/1 (one per cluster), PQ codebooks from the
+    // same pair. A query probing 1 list must shortlist only own-cluster
+    // vectors; budget 2 cuts the 3 candidates to the 2 ADC-nearest.
+    val raw = Seq(
+      (0L, Seq(1.0f, 0.9f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 0.9f)),
+      (2L, Seq(0.9f, 1.0f, 0.0f, 0.1f)),
+      (3L, Seq(0.1f, 0.0f, 0.9f, 1.0f)),
+      (4L, Seq(1.0f, 1.0f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.1f, 1.0f, 1.0f)),
+      (6L, Seq(0.8f, 0.8f, 0.0f, 0.0f)),
+      (7L, Seq(0.0f, 0.0f, 0.8f, 0.8f))).toDF("vec_id", "embedding")
+    val e = Similarity.quantize(raw)
+    val ivfCents = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val pqCents = Similarity.pqCentroids(e, k = 2, m = 2, subDim = 2)
+    val isQuery = col("vec_id") === 0
+    val short = Similarity.ivfPqShortlist(e, ivfCents, pqCents,
+        isQuery, shortlist = 2, m = 2, subDim = 2, probes = 1)
+      .as[(Long, Long)].collect().toSet
+    val cand = Similarity.ivfCandidates(e, ivfCents, isQuery, probes = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(short.subsetOf(cand), "shortlist must come from probed lists")
+    assert(short.size === 2, "shortlist respects the fixed budget")
+    // own-cluster only: every shortlisted neighbor is an even id
+    // (cluster of vector 0)
+    assert(short.forall { case (q, n) => q === 0L && n % 2 === 0L })
+  }
+
   test("Text.quality and langId run on user doc frames") {
     val dw = docs.withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))
