@@ -103,6 +103,20 @@ object AnnMaterialize {
     s.read.parquet(s"$root/pq_codebooks")
   }
 
+  /** PRE-BATCH compressed code tier (vec_id, m, code) under the frozen
+    * codebooks — what embed_pq_incremental appends a batch onto (the
+    * code-tier analog of [[ivfListsTable]]). */
+  def pqCodesTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lockFor(s"$root/pq_codes").synchronized {
+      if (!new File(s"$root/pq_codes/_SUCCESS").exists()) {
+        graft.queries.SimilarityQueries.pqFrozenCodes(s, dir)
+          .write.mode("overwrite").parquet(s"$root/pq_codes")
+      }
+    }
+    s.read.parquet(s"$root/pq_codes")
+  }
+
   /** PRE-BATCH inverted lists (vec_id → cent_id) under the frozen
     * centroids — what embed_ivf_incremental appends a batch onto. */
   def ivfListsTable(s: SparkSession, dir: String): DataFrame = {
@@ -125,7 +139,8 @@ object AnnMaterialize {
     Tiers.buildConcurrently(
       Seq(
         () => { groundTruthTable(s, dir).count(); () },
-        () => { pqCodebookTable(s, dir).count(); () },
+        () => { pqCodebookTable(s, dir).count()
+                pqCodesTable(s, dir).count(); () },
         () => { ivfCentroidTable(s, dir).count()
                 ivfListsTable(s, dir).count(); () }) ++
         graft.queries.SimilarityQueries.AnnMethods

@@ -193,6 +193,14 @@ object SimilarityQueries {
     graft.api.Similarity.pqTrainedCentroids(
       emb(s, dir), PqRK, PqRM, PqRSubDim, PqTrainIters)
 
+  /** PRE-BATCH compressed code tier under the frozen codebooks —
+    * parked by [[graft.ops.AnnMaterialize.pqCodesTable]]; what
+    * embed_pq_incremental appends a batch onto. */
+  private[graft] def pqFrozenCodes(s: SparkSession,
+      dir: String): DataFrame =
+    graft.api.Similarity.pqCodes(emb(s, dir),
+      graft.ops.AnnMaterialize.pqCodebookTable(s, dir), PqRM, PqRSubDim)
+
   /** Pre-batch inverted lists under the PARKED frozen centroids —
     * parked by [[graft.ops.AnnMaterialize.ivfListsTable]]. */
   private[graft] def ivfPreLists(s: SparkSession, dir: String): DataFrame =
@@ -435,6 +443,27 @@ object SimilarityQueries {
     // recall cost of the composition measured by ann_recall per run.
     "embed_ivfpq_rerank" -> ((s, dir) =>
       cosTopK(emb(s, dir), ivfPqRerankShortlist(s, dir), 3)),
+
+    // INCREMENTAL code-tier maintenance — the PQ twin of
+    // embed_ivf_incremental: the arriving batch encodes against the
+    // parked FROZEN codebooks and appends to the parked pre-batch code
+    // tier; the old corpus is never re-encoded, so a growing 100 TB
+    // vector store pays ingest-sized encode per batch. Per-(subspace,
+    // codeword) rollup with the order-independent membership
+    // fingerprint; the oracle re-trains the codebooks and re-encodes
+    // the whole dup-injected corpus from scratch, so maintained ==
+    // full rebuild is hash-proven like every incremental form here.
+    "embed_pq_incremental" -> ((s, dir) => {
+      val cents = graft.ops.AnnMaterialize.pqCodebookTable(s, dir)
+      val pre = graft.ops.AnnMaterialize.pqCodesTable(s, dir)
+      val batch = embCorpus(s, dir).filter(col("vec_id") >= 1000000L)
+      val maintained = pre.unionByName(
+        graft.api.Similarity.pqCodes(batch, cents, PqRM, PqRSubDim))
+      maintained.groupBy(col("m").cast("long").as("m"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"),
+          expr("bit_xor(CAST(conv(substr(md5(CAST(vec_id AS STRING)), " +
+            "1, 15), 16, 10) AS BIGINT))").as("members_fp"))
+    }),
 
     // embedding-cosine near-duplicate detection: all same-bucket pairs,
     // exact cosine, keep pairs above threshold (the vector analog of
@@ -1258,6 +1287,46 @@ object SimilarityQueries {
         |  CAST(bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
         |    1, 15))::BIGINT) AS BIGINT) AS members_fp
         |FROM fass GROUP BY cent_id""".stripMargin),
+
+    // from-scratch PQ rebuild: codebooks trained on the pre-batch
+    // corpus (the shared pqTrainCtes chain over emb), then EVERY vector
+    // of the dup-injected corpus encoded against the frozen cent/cn
+    // tables — the per-(subspace, codeword) rollup the maintained code
+    // tier must hash-match
+    "embed_pq_incremental" -> withCtes(((Seq(embSql, eeSql) ++
+      pqTrainCtes("pr", PqRK, PqRSubDim, PqTrainIters) ++ Seq(
+      embcSql,
+      """cemb AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embc)""".stripMargin,
+      """cee AS (
+        |  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i
+        |  FROM cemb)""".stripMargin,
+      s"""csub AS (
+         |  SELECT vec_id, CAST((i - 1) // $PqRSubDim AS BIGINT) AS m, i, v
+         |  FROM cee)""".stripMargin,
+      """csubn AS (
+        |  SELECT vec_id, m, CAST(sum(v * v) AS BIGINT) AS sn2
+        |  FROM csub GROUP BY vec_id, m)""".stripMargin,
+      s"""cdist AS (
+         |  SELECT s.vec_id, s.m, c.cent_id,
+         |         n.sn2 + cn.cn2 - 2 * CAST(sum(s.v * c.cv) AS BIGINT) AS dist2
+         |  FROM csub s
+         |  JOIN prcent$PqTrainIters c ON c.m = s.m AND c.i = s.i
+         |  JOIN csubn n ON n.vec_id = s.vec_id AND n.m = s.m
+         |  JOIN prcn$PqTrainIters cn ON cn.cent_id = c.cent_id AND cn.m = c.m
+         |  GROUP BY s.vec_id, s.m, c.cent_id, n.sn2, cn.cn2)""".stripMargin,
+      """ccodes AS (
+        |  SELECT vec_id, m, cent_id AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist2, cent_id) AS rr
+        |    FROM cdist)
+        |  WHERE rr = 1)""".stripMargin)).map(materializeCte)): _*)(
+      """SELECT m, code, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |    1, 15))::BIGINT) AS BIGINT) AS members_fp
+        |FROM ccodes GROUP BY m, code""".stripMargin),
 
     // candidate counts per method — the same cand CTE shapes as the
     // per-method oracles (8-bit + tuned single-bucket LSH, width-6
