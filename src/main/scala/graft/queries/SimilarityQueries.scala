@@ -103,8 +103,8 @@ object SimilarityQueries {
     * untrained control. Finer subspaces cost 16 codes/vector instead
     * of 4 (still 4× compression at 5-bit codes); the recall cliff
     * between the two IS the ablation the control exists to show. */
-  private val PqRM = 16
-  private val PqRSubDim = 4
+  private[graft] val PqRM = 16
+  private[graft] val PqRSubDim = 4
   private val PqRK = 32
   private val PqTrainIters = 3
   private val PqShortlist = 20

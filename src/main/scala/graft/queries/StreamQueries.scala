@@ -536,6 +536,23 @@ object StreamQueries {
               "1, 15), 16, 10) AS BIGINT))").as("members_fp")))
     }),
 
+    // STREAMING PQ code-tier maintenance (twin of embed_pq_incremental,
+    // shared oracle): micro-batches encode against the parked frozen
+    // codebooks and land epoch-keyed code rows; the landed union must
+    // hash-match the from-scratch re-train + re-encode — stream ==
+    // batch for the compressed serving tier, proven per run.
+    "stream_pq_ingest" -> ((s, dir) => {
+      val out = tmp("pqc")
+      graft.streaming.CorpusIngest.pqIngest(s, dir, out,
+        checkpoint = Some(s"$out-ckpt"))
+      consumeEphemeral(s, Seq(out, s"$out-ckpt"))(
+        s.read.parquet(out)
+          .groupBy(col("m").cast("long").as("m"), col("code"))
+          .agg(count(lit(1)).as("n_vectors"),
+            expr("bit_xor(CAST(conv(substr(md5(CAST(vec_id AS STRING)), " +
+              "1, 15), 16, 10) AS BIGINT))").as("members_fp")))
+    }),
+
     "stream_heavy_hitters" -> ((s, dir) => {
       val out = tmp("hh")
       graft.streaming.CorpusIngest.heavyHitterIngest(s, dir, out,
@@ -705,6 +722,12 @@ object StreamQueries {
     // construction) batch forms
     "stream_ivf_ingest" ->
       SimilarityQueries.oracles("embed_ivf_incremental"),
+
+    // the landed streaming code tier must equal the from-scratch
+    // re-train + re-encode — ONE oracle for the incremental and
+    // streaming forms of the PQ serving tier
+    "stream_pq_ingest" ->
+      SimilarityQueries.oracles("embed_pq_incremental"),
 
     // the full brute-force statement: continuously-landed pairs must
     // equal the one-shot join

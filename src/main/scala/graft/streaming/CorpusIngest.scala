@@ -227,6 +227,46 @@ object CorpusIngest {
     try { q.processAllAvailable() } finally { q.stop() }
   }
 
+  /** STREAMING PQ code-tier maintenance (twin of embed_pq_incremental,
+    * shared oracle): each micro-batch of vectors encodes against the
+    * parked FROZEN codebooks and lands epoch-keyed code rows through
+    * the idempotent dynamic-overwrite epoch sink — encoding is
+    * per-vector deterministic given frozen codebooks, so the landed
+    * union equals the from-scratch full-corpus encode however the
+    * stream was chopped into batches. */
+  def pqIngest(s: SparkSession, dir: String, out: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/embeddings*.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = graft.ops.AnnMaterialize.pqCodebookTable(s, dir)
+    val name = s"pq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(s"target/tmp/ckpt_$name")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          val b = batch.toDF()
+          val corpus = b.unionByName(b.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+          val codes = graft.api.Similarity.pqCodes(
+            graft.api.Similarity.quantize(corpus), cents,
+            graft.queries.SimilarityQueries.PqRM,
+            graft.queries.SimilarityQueries.PqRSubDim)
+            .withColumn("ingest_epoch", lit(epoch))
+          codes.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+          codes.write.mode("overwrite").partitionBy("ingest_epoch")
+            .parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   def heavyHitterIngest(s: SparkSession, dir: String, out: String,
       checkpoint: Option[String] = None): Unit = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
