@@ -91,6 +91,13 @@ def canon_hash(df):
 fails = 0
 slow = []   # oracle COST is part of the gate (see COVERAGE.md budget):
             # a >10 s oracle at sf0.01 risks timing out the driver run
+report = {}  # CORRECTNESS_r{N}.json-shaped local artifact
+def record(name, rows_match, schema_match, hash_match,
+           spark_rows, oracle_rows, err=None, oracle_sec=None):
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err,
+                    "oracle_sec": oracle_sec}
 t_suite = time.time()
 for name, sql in sorted(oracle.items()):
     try:
@@ -103,15 +110,20 @@ for name, sql in sorted(oracle.items()):
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}")
+        record(name, False, False, False, None, None, err=str(e))
         fails += 1
         continue
     w, g = norm(want), norm(got)
     if list(w.columns) != list(g.columns):
         print(f"FAIL {name}: columns want={list(w.columns)} got={list(g.columns)}")
+        record(name, len(w) == len(g), False, False, len(g), len(w),
+               oracle_sec=round(dt, 2))
         fails += 1
         continue
     if len(w) != len(g):
         print(f"FAIL {name}: rows want={len(w)} got={len(g)}")
+        record(name, False, True, False, len(g), len(w),
+               oracle_sec=round(dt, 2))
         fails += 1
         continue
     bad = None
@@ -126,6 +138,8 @@ for name, sql in sorted(oracle.items()):
     if bad:
         print(f"FAIL {name}: first diff row={bad[0]} col={bad[1]} "
               f"want={bad[2]!r} got={bad[3]!r}")
+        record(name, True, True, False, len(g), len(w),
+               oracle_sec=round(dt, 2))
         fails += 1
         continue
     # driver-hash emulation: values agreed cell-by-cell; the hash stage
@@ -142,9 +156,18 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: hash mismatch {hw[:8]} vs {hg[:8]} "
               f"(values equal, render drift at {wit}; dtypes {dtw} vs "
               f"{dtg})")
+        record(name, True, True, False, len(g), len(w),
+               oracle_sec=round(dt, 2))
         fails += 1
     else:
         print(f"ok   {name} ({len(w)} rows, hash {hw[:8]})")
+        record(name, True, True, True, len(g), len(w),
+               oracle_sec=round(dt, 2))
+
+# the driver-shaped local artifact (CORRECTNESS_r{N}.json layout plus
+# oracle_sec) — diffable round-over-round without waiting for the driver
+with open(f"{OUT}/correctness_local.json", "w") as f:
+    json.dump(report, f, indent=1, sort_keys=True)
 
 suite_s = time.time() - t_suite
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match "
