@@ -278,6 +278,48 @@ object DedupMaterialize {
     s.read.parquet(s"$root/components_base_m$IncrementalBatchMod")
   }
 
+  /** Parked pre-batch MEDIA-fingerprint band tier (doc_id, phash, b,
+    * bv) — the pHash analog of the text band tier: what a deployed
+    * pipeline holds from its previous media ingest. The incremental
+    * cluster maintenance probes arriving fingerprints against these
+    * rows instead of re-fingerprinting the corpus. */
+  def phashBandBaseTable(s: SparkSession, dir: String,
+      mod: Int = IncrementalBatchMod): DataFrame = {
+    val root = base(dir)
+    val sub = s"phash_bands_base_m$mod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        graft.queries.MultimodalQueries.phashBands(s, dir,
+            col("doc_id") % mod =!= 0)
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
+  /** Parked pre-batch MEDIA cluster labels: connected components over
+    * the pre-batch verified pHash pairs, with the FULL pre-batch doc
+    * universe (singletons included) so incremental folding can contract
+    * any old endpoint through its label. */
+  def phashClusterBaseTable(s: SparkSession, dir: String,
+      mod: Int = IncrementalBatchMod): DataFrame = {
+    val root = base(dir)
+    val sub = s"phash_clusters_base_m$mod"
+    lock.synchronized {
+      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
+        val bands = phashBandBaseTable(s, dir, mod)
+        graft.operators.ConnectedComponents.labels(
+            corpus(s, dir).filter(col("doc_id") % mod =!= 0)
+              .select("doc_id"),
+            graft.queries.MultimodalQueries
+              .phashVerifiedPairs(bands, bands)
+              .select(col("doc_a"), col("doc_b")))
+          .write.mode("overwrite").parquet(s"$root/$sub")
+      }
+    }
+    s.read.parquet(s"$root/$sub")
+  }
+
   /** Parked pre-batch ALL-PAIRS base for
     * text_allpairs_cosine_incremental: the old×old qualifying pairs at
     * τ = 4/5. In a deployed pipeline this IS the similarity-pair table

@@ -239,13 +239,50 @@ object MultimodalQueries {
         .groupBy(col("component").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("keep_doc"),
-          (count(lit(1)) - 1).as("n_dropped"))))
+          (count(lit(1)) - 1).as("n_dropped"))),
 
-  /** Verified Hamming-≤3 phash pairs — shared by the pair query and the
-    * cluster rollup (ONE derivation, like the text dedup tiers). */
-  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    // INCREMENTAL media-cluster maintenance — the multimodal twin of
+    // dedup_components_incremental, closing the last dedup family
+    // without an ingest-cost form: the arriving batch fingerprints
+    // ingest-sized media, probes its bands against the parked pre-batch
+    // band tier (new×old + new×new, never old×old), and folds the
+    // verified pairs into the parked cluster labels by contracting old
+    // components and running the star fixpoint over a batch-sized
+    // graph. Old media is never re-fingerprinted. Shares
+    // multimodal_phash_clusters' full-recompute oracle: incremental ==
+    // from-scratch is hash-proven per run.
+    "multimodal_phash_incremental" -> ((s, dir) => {
+      val mod = graft.ops.DedupMaterialize.IncrementalBatchMod
+      val batchSel = col("doc_id") % mod === 0
+      val newBands = phashBands(s, dir, batchSel)
+      val oldBands =
+        graft.ops.DedupMaterialize.phashBandBaseTable(s, dir)
+      val touch = phashVerifiedPairs(newBands,
+          oldBands.unionByName(newBands))
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents.incrementalLabels(
+          graft.ops.DedupMaterialize.phashClusterBaseTable(s, dir),
+          graft.ops.TextCorpus.corpus(s, dir).filter(batchSel)
+            .select("doc_id"),
+          touch)
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("keep_doc"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        // full-universe labels carry singletons the pair-graph batch
+        // form never emits; a cluster needs >= 2 members to exist
+        .filter(col("n_members") >= 2)
+    }))
+
+  /** 32-bit aHash fingerprint + 8-bit band rows (doc_id, phash, b, bv)
+    * for the docs `sel` admits — ONE derivation shared by the batch
+    * pair query and the incremental probe (and parked pre-batch by
+    * [[graft.ops.DedupMaterialize.phashBandBaseTable]], the media
+    * analog of the text band tier). */
+  private[graft] def phashBands(s: SparkSession, dir: String,
+      sel: org.apache.spark.sql.Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val px = graft.ops.TextCorpus.corpus(s, dir)
+    val px = graft.ops.TextCorpus.corpus(s, dir).filter(sel)
       .select(col("doc_id"),
         md5(concat(col("text"), lit("_0"))).as("h"))
       .select(col("doc_id"),
@@ -261,20 +298,37 @@ object MultimodalQueries {
       .agg(sum(when(col("p") * 32 > col("tot"),
           expr("shiftleft(1L, CAST(i - 1 AS INT))")).otherwise(0L))
         .as("phash"))
-    val bands = ph.select(col("doc_id"), col("phash"),
+    ph.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr("shiftright(phash, CAST(8 * b AS INT)) % 256"))
-    val cand = bands
-      .select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+  }
+
+  /** Band-bucket candidates probeBands × againstBands (canonicalized to
+    * doc_a < doc_b), verified at Hamming ≤ 3. With probe = against this
+    * is the batch all-pairs; with probe = the arriving batch and
+    * against = batch ∪ parked pre-batch bands it is the incremental
+    * probe (new×old + new×new, never old×old). */
+  private[graft] def phashVerifiedPairs(probeBands: DataFrame,
+      againstBands: DataFrame): DataFrame =
+    probeBands.select(col("doc_id").as("da"), col("phash").as("ha"),
         col("b"), col("bv"))
-      .join(bands.select(col("doc_id").as("doc_b"),
-        col("phash").as("pb"), col("b"), col("bv")), Seq("b", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "pa", "pb").distinct()
-    cand
+      .join(againstBands.select(col("doc_id").as("db"),
+        col("phash").as("hb"), col("b"), col("bv")), Seq("b", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("ha")).otherwise(col("hb")).as("pa"),
+        when(col("da") < col("db"), col("hb")).otherwise(col("ha")).as("pb"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 3)
+
+  /** Verified Hamming-≤3 phash pairs — shared by the pair query and the
+    * cluster rollup (ONE derivation, like the text dedup tiers). */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = phashBands(s, dir, lit(true))
+    phashVerifiedPairs(bands, bands)
   }
 
   private val decodedSql: String =
@@ -414,6 +468,24 @@ object MultimodalQueries {
     // mirror; DISTINCT-over-UNION-ALL for the node set (a plain UNION
     // CTE under a WITH RECURSIVE header loses dedup semantics)
     "multimodal_phash_clusters" -> graft.chain.ChainSql.withRecursiveCtes(
+      phashCtes ++ Seq(
+        """ppairs AS (SELECT doc_a, doc_b FROM cand
+          |           WHERE bit_count(xor(pa, pb)) <= 3)""".stripMargin,
+        """pnodes AS (SELECT DISTINCT node FROM (
+          |  SELECT doc_a AS node FROM ppairs
+          |  UNION ALL SELECT doc_b FROM ppairs))""".stripMargin,
+        """pedges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs)""",
+        graft.chain.ChainSql.ccWalkCte("pnodes", "pedges"),
+        """pcc AS (SELECT node, min(comp) AS component
+          |        FROM walk GROUP BY node)""".stripMargin): _*)(
+      """SELECT component AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(node) AS keep_doc,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM pcc GROUP BY component""".stripMargin),
+
+    // maintained clusters must equal the from-scratch clustering — ONE
+    // oracle for the batch and incremental forms
+    "multimodal_phash_incremental" -> graft.chain.ChainSql.withRecursiveCtes(
       phashCtes ++ Seq(
         """ppairs AS (SELECT doc_a, doc_b FROM cand
           |           WHERE bit_count(xor(pa, pb)) <= 3)""".stripMargin,
