@@ -105,6 +105,14 @@ object Bench {
           graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir)
             .count(); ()
         },
+        // pre-batch media fingerprint band + cluster-label tiers
+        // consumed by the incremental pHash cluster maintenance query
+        timed("phash_base_build") {
+          graft.ops.DedupMaterialize.phashBandBaseTable(spark, sfDir)
+            .count()
+          graft.ops.DedupMaterialize.phashClusterBaseTable(spark, sfDir)
+            .count(); ()
+        },
         // pre-batch packed-stream manifest consumed by the incremental
         // shard-packing maintenance query
         timed("pack_manifest_build") {
