@@ -127,6 +127,13 @@ object Bench {
           graft.ops.DedupMaterialize.allPairsPrefixBaseTable(spark, sfDir)
             .count(); ()
         },
+        // full-corpus similarity-pair table consumed by the keep-one
+        // rollup (the measured PPJoin pipeline stays
+        // text_allpairs_cosine)
+        timed("allpairs_build") {
+          graft.ops.DedupMaterialize.allPairsTable(spark, sfDir)
+            .count(); ()
+        },
         timed("bucketed_build") {
           graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
         },

@@ -320,6 +320,24 @@ object DedupMaterialize {
     s.read.parquet(s"$root/$sub")
   }
 
+  /** Parked FULL-corpus all-pairs result (the qualifying pairs at
+    * τ = 4/5): the similarity-pair table every downstream consumer
+    * (cluster/keep-one rollups) reads — nobody re-runs the PPJoin, the
+    * same park-once contract as the component and band tiers. The
+    * measured pipeline stays `text_allpairs_cosine`, which IS this
+    * derivation. */
+  def allPairsTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lock.synchronized {
+      if (!new File(s"$root/allpairs/_SUCCESS").exists()) {
+        graft.api.Text.allPairsCosine(
+            graft.ops.TextCorpus.docShingles(s, dir))
+          .write.mode("overwrite").parquet(s"$root/allpairs")
+      }
+    }
+    s.read.parquet(s"$root/allpairs")
+  }
+
   /** Parked pre-batch ALL-PAIRS base for
     * text_allpairs_cosine_incremental: the old×old qualifying pairs at
     * τ = 4/5. In a deployed pipeline this IS the similarity-pair table

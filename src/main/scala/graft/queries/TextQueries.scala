@@ -1223,8 +1223,11 @@ object TextQueries {
     // brute-force, so the whole ladder is equivalence-proven in one
     // compare.
     "text_allpairs_keep_one" -> ((s, dir) => {
-      val pairs = graft.api.Text.allPairsCosine(
-        graft.ops.TextCorpus.docShingles(s, dir))
+      // pairs from the PARKED all-pairs tier (written by the same
+      // allPairsCosine derivation text_allpairs_cosine measures) — the
+      // keep-one rollup is a consumer of the similarity-pair table,
+      // not a second run of the PPJoin
+      val pairs = graft.ops.DedupMaterialize.allPairsTable(s, dir)
       val nodes = table(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
       graft.operators.ConnectedComponents.labels(nodes,
