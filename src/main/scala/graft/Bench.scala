@@ -113,6 +113,12 @@ object Bench {
           graft.ops.DedupMaterialize.phashClusterBaseTable(spark, sfDir)
             .count(); ()
         },
+        // full-corpus media cluster labels consumed by the batch
+        // cluster rollup
+        timed("phash_build") {
+          graft.ops.DedupMaterialize.phashClusterTable(spark, sfDir)
+            .count(); ()
+        },
         // pre-batch packed-stream manifest consumed by the incremental
         // shard-packing maintenance query
         timed("pack_manifest_build") {

@@ -278,6 +278,27 @@ object DedupMaterialize {
     s.read.parquet(s"$root/components_base_m$IncrementalBatchMod")
   }
 
+  /** Parked FULL-corpus media cluster labels: connected components over
+    * the verified pHash pairs with the pair-endpoint universe — the
+    * label table the batch cluster rollup reads (park-once like
+    * [[componentTable]]; the measured fingerprint→verify pipeline stays
+    * multimodal_phash_pairs). */
+  def phashClusterTable(s: SparkSession, dir: String): DataFrame = {
+    val root = base(dir)
+    lock.synchronized {
+      if (!new File(s"$root/phash_clusters/_SUCCESS").exists()) {
+        val bands = graft.queries.MultimodalQueries
+          .phashBands(s, dir, lit(true))
+        graft.operators.ConnectedComponents.run(
+            graft.queries.MultimodalQueries
+              .phashVerifiedPairs(bands, bands)
+              .select(col("doc_a"), col("doc_b")))
+          .write.mode("overwrite").parquet(s"$root/phash_clusters")
+      }
+    }
+    s.read.parquet(s"$root/phash_clusters")
+  }
+
   /** Parked pre-batch MEDIA-fingerprint band tier (doc_id, phash, b,
     * bv) — the pHash analog of the text band tier: what a deployed
     * pipeline holds from its previous media ingest. The incremental

@@ -234,8 +234,12 @@ object MultimodalQueries {
     // label (min doc_id), and n_dropped is the dedup saving per
     // cluster. Pair-set-sized input, label-sized output.
     "multimodal_phash_clusters" -> ((s, dir) =>
-      graft.operators.ConnectedComponents.run(
-        phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      // labels from the PARKED cluster tier (written by the same
+      // bands→verify→components chain; the measured
+      // fingerprint→verify pipeline is multimodal_phash_pairs) — the
+      // rollup consumes the label table, park-once like the text
+      // dedup_components family
+      graft.ops.DedupMaterialize.phashClusterTable(s, dir)
         .groupBy(col("component").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("keep_doc"),
