@@ -44,14 +44,52 @@ object BuildBench {
       timed("text_winfp_build", r) {
         graft.ops.DedupMaterialize.windowFpTable(spark, sfDir).count(); ()
       }
+      timed("text_winfp_base_build", r) {
+        graft.ops.DedupMaterialize.winfpGdfBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.winfpScoreBaseTable(spark, sfDir)
+          .count(); ()
+      }
       timed("text_segment_build", r) {
         graft.ops.DedupMaterialize.segmentTable(spark, sfDir).count(); ()
+      }
+      timed("text_segment_base_build", r) {
+        graft.ops.DedupMaterialize.segFreqBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.segScoreBaseTable(spark, sfDir)
+          .count(); ()
+      }
+      timed("phash_base_build", r) {
+        graft.ops.DedupMaterialize.phashBandBaseTable(spark, sfDir).count()
+        graft.ops.DedupMaterialize.phashClusterBaseTable(spark, sfDir)
+          .count(); ()
+      }
+      timed("phash_build", r) {
+        graft.ops.DedupMaterialize.phashClusterTable(spark, sfDir)
+          .count(); ()
+      }
+      timed("pack_manifest_build", r) {
+        graft.ops.DedupMaterialize.packManifestBaseTable(spark, sfDir)
+          .count(); ()
+      }
+      timed("allpairs_build", r) {
+        graft.ops.DedupMaterialize.allPairsTable(spark, sfDir).count(); ()
+      }
+      timed("bucketed_build", r) {
+        graft.queries.RefQueries.invalidateBucketedCache()
+        graft.queries.RefQueries.buildBucketedTables(spark, sfDir)
+      }
+      timed("store_build", r) {
+        graft.ops.StoreMaterialize.transactionStore(spark, sfDir)(out =>
+          graft.chain.ChainStore.writeTransactions(
+            graft.chain.Chain.transactions(spark, sfDir), out)); ()
       }
       timed("entity_build", r) {
         graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
       }
       timed("graph_build", r) {
         graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
+      }
+      timed("flow_build", r) {
+        graft.queries.GraphQueries.buildFlowTier(spark, sfDir)
       }
       timed("ann_build", r) {
         graft.ops.AnnMaterialize.buildAll(spark, sfDir)

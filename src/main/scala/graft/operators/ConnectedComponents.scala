@@ -143,6 +143,11 @@ object ConnectedComponents {
     var converged = false
     while (!converged && it < maxIter) {
       val t0 = if (debug) System.nanoTime() else 0L
+      // one large/small-star alternation per materialized round. NOT
+      // fused deeper (r13 measured smallStar∘largeStar twice per round:
+      // per-round wall went 0.8 s → ~5 s at sf0.1 — driver planning +
+      // whole-stage-codegen compile of the doubled plan cost far more
+      // than the saved checkpoint/checksum job).
       val next = Materialize.truncateBeforeAction(smallStar(largeStar(e)))
       val nextSig = checksum(next)
       if (debug) println(f"[cc] round $it edges=${nextSig._1} " +

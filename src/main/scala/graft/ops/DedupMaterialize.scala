@@ -184,8 +184,10 @@ object DedupMaterialize {
       if (!new File(s"$root/$sub/_SUCCESS").exists()) {
         val old = segmentTable(s, dir)
           .filter(col("doc_id") % IncrementalBatchMod =!= 0)
-        graft.api.Text.scoreSegments(
-            old, graft.api.Text.keyFrequency(old, "seg_h"))
+        // frequency side = the PARKED pre-batch tier (identical by
+        // construction: same keyFrequency over the same filtered rows) —
+        // not a recomputation of it (guide §2.4)
+        graft.api.Text.scoreSegments(old, segFreqBaseTable(s, dir))
           .write.mode("overwrite").parquet(s"$root/$sub")
       }
     }
@@ -220,8 +222,9 @@ object DedupMaterialize {
       if (!new File(s"$root/$sub/_SUCCESS").exists()) {
         val old = windowFpTable(s, dir)
           .filter(col("doc_id") % IncrementalBatchMod =!= 0)
-        graft.api.Text.scoreWindowFps(
-            old, graft.api.Text.windowFpFrequency(old))
+        // frequency side = the PARKED pre-batch gdf tier (identical by
+        // construction), not a second corpus-sized frequency pass
+        graft.api.Text.scoreWindowFps(old, winfpGdfBaseTable(s, dir))
           .write.mode("overwrite").parquet(s"$root/$sub")
       }
     }
@@ -287,6 +290,9 @@ object DedupMaterialize {
     val root = base(dir)
     lock.synchronized {
       if (!new File(s"$root/phash_clusters/_SUCCESS").exists()) {
+        // the self-join's two identical band subplans share one
+        // ReusedExchange within the query — no persist (measured
+        // slower; see allPairsTable)
         val bands = graft.queries.MultimodalQueries
           .phashBands(s, dir, lit(true))
         graft.operators.ConnectedComponents.run(
@@ -346,7 +352,11 @@ object DedupMaterialize {
     * (cluster/keep-one rollups) reads — nobody re-runs the PPJoin, the
     * same park-once contract as the component and band tiers. The
     * measured pipeline stays `text_allpairs_cosine`, which IS this
-    * derivation. */
+    * derivation. (NOT persisted: allPairsCosine consumes the shingle
+    * frame three times within ONE query, and Spark's ReusedExchange
+    * already shares the explode+distinct exchange across those
+    * consumers — r13 measured a persist here at ~2× SLOWER, cache
+    * materialization breaking the pipelined reuse.) */
   def allPairsTable(s: SparkSession, dir: String): DataFrame = {
     val root = base(dir)
     lock.synchronized {
@@ -359,62 +369,69 @@ object DedupMaterialize {
     s.read.parquet(s"$root/allpairs")
   }
 
+  /** Build the three pre-batch all-pairs tiers (df order, indexed
+    * prefix, qualifying pairs) in ONE pass over a pinned shingle frame,
+    * in dependency order df → prefix → pairs, each later tier reading
+    * the parked earlier one. Identical contents to building each tier
+    * independently — allPairsCosine(sh) IS
+    * allPairsFromPrefix(allPairsPrefix(sh, df(sh)), sh) by definition —
+    * but the shingle explode+distinct runs once instead of three times
+    * and the rank window once instead of twice (guide §2.4: shared
+    * subplans computed once; r13 measured allpairs_base_build
+    * 7.9 s → see OPTIMIZATION_r13.md). */
+  private def ensureAllPairsBase(s: SparkSession, dir: String,
+      mod: Int): String = {
+    val root = base(dir)
+    val subDf = s"allpairs_df_base_m$mod"
+    val subPre = s"allpairs_prefix_base_m$mod"
+    val subPairs = s"allpairs_base_m$mod"
+    lock.synchronized {
+      val missing = Seq(subDf, subPre, subPairs)
+        .exists(sub => !new File(s"$root/$sub/_SUCCESS").exists())
+      if (missing) {
+        val sh = graft.ops.TextCorpus.docShingles(s, dir)
+          .filter(col("doc_id") % mod =!= 0)
+        if (!new File(s"$root/$subDf/_SUCCESS").exists())
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$root/$subDf")
+        if (!new File(s"$root/$subPre/_SUCCESS").exists())
+          graft.api.Text.allPairsPrefix(sh,
+              s.read.parquet(s"$root/$subDf"))
+            .write.mode("overwrite").parquet(s"$root/$subPre")
+        if (!new File(s"$root/$subPairs/_SUCCESS").exists())
+          graft.api.Text.allPairsFromPrefix(
+              s.read.parquet(s"$root/$subPre"), sh, lit(true))
+            .write.mode("overwrite").parquet(s"$root/$subPairs")
+      }
+    }
+    root
+  }
+
   /** Parked pre-batch ALL-PAIRS base for
     * text_allpairs_cosine_incremental: the old×old qualifying pairs at
     * τ = 4/5. In a deployed pipeline this IS the similarity-pair table
     * as of the previous ingest; the incremental query unions it with
     * its batch-probe pairs instead of re-running the old×old join. */
   def allPairsBaseTable(s: SparkSession, dir: String,
-      mod: Int = IncrementalBatchMod): DataFrame = {
-    val root = base(dir)
-    val sub = s"allpairs_base_m$mod"
-    lock.synchronized {
-      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
-        graft.api.Text.allPairsCosine(
-            graft.ops.TextCorpus.docShingles(s, dir)
-              .filter(col("doc_id") % mod =!= 0))
-          .write.mode("overwrite").parquet(s"$root/$sub")
-      }
-    }
-    s.read.parquet(s"$root/$sub")
-  }
+      mod: Int = IncrementalBatchMod): DataFrame =
+    s.read.parquet(
+      s"${ensureAllPairsBase(s, dir, mod)}/allpairs_base_m$mod")
 
   /** Parked pre-batch shingle document frequencies — the global prefix
     * ORDER the incremental probe ranks the arriving batch by (the
     * lemmas need a shared total order, not a fresh count). */
   def allPairsDfBaseTable(s: SparkSession, dir: String,
-      mod: Int = IncrementalBatchMod): DataFrame = {
-    val root = base(dir)
-    val sub = s"allpairs_df_base_m$mod"
-    lock.synchronized {
-      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
-        graft.ops.TextCorpus.docShingles(s, dir)
-          .filter(col("doc_id") % mod =!= 0)
-          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .write.mode("overwrite").parquet(s"$root/$sub")
-      }
-    }
-    s.read.parquet(s"$root/$sub")
-  }
+      mod: Int = IncrementalBatchMod): DataFrame =
+    s.read.parquet(
+      s"${ensureAllPairsBase(s, dir, mod)}/allpairs_df_base_m$mod")
 
   /** Parked pre-batch indexed PREFIX postings (ranked under the parked
     * order above): the incremental probe unions this with the arriving
     * batch's ingest-sized prefix, so per-batch candidate generation
     * never re-ranks the corpus. */
   def allPairsPrefixBaseTable(s: SparkSession, dir: String,
-      mod: Int = IncrementalBatchMod): DataFrame = {
-    val root = base(dir)
-    val sub = s"allpairs_prefix_base_m$mod"
-    lock.synchronized {
-      if (!new File(s"$root/$sub/_SUCCESS").exists()) {
-        graft.api.Text.allPairsPrefix(
-            graft.ops.TextCorpus.docShingles(s, dir)
-              .filter(col("doc_id") % mod =!= 0),
-            allPairsDfBaseTable(s, dir, mod))
-          .write.mode("overwrite").parquet(s"$root/$sub")
-      }
-    }
-    s.read.parquet(s"$root/$sub")
-  }
+      mod: Int = IncrementalBatchMod): DataFrame =
+    s.read.parquet(
+      s"${ensureAllPairsBase(s, dir, mod)}/allpairs_prefix_base_m$mod")
 
 }

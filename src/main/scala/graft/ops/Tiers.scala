@@ -25,8 +25,21 @@ object Tiers {
   /** Ceiling on concurrent tier-build driver threads. Each build is one
     * Spark job whose parallelism comes from its own tasks — the driver
     * threads only overlap job SCHEDULING, so a handful is plenty and a
-    * large tier list must not fan out unboundedly. */
-  val MaxConcurrentBuilds = 4
+    * large tier list must not fan out unboundedly. Overridable via
+    * SPARK_GRAFT_BUILD_THREADS (deployment knob: small fixtures are
+    * scheduling-latency-bound and benefit from more in-flight jobs;
+    * at cluster scale each job saturates executors and 4 suffices). */
+  val MaxConcurrentBuilds: Int =
+    sys.env.get("SPARK_GRAFT_BUILD_THREADS").map(_.toInt).getOrElse {
+      // scale with the session's core budget, bounded [4, 8]: measured
+      // r13 at sf0.1/32 cores, ann_build (11 independent tier jobs)
+      // runs ~25 % faster at 8 in-flight jobs than 4 (the jobs are
+      // small, so overlap hides scheduling latency); beyond 8 the
+      // driver threads contend and the curve flattens
+      val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors)
+      math.min(8, math.max(4, cpus / 4))
+    }
 
   /** Run independent tier builds as concurrent Spark jobs — ONE switch
     * point for how build parallelism works: a bounded fixed-size pool

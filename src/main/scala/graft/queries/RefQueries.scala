@@ -90,8 +90,11 @@ object RefQueries {
           graft.chain.ChainStore.writeBucketed(df, name, "tx_id", 8,
             Some(s"target/bucketed/$name"))
         }
-        mk("gb_tx", transactions(s, dir))
-        mk("gb_iostats", txIoStats(s, dir))
+        // the two bucketed writes are independent jobs — overlap them
+        // (guide §2.6) like every other tier build wave
+        graft.ops.Tiers.buildConcurrently(Seq(
+          () => mk("gb_tx", transactions(s, dir)),
+          () => mk("gb_iostats", txIoStats(s, dir))))
         bucketedFor.set(dir)
       }
     }
