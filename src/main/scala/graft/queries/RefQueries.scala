@@ -39,7 +39,11 @@ object RefQueries {
     // MEMORY_AND_DISK, same effect)
     val ia = inputAddressPairs(s, dir).persist()
     try {
-      ia.count()
+      // no eager count: the cache blocks fill lazily under the first
+      // fixpoint jobs to need them, and concurrent consumers coordinate
+      // per block in the block manager — a serialized warm-up count
+      // costs a full pass of wall-clock before any fixpoint starts
+      // (the buildGraphTier lesson, applied here in r13)
       // the three CC fixpoints are independent jobs over the shared
       // cached pair set — run them concurrently so their (many, tiny)
       // per-round stages interleave in the scheduler instead of
