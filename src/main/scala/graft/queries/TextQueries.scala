@@ -110,10 +110,16 @@ object TextQueries {
       : (DataFrame, DataFrame) = {
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("word")).orderBy(col("p"))
-    val pr = seqs.as("a").join(seqs.as("b"),
-        col("a.word") === col("b.word") && col("b.p") === col("a.p") + 1)
-      .select(col("a.word").as("word"), col("a.freq").as("freq"),
-        col("a.p").as("p"), col("a.sym").as("sa"), col("b.sym").as("sb"))
+    // adjacent pairs via lead() over the per-word order: p is dense
+    // row_number by construction (initial explode(sequence(1, len)) and
+    // every round's renumber below), so lead(sym) ≡ the b.p = a.p + 1
+    // self-join — one window pass over the word partitioning every later
+    // step uses anyway, instead of a shuffle + self-join (r13, guide §2.4)
+    val pr = seqs
+      .withColumn("sb", lead(col("sym"), 1).over(wIdx))
+      .filter(col("sb").isNotNull)
+      .select(col("word"), col("freq"), col("p"),
+        col("sym").as("sa"), col("sb"))
     val top = pr.groupBy(col("sa"), col("sb"))
       .agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sa"), col("sb")).limit(1)
