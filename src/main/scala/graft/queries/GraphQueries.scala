@@ -49,23 +49,9 @@ object GraphQueries {
     // the shared frames are pinned ALREADY PARTITIONED on the join key
     // (tx_id): every tier build joins ia ⋈ ov on tx_id, so the one
     // repartition each here replaces two exchanges in every one of the
-    // three tier joins (the cache preserves partitioning).
-    // Repartition FIRST, dedup/aggregate AFTER (r13, guide §2.4):
-    // HashPartitioning(tx_id) satisfies the clustered distribution of
-    // any grouping whose keys include tx_id, so the dedup/agg then runs
-    // exchange-free — ONE shuffle per frame instead of the former
-    // distinct-shuffle + repartition-shuffle pair. The rows shuffled
-    // pre-dedup are the raw pairs (dup factor ≈ 1 on this derivation),
-    // and the sums/dedup results are identical (exact-integer,
-    // order-independent).
-    val ia = ioa.filter(col("is_input"))
-      .select(col("tx_id"), col("address").as("src"))
-      .repartition(col("tx_id")).dropDuplicates("tx_id", "src").persist()
-    val ov = ioa.filter(!col("is_input"))
-      .select(col("tx_id"), col("address"), col("value"))
-      .repartition(col("tx_id"))
-      .groupBy(col("tx_id"), col("address"))
-      .agg(sum(col("value")).as("ov")).persist()
+    // three tier joins (the cache preserves partitioning)
+    val ia = inputPairsOf(ioa).repartition(col("tx_id")).persist()
+    val ov = outputSumsOf(ioa).repartition(col("tx_id")).persist()
     try {
       // ONE concurrent wave: the three tier builds share the pinned
       // explode / input-pair / output-sum frames, whose cache blocks
