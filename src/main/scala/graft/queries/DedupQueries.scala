@@ -312,8 +312,13 @@ object DedupQueries {
       val touch = graft.api.Dedup.probePairs(newBands, oldBands)
         .unionByName(graft.api.Dedup.candidatePairs(newBands)
           .select(col("doc_a").as("new_id"), col("doc_b").as("old_id")))
+      // validate = false: touch endpoints are batch docs × band-tier
+      // docs, base's universe is the full pre-batch corpus and newNodes
+      // the full batch — coverage by construction (operator contract);
+      // the shared full-re-clustering oracle proves the result per run
       graft.operators.ConnectedComponents.incrementalLabels(
-          base, c.filter(newSel).select("doc_id"), touch)
+          base, c.filter(newSel).select("doc_id"), touch,
+          validate = false)
         .select(col("node").as("doc_id"), col("component"))
     }),
 

@@ -1457,7 +1457,7 @@ object GraphQueries {
     // (count DESC, label ASC) tie-break per round as the Spark loop
     "graph_labelprop" -> withCtes(
       Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
-        """sedges AS (SELECT src, dst FROM fedges
+        """sedges AS MATERIALIZED (SELECT src, dst FROM fedges
           |           UNION SELECT dst, src FROM fedges)""".stripMargin,
         """lp0 AS (SELECT node, node AS lbl
           |        FROM (SELECT DISTINCT src AS node FROM sedges))""".stripMargin) ++
@@ -1468,7 +1468,7 @@ object GraphQueries {
     // round as the Spark loop; converged = count compare (monotone)
     "graph_kcore" -> withCtes(
       Seq(ChainSql.io, ChainSql.ioAddr, fedgesCte,
-        """sedges AS (SELECT src, dst FROM fedges
+        """sedges AS MATERIALIZED (SELECT src, dst FROM fedges
           |           UNION SELECT dst, src FROM fedges)""".stripMargin,
         "ks0 AS (SELECT DISTINCT src AS node FROM sedges)") ++
       (1 to KCoreRounds).flatMap(kcIterCtes) ++ Seq(
@@ -1630,7 +1630,7 @@ object GraphQueries {
     * anti-join. */
   private def linksOracle: String = withCtes(
     ChainSql.io, ChainSql.ioAddr, fedgesCte,
-    """sedges AS (SELECT src, dst FROM fedges
+    """sedges AS MATERIALIZED (SELECT src, dst FROM fedges
       |           UNION SELECT dst, src FROM fedges)""".stripMargin,
     """degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
       |         FROM sedges GROUP BY src)""".stripMargin,
@@ -1728,7 +1728,9 @@ object GraphQueries {
   /** One min-label round of graph_scc's oracle (reads `$pfx{r-1}`,
     * defines `$pfx$r`, walking `edges`). */
   private def sccIterCte(pfx: String, edges: String, r: Int): String =
-    s"""$pfx$r AS (SELECT node, min(l) AS l FROM (
+    // AS MATERIALIZED: predecessor referenced twice per round (see
+    // taintIterCteFor) — and the query runs TWO 4-round chains (fwd+bwd)
+    s"""$pfx$r AS MATERIALIZED (SELECT node, min(l) AS l FROM (
        |  SELECT node, l FROM $pfx${r - 1}
        |  UNION ALL
        |  SELECT e.dst AS node, p.l AS l
@@ -1745,23 +1747,33 @@ object GraphQueries {
 
   private def taintIterCte(r: Int): String = taintIterCteFor("t", "fedges", r)
 
-  /** One BFS taint round over any (edge table, state prefix) pair. */
+  /** One BFS taint round over any (edge table, state prefix) pair.
+    * AS MATERIALIZED: each round references its predecessor TWICE (both
+    * UNION ALL branches) — DuckDB re-inlines plain CTEs per reference,
+    * so an unmaterialized chain re-evaluates the whole upstream 2^rounds
+    * times (the bpe_encode lesson, r13: the same trap tripped the
+    * graph_kcore oracle over the 10 s budget). */
   private def taintIterCteFor(pfx: String, edges: String, r: Int): String =
-    s"""$pfx$r AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+    s"""$pfx$r AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
        |  SELECT node, d FROM $pfx${r - 1}
        |  UNION ALL
        |  SELECT e.dst AS node, p.d + 1 AS d
        |  FROM $edges e JOIN $pfx${r - 1} p ON p.node = e.src)
        |GROUP BY node)""".stripMargin
 
-  /** One peel round's CTE block (reads ks{r-1}, defines ks{r}). */
+  /** One peel round's CTE block (reads ks{r-1}, defines ks{r}).
+    * AS MATERIALIZED on ks$r: each survivor set is referenced TWICE by
+    * the next round's degree count (both join sides) — unmaterialized,
+    * DuckDB re-inlines the whole upstream chain 2^rounds times, which
+    * put the graph_kcore oracle over the 10 s budget (r13, measured
+    * 11.0 s → 4.5 s with the pin). */
   private def kcIterCtes(r: Int): Seq[String] = Seq(
     s"""kd$r AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
        |         FROM sedges e
        |         JOIN ks${r - 1} a ON a.node = e.src
        |         JOIN ks${r - 1} b ON b.node = e.dst
        |         GROUP BY e.src)""".stripMargin,
-    s"ks$r AS (SELECT node FROM kd$r WHERE deg >= $KCoreK)")
+    s"ks$r AS MATERIALIZED (SELECT node FROM kd$r WHERE deg >= $KCoreK)")
 
   /** One LPA round's CTE block (reads lp{r}, defines lp{r+1}). */
   private def lpIterCtes(r: Int): Seq[String] = Seq(

@@ -264,11 +264,15 @@ object MultimodalQueries {
       val touch = phashVerifiedPairs(newBands,
           oldBands.unionByName(newBands))
         .select(col("doc_a"), col("doc_b"))
+      // validate = false: touch endpoints come from batch ∪ pre-batch
+      // bands, the base universe is the full pre-batch corpus and
+      // newNodes the full batch — coverage by construction (operator
+      // contract); the shared full-recompute oracle proves the result
       graft.operators.ConnectedComponents.incrementalLabels(
           graft.ops.DedupMaterialize.phashClusterBaseTable(s, dir),
           graft.ops.TextCorpus.corpus(s, dir).filter(batchSel)
             .select("doc_id"),
-          touch)
+          touch, validate = false)
         .groupBy(col("component").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("keep_doc"),

@@ -641,8 +641,14 @@ object RefQueries {
       val touch = starEdges(ia)
       val newNodes = ia.select(col("address")).distinct()
         .join(base.select(col("address")), Seq("address"), "left_anti")
+      // validate = false per the operator contract: coverage holds by
+      // construction (touch endpoints are batch addresses; newNodes is
+      // exactly the batch anti-joined against base, whose universe is
+      // every pre-batch address) — skipping the eager batch-sized
+      // anti-join guard on the hot maintenance path (r13); the shared
+      // full-recompute oracle still hash-proves the result per run
       graft.operators.ConnectedComponents
-        .incrementalLabels(base, newNodes, touch)
+        .incrementalLabels(base, newNodes, touch, validate = false)
         .select(col("node").as("address"), col("component").as("entity"))
     }),
 
