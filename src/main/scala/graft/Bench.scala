@@ -146,6 +146,12 @@ object Bench {
         timed("entity_build") {
           graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
         },
+        // the parked entity-flow frame consumed by entity_graph /
+        // entity_pagerank / entity_hits / entity_taint (r14) — after
+        // entity_build so the label tier it reads is already parked
+        timed("entityflow_build") {
+          graft.queries.GraphQueries.buildEntityFlowTier(spark, sfDir)
+        },
         timed("graph_build") {
           graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
         },

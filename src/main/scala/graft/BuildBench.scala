@@ -85,6 +85,9 @@ object BuildBench {
       timed("entity_build", r) {
         graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
       }
+      timed("entityflow_build", r) {
+        graft.queries.GraphQueries.buildEntityFlowTier(spark, sfDir)
+      }
       timed("graph_build", r) {
         graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
       }

@@ -3,18 +3,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.AtomicLong
 
-/** Dev tool: run one named build cold and print NOISE-FREE work totals
-  * (input bytes/records, shuffle read/write bytes/records, total task
-  * time) accumulated from stage metrics — the wall-clock-independent
-  * before/after evidence for build-path optimizations on a noisy box.
-  * Usage: runMain graft.BuildStats [sfDir] <buildName>
+/** Dev tool: run one named build (or any SparkEntry query, or a named
+  * phase probe) cold and print NOISE-FREE work totals (input
+  * bytes/records, shuffle read/write bytes/records, total task time,
+  * job/stage counts) accumulated from stage metrics — the
+  * wall-clock-independent before/after evidence for path optimizations
+  * on a noisy box.
+  * Usage: runMain graft.BuildStats [sfDir] <buildName|queryName> [cpus]
   */
 object BuildStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val which = args.lift(1).getOrElse("allpairs_base_build")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = args.lift(2).getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -22,6 +25,7 @@ object BuildStats {
     val inB = new AtomicLong; val inR = new AtomicLong
     val swB = new AtomicLong; val swR = new AtomicLong
     val srB = new AtomicLong; val taskMs = new AtomicLong
+    val stages = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -32,15 +36,17 @@ object BuildStats {
           swR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           srB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           taskMs.addAndGet(m.executorRunTime)
+          stages.incrementAndGet()
         }
         ()
       }
     })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.ops.Tiers.wipe()
-    // reset after warmup/wipe so only the build is counted
-    Thread.sleep(500)
+    // listener events are async: settle before zeroing the counters
+    drainUntilStable(stages)
     inB.set(0); inR.set(0); swB.set(0); swR.set(0); srB.set(0); taskMs.set(0)
+    stages.set(0)
     val t0 = System.nanoTime()
     which match {
       case "allpairs_base_build" =>
@@ -55,15 +61,39 @@ object BuildStats {
         graft.queries.GraphQueries.buildGraphTier(spark, sfDir)
       case "entity_build" =>
         graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
+      case "entityflow_build" =>
+        // consumption-grain probe: park the upstream label tier OUTSIDE
+        // the measured region (the bench times it under entity_build)
+        graft.queries.RefQueries.buildEntityTiers(spark, sfDir)
+        drainUntilStable(stages)
+        inB.set(0); inR.set(0); swB.set(0); swR.set(0); srB.set(0)
+        taskMs.set(0); stages.set(0)
+        graft.queries.GraphQueries.buildEntityFlowTier(spark, sfDir)
+      case "phash_build" =>
+        graft.ops.DedupMaterialize.phashClusterTable(spark, sfDir).count()
+      case q if SparkEntry.queries.contains(q) =>
+        SparkEntry.queries(q)(spark, sfDir).count(); ()
       case other =>
-        sys.error(s"unknown build $other")
+        sys.error(s"unknown build/query $other")
     }
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener events are posted asynchronously — drain before reading
-    Thread.sleep(2000)
+    drainUntilStable(stages)
     println(f"[buildstats] $which wall=$wall%.2fs taskTime=${taskMs.get / 1000.0}%.1fs " +
       f"input=${inB.get / 1e6}%.1fMB/${inR.get / 1e6}%.2fMrec " +
-      f"shufW=${swB.get / 1e6}%.1fMB/${swR.get / 1e6}%.2fMrec shufR=${srB.get / 1e6}%.1fMB")
+      f"shufW=${swB.get / 1e6}%.1fMB/${swR.get / 1e6}%.2fMrec shufR=${srB.get / 1e6}%.1fMB " +
+      f"stages=${stages.get}")
     spark.stop()
+  }
+
+  /** Listener events are posted asynchronously; a fixed sleep
+    * undercounts on a loaded box. Poll until the stage counter is
+    * quiet for 1 s (bounded at 15 s). */
+  private def drainUntilStable(stages: AtomicLong): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var last = -1L
+    while (System.nanoTime() < deadline && stages.get != last) {
+      last = stages.get
+      Thread.sleep(1000)
+    }
   }
 }

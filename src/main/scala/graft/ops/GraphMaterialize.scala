@@ -99,6 +99,25 @@ object GraphMaterialize {
     s.read.parquet(root)
   }
 
+  /** (tx_id, src_entity, value, dst_entity) per-(tx, output) ENTITY
+    * flows over the pinned clustering window — the shared frame
+    * entity_graph / entity_pagerank / entity_hits / entity_taint all
+    * start from. Parked for the same reason as the address-grain edge
+    * tiers: deriving it re-runs the io explode + the label join (two
+    * corpus-sized passes) per referencing plan, while the parked tier
+    * is a four-column pruned scan. The label side is itself the parked
+    * clustering tier, so this build is label-tier consumption, not a
+    * recompute. */
+  def entityFlowTable(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val root = s"${base(dir)}_ef"
+    locks.computeIfAbsent(root, _ => new Object).synchronized {
+      if (!new File(s"$root/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
+
   /** TagPack-shaped external attribution CSV — the FILE fixture the
     * entity_tags_src query ingests (GraphSense's TagPack path: curated
     * address tags arrive as files, not tables). Parked once per fixture

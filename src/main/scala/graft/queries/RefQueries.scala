@@ -95,7 +95,12 @@ object RefQueries {
             Some(s"target/bucketed/$name"))
         }
         // the two bucketed writes are independent jobs — overlap them
-        // (guide §2.6) like every other tier build wave
+        // (guide §2.6) like every other tier build wave.
+        // INVARIANT: concurrent mk() writers must touch DISJOINT table
+        // names and target/bucketed/<name> paths — each does a catalog
+        // DROP + recursive delete + saveAsTable, safe only because the
+        // names never collide; a shared parent-path cleanup or a
+        // repeated name would be a catalog/filesystem race
         graft.ops.Tiers.buildConcurrently(Seq(
           () => mk("gb_tx", transactions(s, dir)),
           () => mk("gb_iostats", txIoStats(s, dir))))
