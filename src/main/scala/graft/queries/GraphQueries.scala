@@ -285,8 +285,10 @@ object GraphQueries {
     graft.ops.GraphMaterialize.entityFlowTable(s, dir)(
       deriveEntityFlows(s, dir))
 
-  /** The entity-flow derivation itself (unparked — the tier build). */
-  private def deriveEntityFlows(s: SparkSession, dir: String): DataFrame = {
+  /** The entity-flow derivation itself (unparked — the tier build;
+    * package-visible so GraphMaterializeSpec can prove parked ==
+    * derived). */
+  private[graft] def deriveEntityFlows(s: SparkSession, dir: String): DataFrame = {
     val labels = entityLabels(s, dir, Some(EntityWindow))
     val ia = windowedInputAddresses(s, dir)
     val srcPerTx = ia.join(labels, Seq("address"))

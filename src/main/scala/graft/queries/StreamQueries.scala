@@ -253,9 +253,13 @@ object StreamQueries {
       val ch = graft.queries.RelQueries.cdcChanges(base)
       // setup phase: the one-time store init and the two change-file
       // extracts are three INDEPENDENT jobs over the same base frame —
-      // overlap them (guide §2.6, the bucketed_build pattern; r14
-      // phase split: setup was ~2/3 of the entry, the streaming apply
-      // itself ~1/3). Writers touch disjoint paths under `out`.
+      // overlap them (guide §2.6, the bucketed_build pattern). r14
+      // phase split (CdcPhases, sf0.1): setup ~1.1–2.6 s concurrent,
+      // streaming apply 4.5–6.6 s, readback ~0.5–1 s — locally the
+      // micro-batch machinery (2 batches × checkpoint commits + 64
+      // dynamic partition-dir overwrites) dominates; at 30× the store
+      // INIT dominates instead (SCALE.md) and the apply stays
+      // bucket-scoped. Writers touch disjoint paths under `out`.
       graft.ops.Tiers.buildConcurrently(Seq(
         () => IncrementalIngest.cdcStoreInit(
           base.select("k", "price", "status"), s"$out/store"),

@@ -40,6 +40,27 @@ class GraphMaterializeSpec extends SparkSpec {
     assert(edges.exceptAll(dec).count() === 0)
   }
 
+  test("entity-flow tier parks once, reuses, and matches the derivation") {
+    val dir = sf("sf0.001")
+    graft.queries.GraphQueries.buildEntityFlowTier(spark, dir)
+    // after the build, access must NOT re-run the derivation
+    val flows = GraphMaterialize.entityFlowTable(spark, dir)(
+      sys.error("entity-flow tier rebuilt on reuse"))
+    val marker = new File(
+      flows.inputFiles.head.stripPrefix("file:").replaceAll("/[^/]+$", "")
+        + "/_SUCCESS")
+    val mtime = marker.lastModified()
+    GraphMaterialize.entityFlowTable(spark, dir)(
+      sys.error("entity-flow tier rebuilt on reuse")).count()
+    assert(marker.lastModified() === mtime, "tier was rewritten on reuse")
+
+    // the parked rows must equal the direct derivation exactly
+    val dec = graft.queries.GraphQueries.deriveEntityFlows(spark, dir)
+    assert(flows.count() === dec.count())
+    assert(flows.exceptAll(dec).count() === 0)
+    assert(dec.exceptAll(flows).count() === 0)
+  }
+
   test("entity_tags_src query path is read-only over the parked TagPack CSV") {
     val dir = sf("sf0.001")
     val q = graft.queries.GraphQueries.queries("entity_tags_src")
