@@ -782,10 +782,22 @@ object GraphQueries {
           s"AS BIGINT) % $SccEdgeMod = 0"))
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
-      val fwd = minReach(nodes, e, SccRounds).withColumnRenamed("l", "f")
-      val bwd = minReach(nodes,
-        e.select(col("dst").as("src"), col("src").as("dst")), SccRounds)
-        .withColumnRenamed("l", "b")
+      // the forward and backward min-label fixpoints are INDEPENDENT
+      // loops over the same (parked-tier-backed) edge frame — overlap
+      // them (guide §2.6, the tier-build-wave pattern; r14): each
+      // round's tail backfills with the other loop's work instead of
+      // serializing 2 × SccRounds round jobs. Results are identical —
+      // the loops share no mutable state (immutable plans, per-loop
+      // round frames) and the join below is the only meeting point.
+      val reach = new Array[DataFrame](2)
+      graft.ops.Tiers.buildConcurrently(Seq(
+        () => { reach(0) = minReach(nodes, e, SccRounds)
+          .withColumnRenamed("l", "f") },
+        () => { reach(1) = minReach(nodes,
+            e.select(col("dst").as("src"), col("src").as("dst")), SccRounds)
+          .withColumnRenamed("l", "b") }))
+      val fwd = reach(0)
+      val bwd = reach(1)
       fwd.join(bwd, Seq("node"))
         .select(col("node").as("address"),
           when(col("f") === col("b"), col("f")).otherwise(col("node"))
